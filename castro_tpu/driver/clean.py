@@ -1,0 +1,95 @@
+"""State cleaning: density floors, species normalization, dual-energy
+reset, temperature computation.
+
+Reference: `Castro::clean_state` (`Source/driver/Castro.cpp:4238`),
+`enforce_min_density`, `normalize_species` (:2902), `reset_internal_energy`
++ `computeTemp` (:3575), dual-energy parameters eta1/eta2
+(`Docs/source/FlowChart.rst:89-107`).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def enforce_min_density(u, layout, small_dens, small_temp, eos):
+    """Floor density; zones reset to small_dens get zero velocity and
+    small_temp internal energy (reference density_reset_method=1 analog)."""
+    L = layout
+    rho = u[L.URHO]
+    bad = rho < small_dens
+    any_shape = rho.shape
+
+    rho_new = jnp.where(bad, small_dens, rho)
+    u = u.at[L.URHO].set(rho_new)
+    for c in (L.UMX, L.UMY, L.UMZ):
+        u = u.at[c].set(jnp.where(bad, 0.0, u[c]))
+    # species: keep mass fractions, rescale to new density
+    xn = u[L.UFS : L.UFS + L.nspec] / jnp.where(bad, rho, rho_new)[None]
+    xn = jnp.where(bad[None], 1.0 / L.nspec, xn)
+    u = u.at[L.UFS : L.UFS + L.nspec].set(xn * rho_new[None])
+    es = eos.rt(rho=rho_new, T=jnp.full(any_shape, small_temp, u.dtype), xn=xn)
+    u = u.at[L.UEINT].set(jnp.where(bad, rho_new * es.e, u[L.UEINT]))
+    u = u.at[L.UEDEN].set(jnp.where(bad, rho_new * es.e, u[L.UEDEN]))
+    return u
+
+
+def normalize_species(u, layout, small_x=1e-30):
+    """Clip mass fractions to [small_x, 1] and renormalize to sum 1
+    (reference `Castro::normalize_species`, Castro.cpp:2902)."""
+    L = layout
+    if L.nspec == 0:
+        return u
+    rho = u[L.URHO]
+    rx = jnp.clip(u[L.UFS : L.UFS + L.nspec], small_x * rho[None], rho[None])
+    s = jnp.sum(rx, axis=0)
+    return u.at[L.UFS : L.UFS + L.nspec].set(rx * (rho / s)[None])
+
+
+def reset_internal_energy(u, layout, eos, dual_energy_eta2=1e-4,
+                          small_temp=1e-200):
+    """Dual-energy: sync UEINT from UEDEN-KE when trustworthy; rescue
+    non-positive UEINT with the small_temp energy
+    (reference `reset_internal_energy`)."""
+    L = layout
+    rho = u[L.URHO]
+    ke = 0.5 * (u[L.UMX] ** 2 + u[L.UMY] ** 2 + u[L.UMZ] ** 2) / rho
+    rho_eint = u[L.UEDEN] - ke
+
+    eint = jnp.where(
+        (rho_eint > 0.0) & (rho_eint / jnp.maximum(u[L.UEDEN], 1e-300) > dual_energy_eta2),
+        rho_eint,
+        u[L.UEINT],
+    )
+
+    # rescue: non-positive internal energy -> small_temp
+    xn = u[L.UFS : L.UFS + L.nspec] / rho[None]
+    es_small = eos.rt(rho=rho, T=jnp.full(rho.shape, small_temp, u.dtype), xn=xn)
+    rescue = eint <= 0.0
+    eint = jnp.where(rescue, rho * es_small.e, eint)
+
+    u = u.at[L.UEINT].set(eint)
+    u = u.at[L.UEDEN].set(jnp.where(rescue, eint + ke, u[L.UEDEN]))
+    return u
+
+
+def compute_temp(u, layout, eos, small_temp=1e-200):
+    """T from (rho, e, X) (reference `Castro::computeTemp`, Castro.cpp:3575)."""
+    L = layout
+    rho = u[L.URHO]
+    e = u[L.UEINT] / rho
+    xn = u[L.UFS : L.UFS + L.nspec] / rho[None]
+    es = eos.re(rho=rho, e=e, xn=xn)
+    T = jnp.maximum(es.T, small_temp)
+    return u.at[L.UTEMP].set(T)
+
+
+def clean_state(u, layout, eos, small_dens=1e-200, small_temp=1e-200,
+                dual_energy_eta2=1e-4, do_normalize_species=True):
+    """Full ladder (reference `Castro::clean_state`, Castro.cpp:4238)."""
+    u = enforce_min_density(u, layout, small_dens, small_temp, eos)
+    if do_normalize_species and layout.nspec > 0:
+        u = normalize_species(u, layout)
+    u = reset_internal_energy(u, layout, eos, dual_energy_eta2, small_temp)
+    u = compute_temp(u, layout, eos, small_temp)
+    return u

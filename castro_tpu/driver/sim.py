@@ -1,0 +1,260 @@
+"""Single-level simulation driver: the Castro advance loop, TPU-style.
+
+Reference orchestration: `Castro::advance` / `do_advance_ctu` / retry
+(`Source/driver/Castro_advance.cpp:20`, `Castro_advance_ctu.cpp:16,404,504`)
+and the coarse-timestep loop in `main()` (`Source/driver/main.cpp:118-214`).
+
+TPU-first: one jitted step function advances the whole level; retry and dt
+control are host-side decisions on reduced scalars fetched from the device
+(the reference's advance_status pattern). The state `u` always carries its
+ghost zones; ghosts are (re)filled at the start of each step.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from castro_tpu.config import Params
+from castro_tpu.driver import clean as clean_mod
+from castro_tpu.driver.timestep import estdt_burning, estdt_cfl
+from castro_tpu.eos import make_eos
+from castro_tpu.geometry import geometry_from_params
+from castro_tpu.network import make_network
+from castro_tpu.ops.advection_util import ctoprim, src_to_prim
+from castro_tpu.ops.ctu import HydroConfig, ctu_hydro
+from castro_tpu.ops.fill import fill_ghosts
+from castro_tpu.state import layout_from_params
+from castro_tpu.ops.stencil import interior_slice
+
+
+@dataclass
+class StepStatus:
+    min_rho: float
+    has_nan: bool
+
+    @property
+    def success(self) -> bool:
+        return (not self.has_nan) and self.min_rho > 0.0
+
+
+class Simulation:
+    """Owns params, layout, geometry, EOS/network, the state, and the
+    jit-compiled step/dt programs."""
+
+    def __init__(self, params: Params, problem_init: Optional[Callable] = None,
+                 problem_fill: Optional[Callable] = None,
+                 source_fns: Optional[List[Callable]] = None):
+        self.params = params
+        self.layout = layout_from_params(params)
+        self.dtype = jnp.float64 if params.tpu.dtype == "float64" else jnp.float32
+        self.geom = geometry_from_params(params, self.dtype)
+        self.network = make_network(params)
+        self.eos = make_eos(params, self.network)
+        self.problem_init = problem_init
+        self.problem_fill = problem_fill
+        # each source fn: (sim, u, q, qaux, t, dt) -> src[NVAR, grid]
+        self.source_fns = source_fns or []
+
+        c = params.castro
+        self.ng = self.layout.ngrow
+        self.cfg = HydroConfig(
+            use_flattening=bool(c.use_flattening),
+            difmag=c.difmag,
+            riemann_solver=c.riemann_solver,
+            small_dens=max(c.small_dens, 1e-200),
+            small_pres=max(c.small_pres, 1e-200),
+            small_ener=1e-200,
+            transverse_reset_density=bool(c.transverse_reset_density),
+            transverse_reset_rhoe=bool(c.transverse_reset_rhoe),
+            ppm_type=c.ppm_type,
+            use_shock_var=bool(c.use_shock_var),
+            shock_threshold=c.shock_detection_threshold,
+            lo_bc=tuple(c.lo_bc[: self.layout.dim]),
+            hi_bc=tuple(c.hi_bc[: self.layout.dim]),
+            ng=self.ng,
+        )
+
+        self.t = 0.0
+        self.step_count = 0
+        self.dt = None
+        self.u = None
+        self.num_zones_advanced = 0  # FOM accounting (main.cpp:169-214)
+
+        self._jit_step = jax.jit(self._step_impl)
+        self._jit_estdt = jax.jit(self._estdt_impl)
+        self._jit_clean_fill = jax.jit(self._clean_fill_impl)
+
+    # -- allocation & init -------------------------------------------------
+    def grown_shape(self):
+        return tuple(n + 2 * self.ng for n in self.geom.n_cell)
+
+    def allocate(self):
+        shape = (self.layout.NVAR,) + self.grown_shape()
+        return jnp.zeros(shape, dtype=self.dtype)
+
+    def init_data(self):
+        """Fill the state from the problem hook (reference Castro::initData,
+        Castro.cpp:934) then clean and fill ghosts."""
+        u = self.allocate()
+        if self.problem_init is not None:
+            u = self.problem_init(self, u)
+        self.u = self._jit_clean_fill(u)
+        return self.u
+
+    def _clean_fill_impl(self, u):
+        c = self.params.castro
+        u = clean_mod.clean_state(
+            u, self.layout, self.eos,
+            small_dens=self.cfg.small_dens, small_temp=max(c.small_temp, 1e-200),
+            dual_energy_eta2=c.dual_energy_eta2,
+            do_normalize_species=bool(c.normalize_species))
+        u = self._fill(u)
+        return u
+
+    def _fill(self, u):
+        return fill_ghosts(u, self.layout, self.cfg.lo_bc, self.cfg.hi_bc,
+                           self.ng, problem_fill=self.problem_fill)
+
+    # -- dt ------------------------------------------------------------------
+    def _estdt_impl(self, u):
+        c = self.params.castro
+        dt = estdt_cfl(u, self.layout, self.eos, self.geom, self.ng, c.cfl)
+        dt_b = estdt_burning(u, self.layout, self.eos, self.network, self.ng,
+                             c.dtnuc_e, c.dtnuc_X, c.dtnuc_X_threshold)
+        return jnp.minimum(dt, dt_b)
+
+    def estimate_dt(self) -> float:
+        c = self.params.castro
+        if c.fixed_dt > 0:
+            return c.fixed_dt
+        dt = float(self._jit_estdt(self.u))
+        if self.step_count == 0:
+            if c.initial_dt > 0:
+                dt = c.initial_dt
+            else:
+                dt = dt * c.init_shrink
+        elif self.dt is not None:
+            dt = min(dt, c.change_max * self.dt)
+        return min(dt, c.max_dt)
+
+    # -- the step --------------------------------------------------------------
+    def _step_impl(self, u, dt, t):
+        """One CTU hydro step (reference do_advance_ctu,
+        Castro_advance_ctu.cpp:16). Returns (u_new, min_rho_raw, nan_flag)."""
+        L = self.layout
+        u = self._fill(u)
+        q, qaux = ctoprim(u, L, self.eos, self.cfg.small_dens,
+                          max(self.params.castro.small_temp, 1e-200))
+
+        # old-time sources
+        src = None
+        if self.source_fns:
+            src = jnp.zeros_like(u)
+            for fn in self.source_fns:
+                src = src + fn(self, u, q, qaux, t, dt)
+        srcQ = None if src is None else src_to_prim(q, qaux, src, L)
+
+        hsrc, fluxes, qes, shk = ctu_hydro(u, q, qaux, srcQ, dt, self.geom,
+                                           L, self.cfg)
+        u_new = u + dt * hsrc
+        if src is not None:
+            u_new = u_new + dt * src
+
+        # validity checks on the raw state (reference density/NaN checks,
+        # Castro_advance_ctu.cpp:64-68,168-216)
+        inner = interior_slice(self.ng, L.dim)
+        min_rho = jnp.min(u_new[inner][L.URHO])
+        nan_flag = ~jnp.isfinite(jnp.sum(u_new[inner]))
+
+        u_new = self._clean_fill_impl(u_new)
+        return u_new, min_rho, nan_flag
+
+    def try_step(self, dt: float):
+        u_new, min_rho, nan_flag = self._jit_step(self.u, dt, self.t)
+        status = StepStatus(min_rho=float(min_rho), has_nan=bool(nan_flag))
+        return u_new, status
+
+    def advance(self, dt: float) -> float:
+        """Advance by dt with retry/subcycling on failure (reference
+        retry_advance_ctu / subcycle_advance_ctu,
+        Castro_advance_ctu.cpp:404,504). Returns the dt actually taken."""
+        c = self.params.castro
+        u_new, status = self.try_step(dt)
+        if status.success or not c.use_retry:
+            self.u = u_new
+            self.t += dt
+            self._count_zones(1)
+            return dt
+
+        # retry with subcycling
+        dt_sub = dt * c.retry_subcycle_factor
+        for _ in range(c.max_subcycles):
+            t_adv = 0.0
+            ok = True
+            u_save = self.u
+            nsub = 0
+            while t_adv < dt * (1 - 1e-12):
+                step_dt = min(dt_sub, dt - t_adv)
+                u_new, status = self.try_step(step_dt)
+                if not status.success:
+                    ok = False
+                    break
+                self.u = u_new
+                t_adv += step_dt
+                nsub += 1
+            if ok:
+                self.t += dt
+                self._count_zones(nsub)
+                return dt
+            # restore and halve again
+            self.u = u_save
+            dt_sub *= c.retry_subcycle_factor
+            if dt_sub < c.dt_cutoff:
+                break
+        raise RuntimeError(
+            f"advance failed at t={self.t}: dt_sub={dt_sub} below cutoff "
+            f"(min_rho={status.min_rho}, nan={status.has_nan})")
+
+    def _count_zones(self, nsteps):
+        self.num_zones_advanced += nsteps * int(np.prod(self.geom.n_cell))
+
+    # -- main loop -----------------------------------------------------------
+    def run(self, max_step: Optional[int] = None, stop_time: Optional[float] = None,
+            verbose: Optional[bool] = None, callbacks: Optional[List[Callable]] = None):
+        a = self.params.amr
+        max_step = max_step if max_step is not None else (a.max_step if a.max_step >= 0 else 10**9)
+        stop_time = stop_time if stop_time is not None else (a.stop_time if a.stop_time >= 0 else np.inf)
+        verbose = self.params.castro.v if verbose is None else verbose
+        callbacks = callbacks or []
+
+        if self.u is None:
+            self.init_data()
+
+        wall0 = time.time()
+        while self.step_count < max_step and self.t < stop_time * (1 - 1e-12):
+            dt = self.estimate_dt()
+            if self.t + dt > stop_time:
+                dt = stop_time - self.t
+            taken = self.advance(dt)
+            self.dt = taken
+            self.step_count += 1
+            if verbose:
+                print(f"STEP {self.step_count} t={self.t:.6e} dt={taken:.6e}")
+            for cb in callbacks:
+                cb(self)
+        wall = time.time() - wall0
+        if verbose and wall > 0:
+            fom = self.num_zones_advanced / wall / 1e6
+            print(f"  Average number of zones advanced per microsecond: {fom:.3f}")
+        return self
+
+    # -- views -----------------------------------------------------------------
+    def interior(self, u=None):
+        u = self.u if u is None else u
+        return u[interior_slice(self.ng, self.layout.dim)]

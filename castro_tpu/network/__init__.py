@@ -1,0 +1,38 @@
+"""Reaction networks (reference: Microphysics networks, selected per problem
+via `NETWORK_DIR` in `Exec/*/GNUmakefile`; interface `#include <network.H>`,
+`Source/driver/Castro.H:47-51`).
+
+A Network owns species metadata (names, A, Z, binding energies) and, for
+reactive networks, a vectorized RHS f(rho, T, X) -> (dX/dt, de/dt) evaluated
+on whole arrays at once (TPU-first: one fused RHS over every zone, no
+per-zone ODE objects).
+"""
+
+from castro_tpu.network.base import Network
+from castro_tpu.network.general_null import GeneralNullNetwork
+from castro_tpu.network.powerlaw import PowerLawNetwork
+from castro_tpu.network.aprox13 import Aprox13Network
+
+
+def make_network(params) -> Network:
+    name = params.network.network_name
+    if name in ("general_null", "null"):
+        return GeneralNullNetwork(
+            spec_names=params.network.spec_names or ("X",),
+            aux_names=params.network.aux_names,
+        )
+    if name == "powerlaw":
+        return PowerLawNetwork(
+            rtilde=params.network.rtilde,
+            nu=params.network.nu,
+            specific_q_burn=params.network.specific_q_burn,
+            T_burn_ref=params.network.T_burn_ref,
+            rho_burn_ref=params.network.rho_burn_ref,
+            f_act=params.network.f_act,
+        )
+    if name == "aprox13":
+        return Aprox13Network()
+    raise ValueError(f"unknown network '{name}'")
+
+
+__all__ = ["Network", "GeneralNullNetwork", "PowerLawNetwork", "Aprox13Network", "make_network"]

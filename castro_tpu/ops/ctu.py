@@ -1,0 +1,233 @@
+"""The CTU (corner transport upwind) unsplit Godunov hydro update.
+
+Behavior matches the reference driver `construct_ctu_hydro_source`
+(`Source/hydro/Castro_ctu_hydro.cpp:17-1528`):
+
+  ctoprim -> flatten -> shock detect -> src_to_prim -> PPM trace per dim ->
+  dim-by-dim Riemann + transverse corrections (2D: 2 passes; 3D: full
+  corner coupling, 12 Riemann solves) -> artificial viscosity -> species
+  flux normalization -> conservative update (consup) with p div(u) and the
+  curvilinear radial pressure-gradient term.
+
+TPU-first design: the whole pipeline is one traced XLA program over
+full-shape grown arrays; no tiling/MFIter — XLA fuses the chain, and the
+hot inner pieces can be swapped for Pallas kernels without changing this
+orchestration.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from castro_tpu.geometry import CoordSys, Geometry
+from castro_tpu.ops import advection_util as au
+from castro_tpu.ops.flatten import uflatten
+from castro_tpu.ops.riemann import cmpflx, mom_flux_has_p
+from castro_tpu.ops.stencil import shifted
+from castro_tpu.ops.trace_ppm import trace_ppm
+from castro_tpu.ops.trans import trans_final, trans_single
+from castro_tpu.ops.fill import SYMMETRY, SLIPWALL, NOSLIPWALL
+
+
+class HydroConfig(NamedTuple):
+    """Static hydro knobs (subset of castro.* params used by the CTU chain)."""
+
+    use_flattening: bool = True
+    difmag: float = 0.1
+    riemann_solver: int = 0
+    small_dens: float = 1e-200
+    small_pres: float = 1e-200
+    small_ener: float = 1e-200
+    transverse_reset_density: bool = True
+    transverse_reset_rhoe: bool = False
+    ppm_type: int = 1
+    use_shock_var: bool = False
+    shock_threshold: float = 2.0 / 3.0
+    lo_bc: Tuple[int, ...] = (0, 0, 0)
+    hi_bc: Tuple[int, ...] = (0, 0, 0)
+    ng: int = 4
+
+
+def _bnd_masks(grid_shape, dim, ng, lo_bc, hi_bc, dtype):
+    """Per-direction face masks zeroing interface velocity on symmetry/wall
+    domain faces (reference bnd_fac, `riemann.cpp:55-61`)."""
+    masks = []
+    wall = (SYMMETRY, SLIPWALL, NOSLIPWALL)
+    for d in range(dim):
+        need = lo_bc[d] in wall or hi_bc[d] in wall
+        if not need:
+            masks.append(None)
+            continue
+        n = grid_shape[d]
+        m = np.ones(n, dtype=np.float64)
+        if lo_bc[d] in wall:
+            m[ng] = 0.0
+        if hi_bc[d] in wall:
+            m[n - ng] = 0.0
+        shape = [1] * dim
+        shape[d] = n
+        masks.append(jnp.asarray(m.reshape(shape), dtype=dtype))
+    return masks
+
+
+def _dloga(geom: Geometry, ng: int):
+    """d(ln A)/dx for the radial direction in curvilinear coords
+    (reference dloga metric used by trace_ppm geometry source)."""
+    if geom.coord == CoordSys.CARTESIAN:
+        return None
+    r = geom.cell_centers(0, ng)
+    if geom.coord == CoordSys.CYLINDRICAL:
+        return 1.0 / r
+    return 2.0 / r  # spherical
+
+
+def ctu_hydro(u, q, qaux, srcQ, dt, geom: Geometry, layout, cfg: HydroConfig):
+    """Compute the CTU hydro update.
+
+    All inputs are grown arrays (ng ghost cells), ghost-filled.
+    Returns (hydro_src [NVAR,...] = -div(F) + geometric terms, so that
+    u_new = u + dt*hydro_src; fluxes per dim [NVAR faces]; qe per dim
+    [NGDNV faces]; shk shock flag).
+    Interior validity: the central (n - 0) cells; ghost margin garbage.
+    """
+    L = layout
+    dim = L.dim
+    dx = geom.dx
+    grid_shape = q.shape[1:]
+    dtype = q.dtype
+
+    flatn = uflatten(q, L) if cfg.use_flattening else jnp.ones(grid_shape, dtype)
+    shk = au.shock(q, dx, L, cfg.shock_threshold) if cfg.use_shock_var else None
+    div_node = au.divu_node(q, dx, L)
+    dloga = _dloga(geom, cfg.ng)
+    masks = _bnd_masks(grid_shape, dim, cfg.ng, cfg.lo_bc, cfg.hi_bc, dtype)
+
+    rz = geom.coord == CoordSys.CYLINDRICAL and dim == 2
+
+    def trace(d):
+        return trace_ppm(q, qaux, srcQ, flatn, d, dt, dx[d], L,
+                         cfg.small_dens, cfg.small_pres, cfg.small_ener,
+                         dloga=dloga)
+
+    def solve(qm, qp, d):
+        return cmpflx(qm, qp, qaux, d, L, geom.coord,
+                      riemann_solver=cfg.riemann_solver,
+                      small_dens=cfg.small_dens, small_pres=cfg.small_pres,
+                      bnd_mask=masks[d])
+
+    states = [trace(d) for d in range(dim)]
+
+    if dim == 1:
+        fluxes_qe = [solve(states[0][0], states[0][1], 0)]
+
+    elif dim == 2:
+        # 1D fluxes from the normal predictor states
+        f0 = solve(states[0][0], states[0][1], 0)
+        f1 = solve(states[1][0], states[1][1], 1)
+
+        hdt = 0.5 * dt
+        if rz:
+            geom_r = {"area": geom.face_area(0, cfg.ng), "vol": geom.volume(cfg.ng)}
+            geom_z = {"area": geom.face_area(1, cfg.ng), "vol": geom.volume(cfg.ng)}
+        else:
+            geom_r = geom_z = None
+
+        # correct x-states with y-fluxes and vice versa (reference 2D pass,
+        # Castro_ctu_hydro.cpp:575-696)
+        qxm, qxp = trans_single(
+            states[0][0], states[0][1], f1[0], f1[1], qaux, 0, 1,
+            hdt / dx[1], L, cfg.small_pres,
+            cfg.transverse_reset_density, cfg.transverse_reset_rhoe,
+            geom_terms=geom_z, hdt=hdt)
+        qym, qyp = trans_single(
+            states[1][0], states[1][1], f0[0], f0[1], qaux, 1, 0,
+            hdt / dx[0], L, cfg.small_pres,
+            cfg.transverse_reset_density, cfg.transverse_reset_rhoe,
+            geom_terms=geom_r, hdt=hdt,
+            radial_p_fix=rz and not mom_flux_has_p(0, geom.coord))
+        fluxes_qe = [solve(qxm, qxp, 0), solve(qym, qyp, 1)]
+
+    else:
+        # 3D full corner coupling (reference Castro_ctu_hydro.cpp:700-1150)
+        f1d = [solve(states[d][0], states[d][1], d) for d in range(3)]
+
+        third = dt / 3.0
+        # corner-coupled states q{n}|{t}
+        cc = {}
+        for n in range(3):
+            for t in range(3):
+                if t == n:
+                    continue
+                cc[(n, t)] = trans_single(
+                    states[n][0], states[n][1], f1d[t][0], f1d[t][1], qaux,
+                    n, t, third / dx[t], L, cfg.small_pres,
+                    cfg.transverse_reset_density, cfg.transverse_reset_rhoe)
+
+        # intermediate fluxes F^{d|t} from q{d}|{t}
+        fint = {}
+        for (n, t), (qm_c, qp_c) in cc.items():
+            fint[(n, t)] = solve(qm_c, qp_c, n)
+
+        # final states: q{n} corrected by F^{t1|t2} and F^{t2|t1}
+        hdt = 0.5 * dt
+        fluxes_qe = []
+        for n in range(3):
+            t1, t2 = [d for d in range(3) if d != n]
+            qm_f, qp_f = trans_final(
+                states[n][0], states[n][1],
+                fint[(t1, t2)][0], fint[(t1, t2)][1],
+                fint[(t2, t1)][0], fint[(t2, t1)][1],
+                qaux, n, t1, t2, hdt / dx[t1], hdt / dx[t2], L,
+                cfg.small_pres, cfg.transverse_reset_density,
+                cfg.transverse_reset_rhoe)
+            fluxes_qe.append(solve(qm_f, qp_f, n))
+
+    fluxes = [fq[0] for fq in fluxes_qe]
+    qes = [fq[1] for fq in fluxes_qe]
+
+    # artificial viscosity + species flux normalization
+    for d in range(dim):
+        fluxes[d] = au.apply_av(fluxes[d], d, div_node, u, L, cfg.difmag, dx)
+        fluxes[d] = au.normalize_species_fluxes(fluxes[d], L)
+
+    # conservative update (reference consup_hydro, Castro_ctu.cpp:12)
+    vol = geom.volume(cfg.ng)
+    volinv = 1.0 / vol
+    hsrc = jnp.zeros_like(u)
+    pdivu = jnp.zeros(grid_shape, dtype)
+    for d in range(dim):
+        area = geom.face_area(d, cfg.ng)
+        # area is face-registered only along the radial axis in curvilinear
+        # coords; for Cartesian it broadcasts. face hi = shifted(-index +1)
+        aF = area * fluxes[d]
+        aF_hi = shifted(aF, 1, 1 + d)
+        if geom.coord != CoordSys.CARTESIAN and d == 0:
+            # radial faces: area varies along the face axis; aF already has
+            # area at face i; the hi face needs area at i+1
+            aF_hi = shifted(area, 1, d) * shifted(fluxes[d], 1, 1 + d)
+        hsrc = hsrc + (aF - aF_hi) * volinv
+
+        gdu = qes[d][(L.GDU, L.GDV, L.GDW)[d]]
+        gdp = qes[d][L.GDPRES]
+        if geom.coord != CoordSys.CARTESIAN and d == 0:
+            a_lo, a_hi = area, shifted(area, 1, d)
+        else:
+            a_lo = a_hi = area
+        pdivu = pdivu + 0.5 * (shifted(gdp, 1, d) + gdp) * (
+            shifted(gdu, 1, d) * a_hi - gdu * a_lo) * volinv
+
+    hsrc = hsrc.at[L.UEINT].add(-pdivu)
+    hsrc = hsrc.at[L.UTEMP].set(0.0)
+
+    if not mom_flux_has_p(0, geom.coord):
+        gdp0 = qes[0][L.GDPRES]
+        hsrc = hsrc.at[L.UMX].add(-(shifted(gdp0, 1, 0) - gdp0) / dx[0])
+
+    if cfg.use_shock_var and shk is not None:
+        # USHK is set, not fluxed (consup_hydro n==USHK branch)
+        hsrc = hsrc.at[L.USHK].set((shk - u[L.USHK]) / jnp.maximum(dt, 1e-300))
+
+    return hsrc, fluxes, qes, shk

@@ -1,0 +1,283 @@
+"""Riemann solvers + interface flux assembly.
+
+Behavior matches the reference:
+- CGF two-shock approximate solver `riemannus`
+  (`Source/hydro/riemann_solvers.H:599-817`): star state from Lagrangian
+  impedances, contact sampling, rarefaction interpolation via frac.
+- flux assembly `compute_flux_q` (`riemann_solvers.H:16-120`): pressure in
+  the normal momentum flux only where `mom_flux_has_p` (not the radial
+  direction in curvilinear coords, where consup applies a pressure-gradient
+  source instead).
+- passives upwinded on the interface velocity
+  (`Source/hydro/riemann.cpp:106-135`).
+- HLLC (`riemann_solvers.H:993+`) as riemann_solver=2.
+
+Face convention: all face arrays are registered at face i-1/2 = index i;
+left state from cell i-1, right state from cell i.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from castro_tpu.geometry import CoordSys
+from castro_tpu.ops.stencil import shifted
+from castro_tpu.ops.trace_ppm import _vel_map
+
+SMALL = 1.0e-8
+SMALLU = 1.0e-12
+
+
+class RiemannInputs(NamedTuple):
+    rho_l: jnp.ndarray
+    un_l: jnp.ndarray
+    ut_l: jnp.ndarray
+    utt_l: jnp.ndarray
+    p_l: jnp.ndarray
+    rhoe_l: jnp.ndarray
+    gamc_l: jnp.ndarray
+    rho_r: jnp.ndarray
+    un_r: jnp.ndarray
+    ut_r: jnp.ndarray
+    utt_r: jnp.ndarray
+    p_r: jnp.ndarray
+    rhoe_r: jnp.ndarray
+    gamc_r: jnp.ndarray
+    csmall: jnp.ndarray
+    cavg: jnp.ndarray
+
+
+class GodunovState(NamedTuple):
+    rho: jnp.ndarray
+    un: jnp.ndarray
+    ut: jnp.ndarray
+    utt: jnp.ndarray
+    p: jnp.ndarray
+    rhoe: jnp.ndarray
+    ustar: jnp.ndarray  # contact speed, for passive upwinding
+
+
+def load_inputs(qm, qp, qaux, d, layout, small_dens) -> RiemannInputs:
+    """Gather left/right interface states (reference `load_input_states`,
+    `Source/hydro/riemann.H:64-130`)."""
+    L = layout
+    ax = d
+    QUN, QUT, QUTT = _vel_map(L, d)
+    c = qaux[L.QC]
+    c_m = shifted(c, -1, ax)
+    return RiemannInputs(
+        rho_l=jnp.maximum(qm[L.QRHO], small_dens),
+        un_l=qm[QUN],
+        ut_l=qm[QUT],
+        utt_l=qm[QUTT],
+        p_l=qm[L.QPRES],
+        rhoe_l=qm[L.QREINT],
+        gamc_l=shifted(qaux[L.QGAMC], -1, ax),
+        rho_r=jnp.maximum(qp[L.QRHO], small_dens),
+        un_r=qp[QUN],
+        ut_r=qp[QUT],
+        utt_r=qp[QUTT],
+        p_r=qp[L.QPRES],
+        rhoe_r=qp[L.QREINT],
+        gamc_r=qaux[L.QGAMC],
+        csmall=jnp.maximum(SMALL, SMALL * jnp.maximum(c, c_m)),
+        cavg=0.5 * (c + c_m),
+    )
+
+
+def riemannus(ri: RiemannInputs, small_dens, small_pres) -> GodunovState:
+    """Colella-Glaz-Ferguson two-shock solver (riemann_solvers.H:599)."""
+    wsmall = small_dens * ri.csmall
+    wl = jnp.maximum(wsmall, jnp.sqrt(jnp.abs(ri.gamc_l * ri.p_l * ri.rho_l)))
+    wr = jnp.maximum(wsmall, jnp.sqrt(jnp.abs(ri.gamc_r * ri.p_r * ri.rho_r)))
+
+    wwinv = 1.0 / (wl + wr)
+    pstar = ((wr * ri.p_l + wl * ri.p_r) + wl * wr * (ri.un_l - ri.un_r)) * wwinv
+    ustar = ((wl * ri.un_l + wr * ri.un_r) + (ri.p_l - ri.p_r)) * wwinv
+    pstar = jnp.maximum(pstar, small_pres)
+
+    # symmetry preservation: tiny ustar -> 0
+    ustar = jnp.where(
+        jnp.abs(ustar) < SMALLU * 0.5 * (jnp.abs(ri.un_l) + jnp.abs(ri.un_r)),
+        0.0,
+        ustar,
+    )
+
+    sgnm = jnp.sign(ustar)
+    fp = 0.5 * (1.0 + sgnm)
+    fm = 0.5 * (1.0 - sgnm)
+
+    ro = jnp.maximum(small_dens, fp * ri.rho_l + fm * ri.rho_r)
+    uo = fp * ri.un_l + fm * ri.un_r
+    po = fp * ri.p_l + fm * ri.p_r
+    reo = fp * ri.rhoe_l + fm * ri.rhoe_r
+    gamco = fp * ri.gamc_l + fm * ri.gamc_r
+
+    roinv = 1.0 / ro
+    co = jnp.maximum(ri.csmall, jnp.sqrt(jnp.abs(gamco * po * roinv)))
+    co2inv = 1.0 / (co * co)
+
+    ut = fp * ri.ut_l + fm * ri.ut_r
+    utt = fp * ri.utt_l + fm * ri.utt_r
+
+    drho = (pstar - po) * co2inv
+    rstar = jnp.maximum(small_dens, ro + drho)
+    entho = (reo + po) * roinv * co2inv
+    estar = reo + (pstar - po) * entho
+    cstar = jnp.maximum(ri.csmall, jnp.sqrt(jnp.abs(gamco * pstar / rstar)))
+
+    spout = co - sgnm * uo
+    spin = cstar - sgnm * ustar
+    ushock = 0.5 * (spin + spout)
+    is_shock = pstar - po > 0.0
+    spin = jnp.where(is_shock, ushock, spin)
+    spout = jnp.where(is_shock, ushock, spout)
+
+    scr = jnp.where(spout - spin == 0.0, SMALL * ri.cavg, spout - spin)
+    frac = jnp.clip(0.5 * (1.0 + (spout + spin) / scr), 0.0, 1.0)
+
+    rho_g = frac * rstar + (1.0 - frac) * ro
+    un_g = frac * ustar + (1.0 - frac) * uo
+    p_g = frac * pstar + (1.0 - frac) * po
+    re_g = frac * estar + (1.0 - frac) * reo
+
+    # outer state on the interface
+    rho_g = jnp.where(spout < 0.0, ro, rho_g)
+    un_g = jnp.where(spout < 0.0, uo, un_g)
+    p_g = jnp.where(spout < 0.0, po, p_g)
+    re_g = jnp.where(spout < 0.0, reo, re_g)
+    # star state on the interface
+    rho_g = jnp.where(spin >= 0.0, rstar, rho_g)
+    un_g = jnp.where(spin >= 0.0, ustar, un_g)
+    p_g = jnp.where(spin >= 0.0, pstar, p_g)
+    re_g = jnp.where(spin >= 0.0, estar, re_g)
+
+    p_g = jnp.maximum(p_g, small_pres)
+    return GodunovState(rho=rho_g, un=un_g, ut=ut, utt=utt, p=p_g, rhoe=re_g, ustar=ustar)
+
+
+def riemann_hllc(ri: RiemannInputs, small_dens, small_pres) -> GodunovState:
+    """HLLC interface state (reference HLLC, `riemann_solvers.H:993`),
+    expressed as a sampled state like the CGF solver so the same flux
+    assembly applies."""
+    cl = jnp.maximum(ri.csmall, jnp.sqrt(jnp.abs(ri.gamc_l * ri.p_l / ri.rho_l)))
+    cr = jnp.maximum(ri.csmall, jnp.sqrt(jnp.abs(ri.gamc_r * ri.p_r / ri.rho_r)))
+
+    # wave speed estimates (Batten et al. via two-shock pstar estimate)
+    wl = jnp.maximum(small_dens * ri.csmall, jnp.sqrt(jnp.abs(ri.gamc_l * ri.p_l * ri.rho_l)))
+    wr = jnp.maximum(small_dens * ri.csmall, jnp.sqrt(jnp.abs(ri.gamc_r * ri.p_r * ri.rho_r)))
+    wwinv = 1.0 / (wl + wr)
+    pstar = jnp.maximum(small_pres,
+                        ((wr * ri.p_l + wl * ri.p_r) + wl * wr * (ri.un_l - ri.un_r)) * wwinv)
+
+    def q_fac(p, gamc):
+        r = pstar / p
+        return jnp.where(r > 1.0, jnp.sqrt(1.0 + (gamc + 1.0) / (2.0 * gamc) * (r - 1.0)), 1.0)
+
+    sl = ri.un_l - cl * q_fac(ri.p_l, ri.gamc_l)
+    sr = ri.un_r + cr * q_fac(ri.p_r, ri.gamc_r)
+    sm = (ri.p_r - ri.p_l + ri.rho_l * ri.un_l * (sl - ri.un_l)
+          - ri.rho_r * ri.un_r * (sr - ri.un_r)) / (
+        ri.rho_l * (sl - ri.un_l) - ri.rho_r * (sr - ri.un_r))
+
+    # star-region states
+    def star(rho, un, p, rhoe, s):
+        f = rho * (s - un) / (s - sm)
+        p_s = p + rho * (un - s) * (un - sm)
+        re_s = (rhoe / rho + (sm - un) * (sm + p / (rho * (s - un)))) * f
+        return f, p_s, re_s
+
+    rho_ls, p_ls, re_ls = star(ri.rho_l, ri.un_l, ri.p_l, ri.rhoe_l, sl)
+    rho_rs, p_rs, re_rs = star(ri.rho_r, ri.un_r, ri.p_r, ri.rhoe_r, sr)
+
+    use_l = sl >= 0.0
+    use_ls = (sl < 0.0) & (sm >= 0.0)
+    use_rs = (sm < 0.0) & (sr > 0.0)
+
+    def pick(l, ls, rs, r):
+        return jnp.where(use_l, l, jnp.where(use_ls, ls, jnp.where(use_rs, rs, r)))
+
+    rho_g = jnp.maximum(small_dens, pick(ri.rho_l, rho_ls, rho_rs, ri.rho_r))
+    un_g = pick(ri.un_l, sm, sm, ri.un_r)
+    p_g = jnp.maximum(small_pres, pick(ri.p_l, p_ls, p_rs, ri.p_r))
+    re_g = pick(ri.rhoe_l, re_ls, re_rs, ri.rhoe_r)
+    ut = jnp.where(sm >= 0.0, ri.ut_l, ri.ut_r)
+    utt = jnp.where(sm >= 0.0, ri.utt_l, ri.utt_r)
+    return GodunovState(rho=rho_g, un=un_g, ut=ut, utt=utt, p=p_g, rhoe=re_g, ustar=sm)
+
+
+def mom_flux_has_p(d: int, coord: CoordSys) -> bool:
+    """Pressure belongs in the momentum flux except in the radial direction
+    of curvilinear coordinates (reference `mom_flux_has_p`)."""
+    return coord == CoordSys.CARTESIAN or d != 0
+
+
+def compute_flux(gd: GodunovState, qm, qp, d, layout, coord: CoordSys, bnd_mask=None):
+    """Assemble conserved flux [NVAR, faces] + Godunov state [NGDNV, faces]."""
+    L = layout
+    un = gd.un if bnd_mask is None else gd.un * bnd_mask
+    frho = gd.rho * un
+
+    flux = jnp.zeros((L.NVAR,) + frho.shape, dtype=frho.dtype)
+    flux = flux.at[L.URHO].set(frho)
+    im1 = L.momentum_index(d)
+    # transverse momentum axes in Castro order
+    if d == 0:
+        im2, im3 = L.UMY, L.UMZ
+    elif d == 1:
+        im2, im3 = L.UMX, L.UMZ
+    else:
+        im2, im3 = L.UMX, L.UMY
+    fm1 = frho * un
+    if mom_flux_has_p(d, coord):
+        fm1 = fm1 + gd.p
+    flux = flux.at[im1].set(fm1)
+    flux = flux.at[im2].set(frho * gd.ut)
+    flux = flux.at[im3].set(frho * gd.utt)
+
+    rhoetot = gd.rhoe + 0.5 * gd.rho * (un * un + gd.ut * gd.ut + gd.utt * gd.utt)
+    flux = flux.at[L.UEDEN].set(un * (rhoetot + gd.p))
+    flux = flux.at[L.UEINT].set(un * gd.rhoe)
+    # UTEMP, USHK fluxes stay zero
+
+    # passives: upwind on the interface velocity (riemann.cpp:106-135)
+    sgnm = jnp.sign(un)
+    fp = 0.5 * (1.0 + sgnm)
+    fm = 0.5 * (1.0 - sgnm)
+    pass_comps_q = list(range(L.QFS, L.QFS + L.nspec)) + (
+        list(range(L.QFX, L.QFX + L.naux)) if L.naux > 0 else []
+    )
+    pass_comps_u = list(range(L.UFS, L.UFS + L.nspec)) + (
+        list(range(L.UFX, L.UFX + L.naux)) if L.naux > 0 else []
+    )
+    for qc, uc in zip(pass_comps_q, pass_comps_u):
+        x_int = fp * qm[qc] + fm * qp[qc]
+        # when un == 0, average (sgnm==0 -> fp=fm=0.5)
+        flux = flux.at[uc].set(frho * x_int)
+
+    qgdnv = jnp.zeros((L.NGDNV,) + frho.shape, dtype=frho.dtype)
+    qgdnv = qgdnv.at[L.GDRHO].set(gd.rho)
+    # velocity placement by direction
+    gd_comp = {0: (L.GDU, L.GDV, L.GDW), 1: (L.GDV, L.GDU, L.GDW), 2: (L.GDW, L.GDU, L.GDV)}[d]
+    qgdnv = qgdnv.at[gd_comp[0]].set(un)
+    qgdnv = qgdnv.at[gd_comp[1]].set(gd.ut)
+    qgdnv = qgdnv.at[gd_comp[2]].set(gd.utt)
+    qgdnv = qgdnv.at[L.GDPRES].set(gd.p)
+    qgdnv = qgdnv.at[L.GDGAME].set(gd.p / jnp.maximum(gd.rhoe, 1e-200) + 1.0)
+    return flux, qgdnv
+
+
+def cmpflx(qm, qp, qaux, d, layout, coord, riemann_solver=0,
+           small_dens=1e-200, small_pres=1e-200, bnd_mask=None):
+    """Riemann solve + flux on every face (reference `cmpflx_plus_godunov`,
+    `Source/hydro/riemann.cpp:16`)."""
+    ri = load_inputs(qm, qp, qaux, d, layout, small_dens)
+    if riemann_solver in (0, 1):
+        gd = riemannus(ri, small_dens, small_pres)
+    elif riemann_solver == 2:
+        gd = riemann_hllc(ri, small_dens, small_pres)
+    else:
+        raise ValueError(f"riemann_solver={riemann_solver}")
+    return compute_flux(gd, qm, qp, d, layout, coord, bnd_mask=bnd_mask)

@@ -1,0 +1,178 @@
+"""Characteristic tracing of PPM parabolae to zone edges.
+
+Behavior matches the reference (`Source/hydro/trace_ppm.cpp:16-596`):
+reference state = integral under the fastest wave toward each edge,
+characteristic projection of (rho, u_n, p, rho e) jumps with the
+{u-c, u, u+c} eigensystem, transverse velocities and passives carried by the
+contact only, hdt*source participation, and the 1D/2D `dloga` geometry source.
+
+Face convention here: face index i == interface i-1/2.
+`qm[i]` (minus/left state) comes from cell i-1 tracing to its right edge;
+`qp[i]` (plus/right state) comes from cell i tracing to its left edge.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from castro_tpu.ops.ppm import ppm_int_profile, ppm_int_profile_single, ppm_reconstruct
+from castro_tpu.ops.stencil import shifted
+
+
+def _vel_map(layout, d):
+    if d == 0:
+        return layout.QU, layout.QV, layout.QW
+    if d == 1:
+        return layout.QV, layout.QW, layout.QU
+    return layout.QW, layout.QU, layout.QV
+
+
+def trace_ppm(q, qaux, srcQ, flatn, d, dt, dx_d, layout, small_dens, small_pres,
+              small_ener=1e-200, dloga=None):
+    """Returns (qm_face, qp_face), both [NQ, grid] on faces i-1/2 stored at i."""
+    L = layout
+    ax = d  # grid-only arrays: spatial axis d
+
+    QUN, QUT, QUTT = _vel_map(L, d)
+
+    un = q[QUN]
+    cc = qaux[L.QC]
+    csq = cc * cc
+    dtdx = dt / dx_d
+    hdt = 0.5 * dt
+
+    def recon(s):
+        return ppm_reconstruct(s, flatn, ax)
+
+    def ppm3(s):
+        sm, sp = recon(s)
+        return ppm_int_profile(sm, sp, s, un, cc, dtdx)
+
+    def ppm1(s):
+        sm, sp = recon(s)
+        return ppm_int_profile_single(sm, sp, s, un, dtdx)
+
+    Ip_rho, Im_rho = ppm3(q[L.QRHO])
+    Ip_un, Im_un = ppm3(un)
+    Ip_p, Im_p = ppm3(q[L.QPRES])
+    Ip_re, Im_re = ppm3(q[L.QREINT])
+    Ip_gc, Im_gc = ppm3(qaux[L.QGAMC])
+    Ip_ut, Im_ut = ppm1(q[QUT])
+    Ip_utt, Im_utt = ppm1(q[QUTT])
+
+    if srcQ is not None:
+        Ip_srho, Im_srho = ppm3(srcQ[L.QRHO])
+        Ip_sun, Im_sun = ppm3(srcQ[QUN])
+        Ip_sp, Im_sp = ppm3(srcQ[L.QPRES])
+        Ip_sre, Im_sre = ppm3(srcQ[L.QREINT])
+        Ip_sut, Im_sut = ppm1(srcQ[QUT])
+        Ip_sutt, Im_sutt = ppm1(srcQ[QUTT])
+    else:
+        z = jnp.zeros_like(un)
+        Ip_srho = Im_srho = Ip_sun = Im_sun = Ip_sp = Im_sp = Ip_sre = Im_sre = (z, z, z)
+        Ip_sut = Im_sut = Ip_sutt = Im_sutt = z
+
+    def build_state(I_rho, I_un, I_p, I_re, I_gc, I_ut, I_utt,
+                    I_srho, I_sun, I_sp, I_sre, I_sut, I_sutt, is_plus):
+        """is_plus: plus state (left edge, ref wave = u-c, index 0);
+        else minus state (right edge, ref wave = u+c, index 2)."""
+        r = 0 if is_plus else 2
+        rho_ref = jnp.maximum(I_rho[r] + hdt * I_srho[r], small_dens)
+        un_ref = I_un[r] + hdt * I_sun[r]
+        p_ref = jnp.maximum(I_p[r] + hdt * I_sp[r], small_pres)
+        rhoe_ref = I_re[r] + hdt * I_sre[r]
+        gam_ref = I_gc[r]
+
+        rho_ref_inv = 1.0 / rho_ref
+        csq_ref = gam_ref * p_ref * rho_ref_inv
+        cc_ref = jnp.sqrt(csq_ref)
+        cc_ref_inv = 1.0 / cc_ref
+        h_ref = (p_ref + rhoe_ref) * rho_ref_inv
+
+        dum = un_ref - I_un[0] - hdt * I_sun[0]
+        dptotm = p_ref - I_p[0] - hdt * I_sp[0]
+        drho = rho_ref - I_rho[1] - hdt * I_srho[1]
+        dptot = p_ref - I_p[1] - hdt * I_sp[1]
+        drhoe = rhoe_ref - I_re[1] - hdt * I_sre[1]
+        dup = un_ref - I_un[2] - hdt * I_sun[2]
+        dptotp = p_ref - I_p[2] - hdt * I_sp[2]
+
+        alpham = 0.5 * (dptotm * rho_ref_inv * cc_ref_inv - dum) * rho_ref * cc_ref_inv
+        alphap = 0.5 * (dptotp * rho_ref_inv * cc_ref_inv + dup) * rho_ref * cc_ref_inv
+        alpha0r = drho - dptot / csq_ref
+        alpha0e = drhoe - dptot * h_ref / csq_ref
+
+        if is_plus:
+            alpham = jnp.where(un - cc > 0.0, 0.0, -alpham)
+            alphap = jnp.where(un + cc > 0.0, 0.0, -alphap)
+            alpha0r = jnp.where(un > 0.0, 0.0, -alpha0r)
+            alpha0e = jnp.where(un > 0.0, 0.0, -alpha0e)
+        else:
+            alpham = jnp.where(un - cc > 0.0, -alpham, 0.0)
+            alphap = jnp.where(un + cc > 0.0, -alphap, 0.0)
+            alpha0r = jnp.where(un > 0.0, -alpha0r, 0.0)
+            alpha0e = jnp.where(un > 0.0, -alpha0e, 0.0)
+
+        out_rho = jnp.maximum(small_dens, rho_ref + alphap + alpham + alpha0r)
+        out_un = un_ref + (alphap - alpham) * cc_ref * rho_ref_inv
+        out_re = jnp.maximum(small_dens * small_ener,
+                             rhoe_ref + (alphap + alpham) * h_ref + alpha0e)
+        out_p = jnp.maximum(small_pres, p_ref + (alphap + alpham) * csq_ref)
+        out_ut = I_ut + hdt * I_sut
+        out_utt = I_utt + hdt * I_sutt
+        return out_rho, out_un, out_p, out_re, out_ut, out_utt
+
+    qp_rho, qp_un, qp_p, qp_re, qp_ut, qp_utt = build_state(
+        Im_rho, Im_un, Im_p, Im_re, Im_gc, Im_ut, Im_utt,
+        Im_srho, Im_sun, Im_sp, Im_sre, Im_sut, Im_sutt, True)
+    qm_rho, qm_un, qm_p, qm_re, qm_ut, qm_utt = build_state(
+        Ip_rho, Ip_un, Ip_p, Ip_re, Ip_gc, Ip_ut, Ip_utt,
+        Ip_srho, Ip_sun, Ip_sp, Ip_sre, Ip_sut, Ip_sutt, False)
+
+    # 1D/2D geometry source on x-states (reference trace_ppm.cpp:573-596)
+    if dloga is not None and d == 0:
+        rho_c = q[L.QRHO]
+        p_c = q[L.QPRES]
+        re_c = q[L.QREINT]
+        courn = dtdx * (cc + jnp.abs(un))
+        safe_dloga = jnp.where(dloga == 0.0, 1.0, dloga)
+        eta = (1.0 - courn) / (cc * dt * jnp.abs(safe_dloga))
+        dlogatmp = jnp.where(dloga == 0.0, 0.0, jnp.minimum(eta, 1.0) * dloga)
+        sourcr = -0.5 * dt * rho_c * dlogatmp * un
+        sourcp = sourcr * csq
+        source = sourcp * ((p_c + re_c) / rho_c) / csq
+        qm_rho = jnp.maximum(qm_rho + sourcr, small_dens)
+        qm_p = qm_p + sourcp
+        qm_re = qm_re + source
+        qp_rho = jnp.maximum(qp_rho + sourcr, small_dens)
+        qp_p = qp_p + sourcp
+        qp_re = qp_re + source
+
+    # assemble full NQ interface states (cell-registered)
+    def assemble(rho, vn, p, re, ut, utt):
+        out = q  # start from cell values (QTEMP/QGAME copied through)
+        out = out.at[L.QRHO].set(rho)
+        out = out.at[QUN].set(vn)
+        out = out.at[QUT].set(ut)
+        out = out.at[QUTT].set(utt)
+        out = out.at[L.QPRES].set(p)
+        out = out.at[L.QREINT].set(re)
+        return out
+
+    qp_cell = assemble(qp_rho, qp_un, qp_p, qp_re, qp_ut, qp_utt)
+    qm_cell = assemble(qm_rho, qm_un, qm_p, qm_re, qm_ut, qm_utt)
+
+    # passives (species + aux): carried by the contact only
+    npass = L.nspec + L.naux
+    if npass > 0:
+        for comp in list(range(L.QFS, L.QFS + L.nspec)) + (
+            list(range(L.QFX, L.QFX + L.naux)) if L.naux > 0 else []
+        ):
+            Ipp, Imp = ppm1(q[comp])
+            qp_cell = qp_cell.at[comp].set(Imp)
+            qm_cell = qm_cell.at[comp].set(Ipp)
+
+    # register on faces: qm at face i comes from cell i-1's right-edge state
+    qm_face = shifted(qm_cell, -1, 1 + ax)
+    qp_face = qp_cell
+    return qm_face, qp_face
