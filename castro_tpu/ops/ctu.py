@@ -49,27 +49,51 @@ class HydroConfig(NamedTuple):
     lo_bc: Tuple[int, ...] = (0, 0, 0)
     hi_bc: Tuple[int, ...] = (0, 0, 0)
     ng: int = 4
+    # mesh axis name sharding each spatial dim (None = unsharded); when set,
+    # wall-face masks become shard-position-aware
+    mesh_axes: Tuple[Optional[str], ...] = (None, None, None)
 
 
-def _bnd_masks(grid_shape, dim, ng, lo_bc, hi_bc, dtype):
+def _bnd_masks(grid_shape, dim, ng, lo_bc, hi_bc, dtype, mesh_axes):
     """Per-direction face masks zeroing interface velocity on symmetry/wall
-    domain faces (reference bnd_fac, `riemann.cpp:55-61`)."""
+    domain faces (reference bnd_fac, `riemann.cpp:55-61`). Under shard_map
+    the mask applies only on shards owning the domain edge."""
+    from jax import lax
+
     masks = []
     wall = (SYMMETRY, SLIPWALL, NOSLIPWALL)
     for d in range(dim):
-        need = lo_bc[d] in wall or hi_bc[d] in wall
-        if not need:
+        lo_wall = lo_bc[d] in wall
+        hi_wall = hi_bc[d] in wall
+        if not (lo_wall or hi_wall):
             masks.append(None)
             continue
         n = grid_shape[d]
-        m = np.ones(n, dtype=np.float64)
-        if lo_bc[d] in wall:
-            m[ng] = 0.0
-        if hi_bc[d] in wall:
-            m[n - ng] = 0.0
         shape = [1] * dim
         shape[d] = n
-        masks.append(jnp.asarray(m.reshape(shape), dtype=dtype))
+        name = mesh_axes[d] if d < len(mesh_axes) else None
+
+        def onehot_mask(pos):
+            m = np.ones(n, dtype=np.float64)
+            m[pos] = 0.0
+            return jnp.asarray(m.reshape(shape), dtype=dtype)
+
+        if name is None:
+            m = np.ones(n, dtype=np.float64)
+            if lo_wall:
+                m[ng] = 0.0
+            if hi_wall:
+                m[n - ng] = 0.0
+            masks.append(jnp.asarray(m.reshape(shape), dtype=dtype))
+        else:
+            idx = lax.axis_index(name)
+            sz = lax.axis_size(name)
+            m = jnp.ones(tuple(shape), dtype=dtype)
+            if lo_wall:
+                m = m * jnp.where(idx == 0, onehot_mask(ng), 1.0)
+            if hi_wall:
+                m = m * jnp.where(idx == sz - 1, onehot_mask(n - ng), 1.0)
+            masks.append(m)
     return masks
 
 
@@ -103,7 +127,8 @@ def ctu_hydro(u, q, qaux, srcQ, dt, geom: Geometry, layout, cfg: HydroConfig):
     shk = au.shock(q, dx, L, cfg.shock_threshold) if cfg.use_shock_var else None
     div_node = au.divu_node(q, dx, L)
     dloga = _dloga(geom, cfg.ng)
-    masks = _bnd_masks(grid_shape, dim, cfg.ng, cfg.lo_bc, cfg.hi_bc, dtype)
+    masks = _bnd_masks(grid_shape, dim, cfg.ng, cfg.lo_bc, cfg.hi_bc, dtype,
+                       cfg.mesh_axes)
 
     rz = geom.coord == CoordSys.CYLINDRICAL and dim == 2
 

@@ -6,6 +6,10 @@ Inflow(1) via problem hook, Outflow(2) first-order extrapolation,
 Symmetry(3)/SlipWall(4) mirror + odd normal velocity, NoSlipWall(5) mirror +
 all velocities odd. HSE and ambient fills (`hse_fill.cpp`, `ambient_fill.cpp`)
 are provided as problem-level fill hooks.
+
+The per-side primitives (`bc_fill_side`) are reused by the sharded halo
+exchange (`castro_tpu/parallel/halo.py`), where they apply only on shards
+that own a physical domain edge.
 """
 
 from __future__ import annotations
@@ -18,8 +22,55 @@ import jax.numpy as jnp
 INTERIOR, INFLOW, OUTFLOW, SYMMETRY, SLIPWALL, NOSLIPWALL = 0, 1, 2, 3, 4, 5
 
 
-def _axis_for(u: jnp.ndarray, dim: int, d: int) -> int:
-    return u.ndim - dim + d
+def _take(u, axis, lo, hi):
+    idx = [slice(None)] * u.ndim
+    idx[axis] = slice(lo, hi)
+    return tuple(idx)
+
+
+def bc_ghost_values(u, layout, d: int, side: str, bc: int, ng: int,
+                    odd_components: Optional[dict] = None):
+    """Compute the ghost-region values for one face (without writing them).
+
+    Returns an array shaped like the ghost slab. For periodic returns the
+    wrap values.
+    """
+    dim = layout.dim
+    axis = u.ndim - dim + d
+    n = u.shape[axis] - 2 * ng
+    if odd_components is None:
+        odd_components = {d: (layout.momentum_index(d),) for d in range(dim)}
+
+    if bc == INTERIOR:  # periodic wrap
+        src = _take(u, axis, n, n + ng) if side == "lo" else _take(u, axis, ng, 2 * ng)
+        return u[src]
+    if bc in (OUTFLOW, INFLOW):
+        src = _take(u, axis, ng, ng + 1) if side == "lo" else _take(u, axis, n + ng - 1, n + ng)
+        ghost_shape = list(u.shape)
+        ghost_shape[axis] = ng
+        return jnp.broadcast_to(u[src], tuple(ghost_shape))
+    if bc in (SYMMETRY, SLIPWALL, NOSLIPWALL):
+        src = _take(u, axis, ng, 2 * ng) if side == "lo" else _take(u, axis, n, n + ng)
+        mirror = jnp.flip(u[src], axis=axis)
+        flips = odd_components.get(d, ())
+        if bc == NOSLIPWALL:
+            flips = tuple(set(flips) | {layout.momentum_index(k) for k in range(dim)})
+        for comp in flips:
+            if comp >= 0:
+                mirror = mirror.at[comp].multiply(-1.0)
+        return mirror
+    raise ValueError(f"unsupported BC code {bc}")
+
+
+def bc_fill_side(u, layout, d: int, side: str, bc: int, ng: int,
+                 odd_components: Optional[dict] = None):
+    """Fill one face's ghost region in place."""
+    dim = layout.dim
+    axis = u.ndim - dim + d
+    n = u.shape[axis] - 2 * ng
+    ghost = _take(u, axis, 0, ng) if side == "lo" else _take(u, axis, n + ng, n + 2 * ng)
+    vals = bc_ghost_values(u, layout, d, side, bc, ng, odd_components)
+    return u.at[ghost].set(vals)
 
 
 def fill_ghosts(
@@ -33,51 +84,12 @@ def fill_ghosts(
 ) -> jnp.ndarray:
     """Fill ng ghost cells on every face of a component-major grown array.
 
-    odd_components: {direction d: tuple(component indices whose sign flips
-    under reflection in d)} — for the conserved state this is the normal
-    momentum; pass custom maps for primitive/other arrays.
+    odd_components: {direction d: components whose sign flips under
+    reflection in d} — the normal momentum for the conserved state.
     """
-    dim = layout.dim
-    if odd_components is None:
-        odd_components = {d: (layout.momentum_index(d),) for d in range(dim)}
-
-    for d in range(dim):
-        axis = _axis_for(u, dim, d)
-        n = u.shape[axis] - 2 * ng
-
-        def take(lo, hi):
-            idx = [slice(None)] * u.ndim
-            idx[axis] = slice(lo, hi)
-            return tuple(idx)
-
-        for side, bc in (("lo", lo_bc[d]), ("hi", hi_bc[d])):
-            ghost = take(0, ng) if side == "lo" else take(n + ng, n + 2 * ng)
-            if bc == INTERIOR:  # periodic
-                src = take(n, n + ng) if side == "lo" else take(ng, 2 * ng)
-                u = u.at[ghost].set(u[src])
-            elif bc == OUTFLOW or bc == INFLOW:
-                # zero-gradient clamp; INFLOW refined by problem_fill below
-                src = take(ng, ng + 1) if side == "lo" else take(n + ng - 1, n + ng)
-                u = u.at[ghost].set(jnp.broadcast_to(u[src], u[ghost].shape))
-            elif bc in (SYMMETRY, SLIPWALL, NOSLIPWALL):
-                src = take(ng, 2 * ng) if side == "lo" else take(n, n + ng)
-                mirror = jnp.flip(u[src], axis=axis)
-                u = u.at[ghost].set(mirror)
-                flips = odd_components.get(d, ())
-                if bc == NOSLIPWALL:
-                    flips = tuple(
-                        set(flips)
-                        | {layout.momentum_index(k) for k in range(dim)}
-                    )
-                for comp in flips:
-                    if comp < 0:
-                        continue
-                    cidx = list(ghost)
-                    cidx[0] = comp
-                    u = u.at[tuple(cidx)].multiply(-1.0)
-            else:
-                raise ValueError(f"unsupported BC code {bc}")
-
+    for d in range(layout.dim):
+        u = bc_fill_side(u, layout, d, "lo", lo_bc[d], ng, odd_components)
+        u = bc_fill_side(u, layout, d, "hi", hi_bc[d], ng, odd_components)
     if problem_fill is not None:
         u = problem_fill(u)
     return u

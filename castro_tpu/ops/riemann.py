@@ -24,10 +24,24 @@ import jax.numpy as jnp
 
 from castro_tpu.geometry import CoordSys
 from castro_tpu.ops.stencil import shifted
-from castro_tpu.ops.trace_ppm import _vel_map
 
 SMALL = 1.0e-8
 SMALLU = 1.0e-12
+
+
+def _riemann_vel_map(layout, d):
+    """(normal, transverse1, transverse2) primitive velocity components.
+
+    Matches `load_input_states` (`riemann.H:64-130`): for d=1 the first
+    transverse is QU (so flux[UMX] pairs with qint.ut in compute_flux_q);
+    note this differs from the tracing order in trace_ppm, where transverse
+    ordering is irrelevant (both ride the contact).
+    """
+    if d == 0:
+        return layout.QU, layout.QV, layout.QW
+    if d == 1:
+        return layout.QV, layout.QU, layout.QW
+    return layout.QW, layout.QU, layout.QV
 
 
 class RiemannInputs(NamedTuple):
@@ -64,7 +78,7 @@ def load_inputs(qm, qp, qaux, d, layout, small_dens) -> RiemannInputs:
     `Source/hydro/riemann.H:64-130`)."""
     L = layout
     ax = d
-    QUN, QUT, QUTT = _vel_map(L, d)
+    QUN, QUT, QUTT = _riemann_vel_map(L, d)
     c = qaux[L.QC]
     c_m = shifted(c, -1, ax)
     return RiemannInputs(

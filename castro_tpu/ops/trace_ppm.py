@@ -102,16 +102,21 @@ def trace_ppm(q, qaux, srcQ, flatn, d, dt, dx_d, layout, small_dens, small_pres,
         alpha0r = drho - dptot / csq_ref
         alpha0e = drhoe - dptot * h_ref / csq_ref
 
-        if is_plus:
-            alpham = jnp.where(un - cc > 0.0, 0.0, -alpham)
-            alphap = jnp.where(un + cc > 0.0, 0.0, -alphap)
-            alpha0r = jnp.where(un > 0.0, 0.0, -alpha0r)
-            alpha0e = jnp.where(un > 0.0, 0.0, -alpha0e)
-        else:
-            alpham = jnp.where(un - cc > 0.0, -alpham, 0.0)
-            alphap = jnp.where(un + cc > 0.0, -alphap, 0.0)
-            alpha0r = jnp.where(un > 0.0, -alpha0r, 0.0)
-            alpha0e = jnp.where(un > 0.0, -alpha0e, 0.0)
+        # Wave-side weights. The reference uses one-sided ternaries
+        # (`un > 0 ? ...`, trace_ppm.cpp:444-447,516-519); at exactly zero
+        # wave speed that tie-break is left/right asymmetric and seeds
+        # mirror-symmetry violations in at-rest data. We give a stationary
+        # wave half weight to each side — identical for any nonzero speed,
+        # exactly symmetry-preserving for u == 0.
+        def wside(speed):
+            w_minus = 0.5 * (1.0 - jnp.sign(speed))  # weight seen by qp
+            return w_minus if is_plus else (1.0 - w_minus)
+
+        alpham = -alpham * wside(un - cc)
+        alphap = -alphap * wside(un + cc)
+        w0 = wside(un)
+        alpha0r = -alpha0r * w0
+        alpha0e = -alpha0e * w0
 
         out_rho = jnp.maximum(small_dens, rho_ref + alphap + alpham + alpha0r)
         out_un = un_ref + (alphap - alpham) * cc_ref * rho_ref_inv

@@ -1,0 +1,90 @@
+"""Halo exchange over the TPU device mesh.
+
+TPU-native replacement for AMReX `FillBoundary`/`FillPatch` MPI halo
+exchange (reference `Docs/source/software.rst:202-233`, SURVEY.md P1/P2):
+inside `shard_map`, each shard grows its local block by ng ghost cells,
+receives neighbor edge slabs via `lax.ppermute` (collective-permute rides
+the ICI torus), and applies physical BCs on shards that own a domain edge.
+
+Periodic domain BCs fall out of the wraparound permute for free; other BCs
+overwrite the wrapped values on the edge shards only.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from castro_tpu.ops.fill import INTERIOR, bc_ghost_values
+
+
+def _take(u, axis, lo, hi):
+    idx = [slice(None)] * u.ndim
+    idx[axis] = slice(lo, hi)
+    return tuple(idx)
+
+
+def exchange_and_fill(u_loc, layout, ng: int,
+                      axis_names: Sequence[Optional[str]],
+                      lo_bc, hi_bc, odd_components=None,
+                      problem_fill=None):
+    """Grow a local (ghost-free) block by ng and fill all ghosts.
+
+    u_loc: [NVAR, n1_loc, ...] local shard WITHOUT ghosts.
+    axis_names[d]: mesh axis name sharding spatial dim d, or None.
+    Must run inside shard_map over those axes.
+    """
+    dim = layout.dim
+    pads = [(0, 0)] + [(ng, ng)] * dim
+    u = jnp.pad(u_loc, pads)
+
+    for d in range(dim):
+        axis = u.ndim - dim + d
+        n = u.shape[axis] - 2 * ng
+        name = axis_names[d]
+        if name is None:
+            from castro_tpu.ops.fill import bc_fill_side
+
+            u = bc_fill_side(u, layout, d, "lo", lo_bc[d], ng, odd_components)
+            u = bc_fill_side(u, layout, d, "hi", hi_bc[d], ng, odd_components)
+            continue
+
+        m = lax.axis_size(name)
+        idx = lax.axis_index(name)
+
+        # my lowest/highest interior slabs
+        lo_slab = u[_take(u, axis, ng, 2 * ng)]
+        hi_slab = u[_take(u, axis, n, n + ng)]
+
+        # ring permutes (wraparound => periodic for free)
+        fwd = [(i, (i + 1) % m) for i in range(m)]
+        bwd = [(i, (i - 1) % m) for i in range(m)]
+        from_left = lax.ppermute(hi_slab, name, fwd)  # left nbr's hi -> my lo ghosts
+        from_right = lax.ppermute(lo_slab, name, bwd)  # right nbr's lo -> my hi ghosts
+
+        u = u.at[_take(u, axis, 0, ng)].set(from_left)
+        u = u.at[_take(u, axis, n + ng, n + 2 * ng)].set(from_right)
+
+        # physical BC overwrite on edge shards (non-periodic only)
+        if lo_bc[d] != INTERIOR:
+            vals = bc_ghost_values(u, layout, d, "lo", lo_bc[d], ng, odd_components)
+            cur = u[_take(u, axis, 0, ng)]
+            u = u.at[_take(u, axis, 0, ng)].set(jnp.where(idx == 0, vals, cur))
+        if hi_bc[d] != INTERIOR:
+            vals = bc_ghost_values(u, layout, d, "hi", hi_bc[d], ng, odd_components)
+            cur = u[_take(u, axis, n + ng, n + 2 * ng)]
+            u = u.at[_take(u, axis, n + ng, n + 2 * ng)].set(
+                jnp.where(idx == m - 1, vals, cur))
+
+    if problem_fill is not None:
+        u = problem_fill(u)
+    return u
+
+
+def shrink(u, ng: int, dim: int):
+    """Drop the ghost margin: inverse of the pad in exchange_and_fill."""
+    idx = (slice(None),) * (u.ndim - dim) + (slice(ng, -ng),) * dim
+    return u[idx]
