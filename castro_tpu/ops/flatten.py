@@ -25,12 +25,16 @@ def uflatten(q, layout):
     base_ndim = p.ndim
     flatn = jnp.ones_like(p)
 
+    # dtype-aware floor: 1e-200 flushes to zero in f32 and would make
+    # zeta = 0/0 in uniform regions
+    small = max(SMALL_PRES, float(jnp.finfo(p.dtype).tiny))
+
     for d in range(dim):
         ax = base_ndim - dim + d
         vel = q[L.velocity_index(d)]
 
         dp = shifted(p, 1, ax) - shifted(p, -1, ax)
-        denom = jnp.maximum(SMALL_PRES, jnp.abs(shifted(p, 2, ax) - shifted(p, -2, ax)))
+        denom = jnp.maximum(small, jnp.abs(shifted(p, 2, ax) - shifted(p, -2, ax)))
         zeta = jnp.abs(dp) / denom
         z = jnp.clip(DZCUT * (zeta - ZCUT1), 0.0, 1.0)
         tst = jnp.where(shifted(vel, -1, ax) - shifted(vel, 1, ax) >= 0.0, 1.0, 0.0)

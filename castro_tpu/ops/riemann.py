@@ -279,7 +279,8 @@ def compute_flux(gd: GodunovState, qm, qp, d, layout, coord: CoordSys, bnd_mask=
     qgdnv = qgdnv.at[gd_comp[1]].set(gd.ut)
     qgdnv = qgdnv.at[gd_comp[2]].set(gd.utt)
     qgdnv = qgdnv.at[L.GDPRES].set(gd.p)
-    qgdnv = qgdnv.at[L.GDGAME].set(gd.p / jnp.maximum(gd.rhoe, 1e-200) + 1.0)
+    qgdnv = qgdnv.at[L.GDGAME].set(
+        gd.p / jnp.maximum(gd.rhoe, jnp.finfo(gd.p.dtype).tiny) + 1.0)
     return flux, qgdnv
 
 
