@@ -49,7 +49,8 @@ class Simulation:
 
     def __init__(self, params: Params, problem_init: Optional[Callable] = None,
                  problem_fill: Optional[Callable] = None,
-                 source_fns: Optional[List[Callable]] = None):
+                 source_fns: Optional[List[Callable]] = None,
+                 ext_src: Optional[Callable] = None):
         self.params = params
         self.layout = layout_from_params(params)
         self.dtype = jnp.float64 if params.tpu.dtype == "float64" else jnp.float32
@@ -59,7 +60,12 @@ class Simulation:
         self.problem_init = problem_init
         self.problem_fill = problem_fill
         # each source fn: (sim, u, q, qaux, t, dt) -> src[NVAR, grid]
-        self.source_fns = source_fns or []
+        from castro_tpu.sources import build_sources
+
+        self.source_fns = list(source_fns or [])
+        self.source_fns += build_sources(
+            params, geometry_from_params(params, self.dtype),
+            self.layout, self.layout.ngrow, ext_src=ext_src)
 
         c = params.castro
         self.ng = self.layout.ngrow
@@ -145,26 +151,31 @@ class Simulation:
 
     # -- the step --------------------------------------------------------------
     def _step_impl(self, u, dt, t):
-        """One CTU hydro step (reference do_advance_ctu,
-        Castro_advance_ctu.cpp:16). Returns (u_new, min_rho_raw, nan_flag)."""
+        """One CTU step with Strang-free source handling (reference
+        do_advance_ctu, Castro_advance_ctu.cpp:16): old-time sources are
+        applied and traced into interface states; new-time sources apply a
+        time-centered corrector 0.5*dt*(S_new - S_old)
+        (do_old_sources/do_new_sources, Castro_sources.cpp:123,185).
+        Returns (u_new, min_rho_raw, nan_flag)."""
         L = self.layout
+        c = self.params.castro
         u = self._fill(u)
         q, qaux = ctoprim(u, L, self.eos, self.cfg.small_dens,
-                          max(self.params.castro.small_temp, 1e-200))
+                          max(c.small_temp, 1e-200))
 
-        # old-time sources
-        src = None
+        # old-time sources S(U^n)
+        src_old = None
         if self.source_fns:
-            src = jnp.zeros_like(u)
+            src_old = jnp.zeros_like(u)
             for fn in self.source_fns:
-                src = src + fn(self, u, q, qaux, t, dt)
-        srcQ = None if src is None else src_to_prim(q, qaux, src, L)
+                src_old = src_old + fn(self, u, q, qaux, t, dt)
+        srcQ = None if src_old is None else src_to_prim(q, qaux, src_old, L)
 
         hsrc, fluxes, qes, shk = ctu_hydro(u, q, qaux, srcQ, dt, self.geom,
                                            L, self.cfg)
         u_new = u + dt * hsrc
-        if src is not None:
-            u_new = u_new + dt * src
+        if src_old is not None:
+            u_new = u_new + dt * src_old
 
         # validity checks on the raw state (reference density/NaN checks,
         # Castro_advance_ctu.cpp:64-68,168-216)
@@ -173,6 +184,16 @@ class Simulation:
         nan_flag = ~jnp.isfinite(jnp.sum(u_new[inner]))
 
         u_new = self._clean_fill_impl(u_new)
+
+        # new-time source corrector
+        if self.source_fns:
+            q2, qaux2 = ctoprim(u_new, L, self.eos, self.cfg.small_dens,
+                                max(c.small_temp, 1e-200))
+            src_new = jnp.zeros_like(u)
+            for fn in self.source_fns:
+                src_new = src_new + fn(self, u_new, q2, qaux2, t + dt, dt)
+            u_new = u_new + 0.5 * dt * (src_new - src_old)
+            u_new = self._clean_fill_impl(u_new)
         return u_new, min_rho, nan_flag
 
     def try_step(self, dt: float):
