@@ -37,10 +37,11 @@ from castro_tpu.ops.stencil import interior_slice
 class StepStatus:
     min_rho: float
     has_nan: bool
+    burn_fail: bool = False
 
     @property
     def success(self) -> bool:
-        return (not self.has_nan) and self.min_rho > 0.0
+        return (not self.has_nan) and self.min_rho > 0.0 and not self.burn_fail
 
 
 class Simulation:
@@ -52,10 +53,18 @@ class Simulation:
                  source_fns: Optional[List[Callable]] = None,
                  ext_src: Optional[Callable] = None):
         self.params = params
+        self.network = make_network(params)
+        import dataclasses as _dc
+
+        # the network defines the species list; layout follows it
+        params = _dc.replace(params, network=_dc.replace(
+            params.network, nspec=self.network.nspec,
+            spec_names=self.network.spec_names,
+            aux_names=self.network.aux_names))
+        self.params = params
         self.layout = layout_from_params(params)
         self.dtype = jnp.float64 if params.tpu.dtype == "float64" else jnp.float32
         self.geom = geometry_from_params(params, self.dtype)
-        self.network = make_network(params)
         self.eos = make_eos(params, self.network)
         self.problem_init = problem_init
         self.problem_fill = problem_fill
@@ -66,6 +75,15 @@ class Simulation:
         self.source_fns += build_sources(
             params, geometry_from_params(params, self.dtype),
             self.layout, self.layout.ngrow, ext_src=ext_src)
+
+        # Strang reaction coupling (reference Castro_react.cpp; SDC modes
+        # use their own coupling)
+        self.reactor = None
+        if params.castro.do_react and self.network.reactive:
+            from castro_tpu.reactions.strang import StrangReactor
+
+            self.reactor = StrangReactor(params, self.network, self.eos,
+                                         self.layout)
 
         c = params.castro
         self.ng = self.layout.ngrow
@@ -160,6 +178,14 @@ class Simulation:
         L = self.layout
         c = self.params.castro
         u = self._fill(u)
+
+        burn_fail = jnp.asarray(False)
+        if self.reactor is not None:
+            shk = u[L.USHK] if L.shock_var else None
+            u, _, _, bf = self.reactor.react(u, 0.5 * dt, shk)
+            burn_fail = burn_fail | bf
+            u = self._clean_fill_impl(u)
+
         q, qaux = ctoprim(u, L, self.eos, self.cfg.small_dens,
                           max(c.small_temp, 1e-200))
 
@@ -194,7 +220,13 @@ class Simulation:
                 src_new = src_new + fn(self, u_new, q2, qaux2, t + dt, dt)
             u_new = u_new + 0.5 * dt * (src_new - src_old)
             u_new = self._clean_fill_impl(u_new)
-        return u_new, min_rho, nan_flag
+
+        if self.reactor is not None:
+            shk2 = u_new[L.USHK] if L.shock_var else None
+            u_new, self_wdot, _, bf2 = self.reactor.react(u_new, 0.5 * dt, shk2)
+            burn_fail = burn_fail | bf2
+            u_new = self._clean_fill_impl(u_new)
+        return u_new, min_rho, nan_flag | burn_fail
 
     def try_step(self, dt: float):
         u_new, min_rho, nan_flag = self._jit_step(self.u, dt, self.t)
