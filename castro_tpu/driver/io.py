@@ -1,0 +1,162 @@
+"""Checkpoint / plotfile I/O.
+
+Reference: `Source/driver/Castro_io.cpp` — checkPoint :376 (VisMF dumps +
+version stamp + state-variable list for restart sanity), restart :67
+(back-compat checks, reset_checkpoint_time/step), writePlotFile :853,
+writeJobInfo.
+
+TPU design: a checkpoint is a directory with `state.npz` (conserved state
+incl. ghosts, exact bits) + `meta.json` (version, time, step, dt, variable
+list, params echo). Plotfiles store interior-only state + requested derived
+fields. Both formats are plain npz/json so the Diagnostics tools and yt-like
+analysis can read them without this package."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+CHECKPOINT_VERSION = 1
+
+
+def _params_dict(params):
+    def enc(o):
+        if dataclasses.is_dataclass(o):
+            return {f.name: enc(getattr(o, f.name)) for f in dataclasses.fields(o)}
+        if isinstance(o, (tuple, list)):
+            return list(o)
+        return o
+
+    return enc(params)
+
+
+def write_job_info(path, sim):
+    """job_info analog (reference writeJobInfo): build/runtime provenance."""
+    import jax
+
+    with open(path, "w") as f:
+        f.write("==============================================\n")
+        f.write(" Castro-TPU Job Information\n")
+        f.write("==============================================\n")
+        f.write(f"job name: {sim.params.castro.job_name}\n")
+        f.write(f"inputs dim: {sim.layout.dim}\n")
+        f.write(f"n_cell: {sim.geom.n_cell}\n")
+        f.write(f"time: {sim.t}\n")
+        f.write(f"step: {sim.step_count}\n")
+        f.write(f"wall date: {time.asctime()}\n")
+        f.write(f"jax version: {jax.__version__}\n")
+        f.write(f"backend: {jax.default_backend()}\n")
+        f.write(f"network: {type(sim.network).__name__} "
+                f"(nspec={sim.network.nspec})\n")
+        f.write(f"EOS: {type(sim.eos).__name__}\n")
+        f.write("\n[ parameters ]\n")
+        f.write(json.dumps(_params_dict(sim.params), indent=1, default=str))
+
+
+def write_checkpoint(sim, path: Optional[str] = None):
+    """Exact-restart checkpoint (reference Castro::checkPoint)."""
+    if path is None:
+        path = f"{sim.params.amr.check_file}{sim.step_count:05d}"
+    os.makedirs(path, exist_ok=True)
+    np.savez_compressed(
+        os.path.join(path, "state.npz"),
+        u=np.asarray(sim.u),
+    )
+    meta = {
+        "version": CHECKPOINT_VERSION,
+        "time": sim.t,
+        "step": sim.step_count,
+        "dt": sim.dt,
+        "num_zones_advanced": sim.num_zones_advanced,
+        "dim": sim.layout.dim,
+        "n_cell": list(sim.geom.n_cell),
+        "ng": sim.ng,
+        "state_variables": list(sim.layout.cons_names),
+        "spec_names": list(sim.network.spec_names),
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    write_job_info(os.path.join(path, "job_info"), sim)
+    return path
+
+
+def restart(sim, path: str, reset_time: Optional[float] = None,
+            reset_step: Optional[int] = None):
+    """Restore a Simulation from a checkpoint (reference Castro::restart:
+    variable-list sanity check :42, reset_checkpoint_time/step)."""
+    import jax.numpy as jnp
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta["version"] > CHECKPOINT_VERSION:
+        raise ValueError(f"checkpoint version {meta['version']} too new")
+    if meta["state_variables"] != list(sim.layout.cons_names):
+        raise ValueError(
+            "checkpoint state variables do not match this build: "
+            f"{meta['state_variables']} vs {list(sim.layout.cons_names)}")
+    data = np.load(os.path.join(path, "state.npz"))
+    sim.u = jnp.asarray(data["u"], dtype=sim.dtype)
+    sim.t = meta["time"] if reset_time is None else reset_time
+    sim.step_count = meta["step"] if reset_step is None else reset_step
+    sim.dt = meta["dt"]
+    sim.num_zones_advanced = meta.get("num_zones_advanced", 0)
+    return sim
+
+
+def write_plotfile(sim, path: Optional[str] = None, small: bool = False):
+    """Plotfile: interior state + requested derived fields
+    (reference writePlotFile / writeSmallPlotFile)."""
+    from castro_tpu.driver.derive import registry
+
+    if path is None:
+        prefix = sim.params.amr.plot_file
+        path = f"{prefix}{sim.step_count:05d}"
+    os.makedirs(path, exist_ok=True)
+
+    ui = np.asarray(sim.interior())
+    fields = {}
+    names = sim.layout.cons_names
+    want = sim.params.amr.small_plot_vars if small else sim.params.amr.plot_vars
+    all_state = (not want) or ("ALL" in want)
+    for i, name in enumerate(names):
+        if all_state or name in want:
+            fields[name] = ui[i]
+
+    reg = registry(sim)
+    for dname in sim.params.amr.derive_plot_vars:
+        if dname == "ALL":
+            for k, fn in reg.items():
+                fields[k.replace("(", "_").replace(")", "")] = np.asarray(fn(sim, ui))
+            break
+        if dname in reg:
+            fields[dname.replace("(", "_").replace(")", "")] = np.asarray(
+                reg[dname](sim, ui))
+
+    np.savez_compressed(os.path.join(path, "fields.npz"), **fields)
+    meta = {
+        "time": sim.t,
+        "step": sim.step_count,
+        "dim": sim.layout.dim,
+        "n_cell": list(sim.geom.n_cell),
+        "prob_lo": list(sim.geom.prob_lo),
+        "prob_hi": list(sim.geom.prob_hi),
+        "coord_sys": int(sim.geom.coord),
+        "fields": sorted(fields.keys()),
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    write_job_info(os.path.join(path, "job_info"), sim)
+    return path
+
+
+def read_plotfile(path):
+    """Load a plotfile -> (meta dict, {field: ndarray})."""
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    data = dict(np.load(os.path.join(path, "fields.npz")))
+    return meta, data

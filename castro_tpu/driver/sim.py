@@ -289,6 +289,26 @@ class Simulation:
         if self.u is None:
             self.init_data()
 
+        # I/O cadence (reference Amr plot_int/check_int + data_log)
+        from castro_tpu.driver import diagnostics as diag_mod
+        from castro_tpu.driver import io as io_mod
+
+        loggers = [diag_mod.DataLogger(p) for p in a.data_log]
+        sum_interval = self.params.castro.sum_interval
+
+        def maybe_io():
+            if a.plot_int > 0 and self.step_count % a.plot_int == 0:
+                io_mod.write_plotfile(self)
+            if a.check_int > 0 and self.step_count % a.check_int == 0:
+                io_mod.write_checkpoint(self)
+            if sum_interval > 0 and self.step_count % sum_interval == 0:
+                sums = diag_mod.sum_integrated_quantities(self)
+                if verbose:
+                    print("  " + " ".join(f"{k}={v:.6e}" for k, v in
+                                          list(sums.items())[:8]))
+                for lg in loggers:
+                    lg.log(sums)
+
         wall0 = time.time()
         while self.step_count < max_step and self.t < stop_time * (1 - 1e-12):
             dt = self.estimate_dt()
@@ -299,6 +319,7 @@ class Simulation:
             self.step_count += 1
             if verbose:
                 print(f"STEP {self.step_count} t={self.t:.6e} dt={taken:.6e}")
+            maybe_io()
             for cb in callbacks:
                 cb(self)
         wall = time.time() - wall0
