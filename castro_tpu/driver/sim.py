@@ -109,6 +109,7 @@ class Simulation:
         self.dt = None
         self.u = None
         self.num_zones_advanced = 0  # FOM accounting (main.cpp:169-214)
+        self.keep_fluxes = False  # AMR refluxing needs the face fluxes
 
         self._jit_step = jax.jit(self._step_impl)
         self._jit_estdt = jax.jit(self._estdt_impl)
@@ -226,6 +227,17 @@ class Simulation:
             u_new, self_wdot, _, bf2 = self.reactor.react(u_new, 0.5 * dt, shk2)
             burn_fail = burn_fail | bf2
             u_new = self._clean_fill_impl(u_new)
+
+        if self.keep_fluxes:
+            # interior-face slices for the flux registers: along d faces
+            # [ng..ng+n] (n+1 values), other axes interior cells
+            ng, dim = self.ng, L.dim
+            fint = []
+            for d in range(dim):
+                idx = [slice(None)] + [slice(ng, -ng)] * dim
+                idx[1 + d] = slice(ng, u.shape[1 + d] - ng + 1)
+                fint.append(fluxes[d][tuple(idx)])
+            return u_new, min_rho, nan_flag | burn_fail, fint
         return u_new, min_rho, nan_flag | burn_fail
 
     def try_step(self, dt: float):

@@ -1,0 +1,97 @@
+"""Inter-level operators for AMR: conservative prolongation (FillPatch /
+FillCoarsePatch interpolation), restriction (avgDown), and face-flux
+coarsening for refluxing.
+
+Reference semantics: AMReX CellConservativeLinear interpolater (used by
+Castro's StateData descriptors), `average_down`, and
+`FluxRegister::CrseInit/FineAdd/Reflux` (`Source/driver/Castro.cpp:2549-2700`).
+All ops here are dense whole-array transforms (ratio 2).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from castro_tpu.ops.stencil import shifted
+
+
+def _mc_slope(c, ax):
+    """Monotonized-central limited slope (per coarse cell)."""
+    dl = c - shifted(c, -1, ax)
+    dr = shifted(c, 1, ax) - c
+    dc = 0.5 * (dl + dr)
+    s = jnp.sign(dc)
+    mag = jnp.minimum(jnp.abs(dc), 2.0 * jnp.minimum(jnp.abs(dl), jnp.abs(dr)))
+    return jnp.where(dl * dr > 0.0, s * mag, 0.0)
+
+
+def prolong(c, dim, comp_axes=1, conservative=True):
+    """Coarse -> fine (ratio 2), limited-linear, mean-preserving.
+
+    c: [..., n1, n2, ...] with `comp_axes` leading non-spatial axes.
+    fine child values: c -/+ slope/4 along each dim."""
+    out = c
+    for d in range(dim):
+        ax = comp_axes + d
+        if conservative:
+            sl = _mc_slope(out, ax)
+            lo = out - 0.25 * sl
+            hi = out + 0.25 * sl
+        else:
+            lo = hi = out
+        st = jnp.stack([lo, hi], axis=ax + 1)
+        shape = st.shape[:ax] + (2 * out.shape[ax],) + st.shape[ax + 2:]
+        out = st.reshape(shape)
+    return out
+
+
+def restrict(f, dim, comp_axes=1):
+    """Fine -> coarse volume average (reference avgDown; Cartesian)."""
+    out = f
+    for d in range(dim):
+        ax = comp_axes + d
+        n = out.shape[ax]
+        shape = out.shape[:ax] + (n // 2, 2) + out.shape[ax + 1:]
+        out = out.reshape(shape).mean(axis=ax + 1)
+    return out
+
+
+def restrict_mask(m, dim):
+    """Coarsen a boolean mask: coarse cell covered iff ALL children covered."""
+    out = m
+    for d in range(dim):
+        n = out.shape[d]
+        shape = out.shape[:d] + (n // 2, 2) + out.shape[d + 1:]
+        out = out.reshape(shape).all(axis=d + 1)
+    return out
+
+
+def prolong_mask(m, dim):
+    out = m
+    for d in range(dim):
+        out = jnp.repeat(out, 2, axis=d)
+    return out
+
+
+def coarsen_flux(F, d, dim, comp_axes=1):
+    """Coarsen a face-registered flux-density array along direction d.
+
+    F: [..., nf...] fine interior FACE array with nf+1... here F is the
+    full-length face-registered array (face i = i-1/2) restricted to the
+    fine interior: shape nf along every axis, face index i in [0, nf-1]
+    valid (the nf-th face is obtained by shifting before the call if
+    needed). Coarse face i aligns with fine face 2i; transverse dims are
+    averaged in pairs (flux densities; Cartesian areas uniform)."""
+    out = F
+    ax_d = comp_axes + d
+    idx = [slice(None)] * out.ndim
+    idx[ax_d] = slice(0, None, 2)
+    out = out[tuple(idx)]
+    for k in range(dim):
+        if k == d:
+            continue
+        ax = comp_axes + k
+        n = out.shape[ax]
+        shape = out.shape[:ax] + (n // 2, 2) + out.shape[ax + 1:]
+        out = out.reshape(shape).mean(axis=ax + 1)
+    return out
