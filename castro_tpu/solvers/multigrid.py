@@ -251,9 +251,33 @@ def solve(rhs, dx, *, acoef=None, bcoefs=None, alpha=0.0, beta=1.0,
         u_g = fill_bc(_grow(u), bl, bh, lv["bvl"], lv["bvh"])
         return rhs - apply_op(u_g, lv["acoef"], lv["bcoefs"], alpha, beta, lv["dx"])
 
+    def _coarse_direct(rhs_c, lv):
+        """Exact coarsest solve: materialize the (tiny) dense operator by
+        applying it to unit vectors. Essential for nearly-singular
+        diffusion-dominated ABec problems, where smoothing barely damps the
+        constant mode (the reference relies on MLMG's agglomerated coarse
+         'bottom solve' for the same reason)."""
+        shape = lv["shape"]
+        N = int(np.prod(shape))
+
+        def col(i):
+            ei = jnp.zeros((N,), rhs_c.dtype).at[i].set(1.0).reshape(shape)
+            e_g = fill_bc(_grow(ei), bl, bh)  # homogeneous coarse BCs
+            return apply_op(e_g, lv["acoef"], lv["bcoefs"], alpha, beta,
+                            lv["dx"]).reshape(-1)
+
+        A = jax.vmap(col)(jnp.arange(N)).T  # A[:, i] = L(e_i)
+        if singular:
+            # pin the mean to remove the nullspace
+            A = A + jnp.ones((N, N), rhs_c.dtype) / N
+        return jnp.linalg.solve(A, rhs_c.reshape(-1)).reshape(shape)
+
     def vcycle(k, u, rhs):
         lv = levels[k]
         if k == len(levels) - 1:
+            N = int(np.prod(lv["shape"]))
+            if N <= 1024 and lv["bvl"][0] is None:
+                return _coarse_direct(rhs, lv)
             return _smooth(u, rhs, lv["acoef"], lv["bcoefs"], alpha, beta,
                            lv["dx"], bl, bh, lv["bvl"], lv["bvh"],
                            lv["red"], lv["black"], coarse_sweeps)
