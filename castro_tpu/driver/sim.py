@@ -76,6 +76,16 @@ class Simulation:
             params, geometry_from_params(params, self.dtype),
             self.layout, self.layout.ngrow, ext_src=ext_src)
 
+        # radiation (gray/MG FLD; reference final_radiation_call,
+        # Castro_advance.cpp:109)
+        self.rad = None
+        self.u_rad = None
+        if params.castro.do_radiation:
+            from castro_tpu.radiation.fld import FLDRadiation
+
+            self.rad = FLDRadiation(params, self.geom, self.layout)
+            self._jit_rad_step = jax.jit(self._rad_step_impl)
+
         # Strang reaction coupling (reference Castro_react.cpp; SDC modes
         # use their own coupling)
         self.reactor = None
@@ -130,6 +140,13 @@ class Simulation:
         if self.problem_init is not None:
             u = self.problem_init(self, u)
         self.u = self._jit_clean_fill(u)
+        if self.rad is not None and self.u_rad is None:
+            # default: radiation in equilibrium with matter (problems may
+            # overwrite via sim.u_rad after init_data)
+            from castro_tpu.utils import constants as C
+
+            Ti = self.u[(self.layout.UTEMP,) + interior_slice(self.ng, self.layout.dim)[1:]]
+            self.u_rad = C.a_rad * Ti**4
         return self.u
 
     def _clean_fill_impl(self, u):
@@ -240,7 +257,49 @@ class Simulation:
             return u_new, min_rho, nan_flag | burn_fail, fint
         return u_new, min_rho, nan_flag | burn_fail
 
+    def _rad_step_impl(self, u, Er, dt, t):
+        """Hydro step + Er advection + implicit FLD update (reference
+        do_advance_ctu then final_radiation_call; the full rad-CTU
+        characteristic coupling of trace_ppm_rad is TODO)."""
+        from castro_tpu.ops.stencil import shifted
+
+        L = self.layout
+        u_new, min_rho, bad = self._step_impl(u, dt, t)
+
+        inner = interior_slice(self.ng, L.dim)
+        ui = u_new[inner]
+        rho = ui[L.URHO]
+        rhoinv = 1.0 / rho
+
+        # upwind advection of Er with the updated velocities
+        Er_adv = Er
+        for d in range(L.dim):
+            vel = ui[L.momentum_index(d)] * rhoinv
+            v_face = 0.5 * (vel + shifted(vel, -1, d))
+            Er_up = jnp.where(v_face > 0, shifted(Er, -1, d), Er)
+            F = v_face * Er_up
+            Er_adv = Er_adv - dt * (shifted(F, 1, d) - F) / self.geom.dx[d]
+
+        # implicit diffusion + matter coupling
+        e = ui[L.UEINT] * rhoinv
+        xn = ui[L.UFS : L.UFS + L.nspec] * rhoinv[None]
+        es = self.eos.re(rho=rho, e=e, xn=xn)
+        Er_new, e_new, T_new = self.rad.gray_update(
+            Er_adv, rho, e, es.T, es.cv, dt)
+        de = rho * (e_new - e)
+        u_new = u_new.at[(L.UEINT,) + inner[1:]].add(de)
+        u_new = u_new.at[(L.UEDEN,) + inner[1:]].add(de)
+        u_new = self._clean_fill_impl(u_new)
+        return u_new, Er_new, min_rho, bad
+
     def try_step(self, dt: float):
+        if self.rad is not None:
+            u_new, Er_new, min_rho, nan_flag = self._jit_rad_step(
+                self.u, self.u_rad, dt, self.t)
+            status = StepStatus(min_rho=float(min_rho), has_nan=bool(nan_flag))
+            if status.success:
+                self.u_rad = Er_new
+            return u_new, status
         u_new, min_rho, nan_flag = self._jit_step(self.u, dt, self.t)
         status = StepStatus(min_rho=float(min_rho), has_nan=bool(nan_flag))
         return u_new, status

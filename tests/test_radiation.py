@@ -118,3 +118,38 @@ def test_multigroup_sums_to_gray():
     total1 = float(rho[0] * e[0] + jnp.sum(Er_gf[:, 0]))
     assert np.isclose(total0, total1, rtol=1e-9), (total0, total1)
     assert float(jnp.sum(Er_gf[:, 0])) > Er_tot0  # radiation gained energy
+
+
+def test_radhydro_step_runs_and_conserves():
+    """End-to-end coupled step: hydro + Er advection + implicit FLD
+    (periodic box, uniform flow): total energy budget closed."""
+    import jax
+    from castro_tpu.driver.sim import Simulation
+    from castro_tpu.problems.util import fill_from_prim
+
+    n = 32
+    p = Params()
+    p = p.with_ns("amr", n_cell=(n,))
+    p = p.with_ns("geometry", prob_lo=(0.0,), prob_hi=(1.0,))
+    p = p.with_ns("castro", lo_bc=(0,), hi_bc=(0,), do_radiation=1,
+                  small_dens=1e-12, small_temp=1e-12, small_pres=1e-15)
+    p = p.with_ns("radiation", const_kappa_p=1e-4, const_kappa_r=1e-2)
+    p = p.with_ns("tpu", dtype="float64")
+
+    def init(sim, u):
+        return fill_from_prim(sim, u, 1.0, (1.0, 0.0, 0.0), T=1e6)
+
+    sim = Simulation(p, problem_init=init)
+    sim.init_data()
+    assert sim.u_rad is not None
+    L = sim.layout
+    tot0 = float(np.asarray(sim.interior())[L.UEDEN].sum() +
+                 np.asarray(sim.u_rad).sum())
+
+    for _ in range(5):
+        u_new, status = sim.try_step(1e-7)
+        assert status.success
+        sim.u = u_new
+    tot1 = float(np.asarray(sim.interior())[L.UEDEN].sum() +
+                 np.asarray(sim.u_rad).sum())
+    assert np.isclose(tot0, tot1, rtol=1e-6), (tot0, tot1)
