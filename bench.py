@@ -23,7 +23,10 @@ def main():
     from castro_tpu.problems import sedov
 
     on_tpu = any(d.platform != "cpu" for d in jax.devices())
-    n = 128 if on_tpu else 64
+    # n chosen so the grown extent n+2*NG is a multiple of 128: the TPU
+    # vector lanes tile the last dim in 128s, so unaligned grown shapes
+    # waste ~2x bandwidth (measured 14.9 -> 26 zones/us at 128 vs 120)
+    n = 120 if on_tpu else 64
     warm_steps, bench_steps = (5, 20) if on_tpu else (2, 5)
 
     params = sedov.make_params(n=n, dim=3, stop_time=1.0, r_init=0.1,
