@@ -1,0 +1,291 @@
+"""Ideal-MHD level solver: MC-limited PLM + HLLD + flux-CT, RK2 in time.
+
+Reference capability: `Source/mhd/` (CT corner-transport-upwind with HLLD,
+`Castro_mhd.cpp:construct_ctu_mhd_source`, electric-field edge averaging
+`electric.cpp`, div B = 0 to round-off). This implementation keeps the same
+capability surface — staggered face-centered B, HLLD fluxes, flux-CT EMF
+averaging (Balsara & Spicer), exact div B preservation — on a TPU-friendly
+unsplit MOL integrator (SSP-RK2) instead of the reference's 12-solve CTU
+corner coupling; the CTU-CT variant is follow-up work.
+
+Layout: conserved gas state u [NVAR, grown grid] (same StateLayout as
+hydro), face B fields b[d] with the face i-1/2 @ index i convention (same
+length as cells). Cell-centered B = face average.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from castro_tpu.mhd.hlld import MhdFaceState, hlld
+from castro_tpu.ops.stencil import shifted, interior_slice
+
+
+class MhdState(NamedTuple):
+    u: jnp.ndarray  # [NVAR, grown]
+    b: Tuple[jnp.ndarray, ...]  # face-centered B per dim [grown]
+
+
+def _mc_slope(a, ax):
+    dl = a - shifted(a, -1, ax)
+    dr = shifted(a, 1, ax) - a
+    dc = 0.5 * (dl + dr)
+    mag = jnp.minimum(jnp.abs(dc), 2.0 * jnp.minimum(jnp.abs(dl), jnp.abs(dr)))
+    return jnp.where(dl * dr > 0.0, jnp.sign(dc) * mag, 0.0)
+
+
+def _plm_faces(a, ax):
+    """(aL, aR) at face i-1/2: left from cell i-1, right from cell i."""
+    sl = _mc_slope(a, ax)
+    aR = a - 0.5 * sl
+    aL = shifted(a, -1, ax) + 0.5 * shifted(sl, -1, ax)
+    return aL, aR
+
+
+class MhdSolver:
+    def __init__(self, sim):
+        """sim: a Simulation (provides layout, geom, eos, cfg, fill)."""
+        self.sim = sim
+        self.L = sim.layout
+        self.geom = sim.geom
+        self.gamma = sim.eos.gamma
+
+    # -- primitive extraction ------------------------------------------------
+    def cell_b(self, b):
+        """Cell-centered B from face fields."""
+        dim = self.L.dim
+        out = []
+        for d in range(3):
+            if d < dim:
+                out.append(0.5 * (b[d] + shifted(b[d], 1, d)))
+            else:
+                out.append(b[d])  # passive uniform component
+        return out
+
+    def prim(self, u, b):
+        L = self.L
+        rho = jnp.maximum(u[L.URHO], 1e-30)
+        vel = [u[c] / rho for c in (L.UMX, L.UMY, L.UMZ)]
+        bc = self.cell_b(b)
+        ke = 0.5 * rho * sum(v * v for v in vel)
+        pb = 0.5 * sum(bb * bb for bb in bc)
+        rhoe = jnp.maximum(u[L.UEINT], 1e-30 * rho)
+        p = rhoe / rho * rho * (self.gamma - 1.0)
+        return rho, vel, p, rhoe / rho, bc
+
+    # -- single-direction face fluxes ----------------------------------------
+    def face_flux(self, u, b, d):
+        """HLLD fluxes on d-faces. Returns (Fgas [NVAR,...], F_Bt per
+        transverse dir dict)."""
+        L = self.L
+        dim = L.dim
+        rho, vel, p, e, bc = self.prim(u, b)
+        t1, t2 = [k for k in range(3) if k != d]
+
+        def faces(a):
+            return _plm_faces(a, d)
+
+        rhoL, rhoR = faces(rho)
+        unL, unR = faces(vel[d])
+        ut1L, ut1R = faces(vel[t1])
+        ut2L, ut2R = faces(vel[t2])
+        pL, pR = faces(p)
+        Bt1L, Bt1R = faces(bc[t1])
+        Bt2L, Bt2R = faces(bc[t2])
+        Bn = b[d] if d < dim else bc[d]  # exact face value
+
+        g = self.gamma
+        sl = MhdFaceState(rho=jnp.maximum(rhoL, 1e-30), un=unL, ut1=ut1L,
+                          ut2=ut2L, p=jnp.maximum(pL, 1e-30), Bt1=Bt1L,
+                          Bt2=Bt2L, e=jnp.maximum(pL, 1e-30) / (jnp.maximum(rhoL, 1e-30) * (g - 1)))
+        sr = MhdFaceState(rho=jnp.maximum(rhoR, 1e-30), un=unR, ut1=ut1R,
+                          ut2=ut2R, p=jnp.maximum(pR, 1e-30), Bt1=Bt1R,
+                          Bt2=Bt2R, e=jnp.maximum(pR, 1e-30) / (jnp.maximum(rhoR, 1e-30) * (g - 1)))
+        F, SM = hlld(sl, sr, Bn, g)
+
+        # scatter rotated flux into the conserved layout
+        Fgas = jnp.zeros((L.NVAR,) + rho.shape, u.dtype)
+        Fgas = Fgas.at[L.URHO].set(F[0])
+        mom = (L.UMX, L.UMY, L.UMZ)
+        Fgas = Fgas.at[mom[d]].set(F[1])
+        Fgas = Fgas.at[mom[t1]].set(F[2])
+        Fgas = Fgas.at[mom[t2]].set(F[3])
+        Fgas = Fgas.at[L.UEDEN].set(F[4])
+        # internal energy flux: advect rhoe upwind on SM (dual energy aux)
+        rhoeL = sl.rho * sl.e
+        rhoeR = sr.rho * sr.e
+        Fgas = Fgas.at[L.UEINT].set(
+            jnp.where(SM > 0, rhoeL * sl.un, rhoeR * sr.un))
+        # species: upwind on the contact
+        for i in range(L.nspec):
+            XL, XR = faces(u[L.UFS + i] / jnp.maximum(u[L.URHO], 1e-30))
+            Fgas = Fgas.at[L.UFS + i].set(F[0] * jnp.where(SM > 0, XL, XR))
+        FB = {t1: F[5], t2: F[6]}
+        return Fgas, FB
+
+    # -- CT electric fields ---------------------------------------------------
+    def emf_update(self, b, FB_all, dt):
+        """Flux-CT (Balsara-Spicer) edge EMF averaging + curl update.
+
+        FB_all[d] = dict {t: flux of B_t through d-faces}. The EMF along
+        edge direction k uses E_k = -(F_d(B_t))... sign convention:
+        F_d(B_t) = B_t u_d - B_d u_t = -E_k with (d,t,k) cyclic."""
+        dim = self.L.dim
+        dx = self.geom.dx
+        if dim == 1:
+            return self._b_1d_update(b, FB_all, dt)
+
+        # Edge EMFs, one per cyclic triple (d, t, k): (v x B)_k = F_d(B_t),
+        # so E_k = -(v x B)_k = -F_d(B_t) = +F_t(B_d). The edge at
+        # (d-1/2, t-1/2) averages the two straddling faces of each flux.
+        cyclic = [(0, 1, 2), (1, 2, 0), (2, 0, 1)]
+        E = {}
+        for d, t, k in cyclic:
+            if d >= dim or t >= dim:
+                continue
+            Fd_Bt = FB_all[d][t]  # on d-faces
+            Ft_Bd = FB_all[t][d]  # on t-faces
+            E[k] = 0.25 * (-(Fd_Bt + shifted(Fd_Bt, -1, t))
+                           + (Ft_Bd + shifted(Ft_Bd, -1, d)))
+
+        # dB_d/dt = -eps_{dtk} dE_k/dx_t  (discrete curl on faces)
+        eps = {(0, 1, 2): 1, (0, 2, 1): -1, (1, 2, 0): 1, (1, 0, 2): -1,
+               (2, 0, 1): 1, (2, 1, 0): -1}
+        b_new = list(b)
+        for d in range(dim):
+            upd = 0.0
+            for t in range(dim):
+                if t == d:
+                    continue
+                k = 3 - d - t
+                if k not in E:
+                    continue
+                upd = upd - eps[(d, t, k)] * (shifted(E[k], 1, t) - E[k]) / dx[t]
+            b_new[d] = b[d] + dt * upd
+
+        if dim == 2:
+            # out-of-plane Bz: cell-centered, plain flux divergence
+            bz = b[2]
+            for d in range(2):
+                F = FB_all[d][2]
+                bz = bz - dt * (shifted(F, 1, d) - F) / dx[d]
+            b_new[2] = bz
+        return tuple(b_new)
+
+    # -- full RHS + RK2 ---------------------------------------------------------
+    def rhs(self, u, b):
+        """L(U), plus the CT-updated face-B increment packaged as fluxes."""
+        L = self.L
+        dim = L.dim
+        FB_all = {}
+        dudt = jnp.zeros_like(u)
+        for d in range(dim):
+            Fgas, FB = self.face_flux(u, b, d)
+            FB_all[d] = FB
+            dudt = dudt - (shifted(Fgas, 1, 1 + d) - Fgas) / self.geom.dx[d]
+        return dudt, FB_all
+
+    def step_rk2(self, state: MhdState, dt):
+        sim = self.sim
+        u, b = state
+        u = sim._fill(u)
+        b = tuple(self._fill_b(bb, d) for d, bb in enumerate(b))
+
+        dudt1, FB1 = self.rhs(u, b)
+        u1 = u + dt * dudt1
+        b1 = self.emf_update(b, FB1, dt)
+        u1 = self._clean(u1, b1)
+        b1 = tuple(self._fill_b(bb, d) for d, bb in enumerate(b1))
+
+        dudt2, FB2 = self.rhs(u1, b1)
+        u2 = 0.5 * (u + u1 + dt * dudt2)
+        b2h = self.emf_update(b1, FB2, dt)
+        b2 = tuple(0.5 * (b[d] + b2h[d]) for d in range(len(b)))
+        u2 = self._clean(u2, b2)
+        return MhdState(u2, b2)
+
+    def _clean(self, u, b):
+        """MHD clean_state: density floor, dual-energy reset with the
+        magnetic contribution removed (reference add_magnetic_e /
+        reset logic, `Source/driver/Castro.H:823-850`), temperature."""
+        sim = self.sim
+        L = self.L
+        rho = jnp.maximum(u[L.URHO], sim.cfg.small_dens)
+        u = u.at[L.URHO].set(rho)
+        ke = 0.5 * (u[L.UMX] ** 2 + u[L.UMY] ** 2 + u[L.UMZ] ** 2) / rho
+        bc = self.cell_b(b)
+        pb = 0.5 * sum(bb * bb for bb in bc)
+        rho_eint = u[L.UEDEN] - ke - pb
+        eta2 = sim.params.castro.dual_energy_eta2
+        eint = jnp.where(
+            (rho_eint > 0) & (rho_eint / jnp.maximum(u[L.UEDEN], 1e-300) > eta2),
+            rho_eint, u[L.UEINT])
+        eint = jnp.maximum(eint, rho * 1e-30)
+        u = u.at[L.UEINT].set(eint)
+        xn = u[L.UFS:L.UFS + L.nspec] / rho[None]
+        es = sim.eos.re(rho=rho, e=eint / rho, xn=xn)
+        u = u.at[L.UTEMP].set(es.T)
+        return sim._fill(u)
+
+    def _b_1d_update(self, b, FB_all, dt):
+        """1D: Bx constant; By/Bz evolve from the x-flux (stored as cell
+        fields in b[1], b[2])."""
+        out = [b[0]]
+        for t in (1, 2):
+            F = FB_all[0][t]
+            out.append(b[t] - dt * (shifted(F, 1, 0) - F) / self.geom.dx[0])
+        return tuple(out)
+
+    def _fill_b(self, bb, d):
+        """Ghost fill for face-B: periodic wrap or clamp (matches the gas
+        BC classes; filfc.f90 analog)."""
+        sim = self.sim
+        dim = self.L.dim
+        ng = sim.ng
+        for dd in range(dim):
+            n = bb.shape[dd] - 2 * ng
+            lo_bc = sim.cfg.lo_bc[dd]
+            hi_bc = sim.cfg.hi_bc[dd]
+
+            def take(lo, hi, ax=dd):
+                idx = [slice(None)] * bb.ndim
+                idx[ax] = slice(lo, hi)
+                return tuple(idx)
+
+            if lo_bc == 0:  # periodic
+                bb = bb.at[take(0, ng)].set(bb[take(n, n + ng)])
+                bb = bb.at[take(n + ng, n + 2 * ng)].set(bb[take(ng, 2 * ng)])
+            else:  # clamp
+                bb = bb.at[take(0, ng)].set(
+                    jnp.broadcast_to(bb[take(ng, ng + 1)], bb[take(0, ng)].shape))
+                bb = bb.at[take(n + ng, n + 2 * ng)].set(
+                    jnp.broadcast_to(bb[take(n + ng - 1, n + ng)],
+                                     bb[take(n + ng, n + 2 * ng)].shape))
+        return bb
+
+    # -- diagnostics -------------------------------------------------------------
+    def div_b(self, b):
+        """Cell-centered divergence of the face field (should be ~0)."""
+        dim = self.L.dim
+        out = 0.0
+        for d in range(dim):
+            out = out + (shifted(b[d], 1, d) - b[d]) / self.geom.dx[d]
+        return out
+
+    def estdt(self, u, b, cfl):
+        L = self.L
+        rho, vel, p, e, bc = self.prim(u, b)
+        from castro_tpu.mhd.hlld import fast_speed
+
+        inner = interior_slice(self.sim.ng, L.dim, 0)
+        dt = jnp.inf
+        for d in range(L.dim):
+            cf = fast_speed(rho, p, bc[d], bc[(d + 1) % 3], bc[(d + 2) % 3],
+                            self.gamma)
+            sp = (jnp.abs(vel[d]) + cf)[inner]
+            dt = jnp.minimum(dt, jnp.min(self.geom.dx[d] / sp))
+        return cfl * dt

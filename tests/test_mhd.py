@@ -1,0 +1,133 @@
+"""Ideal MHD verification (reference mhd_tests: Alfven, BrioWu,
+OrszagTang; SURVEY.md §2.3): Brio-Wu shock tube, div B preservation,
+hydro limit consistency."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from castro_tpu.config import Params
+from castro_tpu.mhd import MhdSimulation
+from castro_tpu.problems.util import fill_from_prim
+
+
+def mhd_params(n, dim=1, gamma=2.0, lo=2, hi=2):
+    p = Params()
+    p = p.with_ns("amr", n_cell=(n,) * dim)
+    p = p.with_ns("geometry", prob_lo=(0.0,) * 3, prob_hi=(1.0,) * 3)
+    p = p.with_ns("castro", lo_bc=(lo,) * 3, hi_bc=(hi,) * 3, cfl=0.4,
+                  small_dens=1e-12, small_temp=1e-12, small_pres=1e-15)
+    p = p.with_ns("eos", eos_gamma=gamma)
+    p = p.with_ns("tpu", dtype="float64")
+    return p
+
+
+def test_brio_wu():
+    """Brio & Wu (1988) shock tube, gamma=2: check the canonical features
+    at t=0.1 (compound wave + contact levels)."""
+    n = 400
+    params = mhd_params(n, gamma=2.0)
+
+    def init(sim, u, b):
+        x = sim.base.geom.cell_centers(0, sim.base.ng)
+        left = x < 0.5
+        rho = jnp.where(left, 1.0, 0.125)
+        pres = jnp.where(left, 1.0, 0.1)
+        u = fill_from_prim(sim.base, u, rho, (0.0, 0.0, 0.0), p=pres)
+        bx = jnp.full_like(rho, 0.75)
+        by = jnp.where(left, 1.0, -1.0)
+        bz = jnp.zeros_like(rho)
+        return u, (bx, by, bz)
+
+    sim = MhdSimulation(params, problem_init=init)
+    sim.run(stop_time=0.1)
+    L = sim.base.layout
+    ui = np.asarray(sim.interior())
+    rho = ui[L.URHO]
+    x = np.asarray(sim.base.geom.cell_centers_1d(0, 0))
+
+    assert np.isfinite(rho).all() and rho.min() > 0
+    # left state undisturbed, right state undisturbed
+    assert np.allclose(rho[x < 0.05], 1.0, rtol=1e-6)
+    assert np.allclose(rho[x > 0.95], 0.125, rtol=1e-6)
+    # canonical Brio-Wu plateaus at t=0.1 (e.g. Stone et al. 2008 fig):
+    # density behind the slow shock ~0.68-0.72 region near x~0.6;
+    # rarefaction tail down-ramp; contact around x~0.6 dropping to ~0.26
+    i_region = (x > 0.44) & (x < 0.47)
+    assert 0.6 < rho[i_region].mean() < 0.85, rho[i_region].mean()
+    post_contact = (x > 0.62) & (x < 0.65)
+    assert 0.2 < rho[post_contact].mean() < 0.4, rho[post_contact].mean()
+    # mass conservation
+    assert np.isclose(rho.mean(), (1.0 + 0.125) / 2, rtol=1e-10)
+
+
+def test_divb_zero_2d():
+    """2D rotated field loop / OT-like state: div B stays at round-off
+    through many steps (constrained transport)."""
+    n = 64
+    params = mhd_params(n, dim=2, gamma=5.0 / 3.0, lo=0, hi=0)
+
+    def init(sim, u, b):
+        g = sim.base.geom
+        ng = sim.base.ng
+        u = fill_from_prim(sim.base, u,
+                           1.0,
+                           (jnp.sin(2 * np.pi * g.cell_centers(1, ng)),
+                            jnp.sin(2 * np.pi * g.cell_centers(0, ng)), 0.0),
+                           p=1.0)
+        # divergence-free field from a vector potential Az = cos(2pi x) +
+        # cos(2pi y): Bx = dAz/dy, By = -dAz/dx evaluated on faces
+        xf = g.faces_1d(0, ng)[:-1]
+        yc = g.cell_centers_1d(1, ng)
+        xc = g.cell_centers_1d(0, ng)
+        yf = g.faces_1d(1, ng)[:-1]
+        k = 2 * np.pi
+        bx = jnp.broadcast_to(-k * jnp.sin(k * yc)[None, :] * jnp.ones_like(xf)[:, None],
+                              u.shape[1:]) * 0.1
+        by = jnp.broadcast_to(k * jnp.sin(k * xc)[:, None] * jnp.ones_like(yf)[None, :],
+                              u.shape[1:]) * 0.1
+        bz = jnp.zeros(u.shape[1:])
+        return u, (bx, by, bz)
+
+    sim = MhdSimulation(params, problem_init=init)
+    sim.init_data()
+    div0 = sim.div_b_max()
+    assert div0 < 1e-10, div0
+
+    sim.run(stop_time=0.05)
+    assert sim.step_count > 5
+    assert sim.div_b_max() < 1e-10, sim.div_b_max()
+    ui = np.asarray(sim.interior())
+    assert np.isfinite(ui).all()
+
+
+def test_zero_field_matches_hydro_sod():
+    """With B=0, the MHD solver is a plain HLL-family hydro solver:
+    Sod tube results stay close to the exact solution."""
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from exact_riemann import solution
+
+    n = 256
+    params = mhd_params(n, gamma=1.4)
+
+    def init(sim, u, b):
+        x = sim.base.geom.cell_centers(0, sim.base.ng)
+        left = x < 0.5
+        rho = jnp.where(left, 1.0, 0.125)
+        pres = jnp.where(left, 1.0, 0.1)
+        u = fill_from_prim(sim.base, u, rho, (0.0, 0.0, 0.0), p=pres)
+        z = jnp.zeros_like(rho)
+        return u, (z, z, z)
+
+    sim = MhdSimulation(params, problem_init=init)
+    sim.run(stop_time=0.2)
+    L = sim.base.layout
+    ui = np.asarray(sim.interior())
+    rho = ui[L.URHO]
+    x = np.asarray(sim.base.geom.cell_centers_1d(0, 0))
+    rho_ex, _, _ = solution(x, 0.2, 0.5, 1.0, 0.0, 1.0, 0.125, 0.0, 0.1, 1.4)
+    err = np.abs(rho - rho_ex).mean() / rho_ex.mean()
+    assert err < 0.02, err
