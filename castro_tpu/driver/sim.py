@@ -109,6 +109,10 @@ class Simulation:
             ppm_type=c.ppm_type,
             use_shock_var=bool(c.use_shock_var),
             shock_threshold=c.shock_detection_threshold,
+            hybrid_riemann=bool(c.hybrid_riemann),
+            use_pslope=bool(c.use_pslope),
+            plm_iorder=c.plm_limiter,
+            pslope_cutoff_density=c.pslope_cutoff_density,
             lo_bc=tuple(c.lo_bc[: self.layout.dim]),
             hi_bc=tuple(c.hi_bc[: self.layout.dim]),
             ng=self.ng,

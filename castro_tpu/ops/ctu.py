@@ -46,6 +46,10 @@ class HydroConfig(NamedTuple):
     ppm_type: int = 1
     use_shock_var: bool = False
     shock_threshold: float = 2.0 / 3.0
+    hybrid_riemann: bool = False
+    use_pslope: bool = False
+    plm_iorder: int = 2
+    pslope_cutoff_density: float = -1.0e20
     lo_bc: Tuple[int, ...] = (0, 0, 0)
     hi_bc: Tuple[int, ...] = (0, 0, 0)
     ng: int = 4
@@ -124,7 +128,8 @@ def ctu_hydro(u, q, qaux, srcQ, dt, geom: Geometry, layout, cfg: HydroConfig):
     dtype = q.dtype
 
     flatn = uflatten(q, L) if cfg.use_flattening else jnp.ones(grid_shape, dtype)
-    shk = au.shock(q, dx, L, cfg.shock_threshold) if cfg.use_shock_var else None
+    need_shk = cfg.use_shock_var or cfg.hybrid_riemann
+    shk = au.shock(q, dx, L, cfg.shock_threshold) if need_shk else None
     div_node = au.divu_node(q, dx, L)
     dloga = _dloga(geom, cfg.ng)
     masks = _bnd_masks(grid_shape, dim, cfg.ng, cfg.lo_bc, cfg.hi_bc, dtype,
@@ -133,6 +138,15 @@ def ctu_hydro(u, q, qaux, srcQ, dt, geom: Geometry, layout, cfg: HydroConfig):
     rz = geom.coord == CoordSys.CYLINDRICAL and dim == 2
 
     def trace(d):
+        if cfg.ppm_type == 0:
+            from castro_tpu.ops.trace_plm import trace_plm
+
+            return trace_plm(q, qaux, srcQ, flatn, d, dt, dx[d], L,
+                             cfg.small_dens, cfg.small_pres,
+                             plm_iorder=cfg.plm_iorder,
+                             use_pslope=cfg.use_pslope,
+                             pslope_cutoff_density=cfg.pslope_cutoff_density,
+                             dloga=dloga)
         return trace_ppm(q, qaux, srcQ, flatn, d, dt, dx[d], L,
                          cfg.small_dens, cfg.small_pres, cfg.small_ener,
                          dloga=dloga)
@@ -141,7 +155,8 @@ def ctu_hydro(u, q, qaux, srcQ, dt, geom: Geometry, layout, cfg: HydroConfig):
         return cmpflx(qm, qp, qaux, d, L, geom.coord,
                       riemann_solver=cfg.riemann_solver,
                       small_dens=cfg.small_dens, small_pres=cfg.small_pres,
-                      bnd_mask=masks[d])
+                      bnd_mask=masks[d],
+                      hybrid_riemann=cfg.hybrid_riemann, shk=shk)
 
     states = [trace(d) for d in range(dim)]
 

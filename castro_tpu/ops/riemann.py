@@ -172,6 +172,130 @@ def riemannus(ri: RiemannInputs, small_dens, small_pres) -> GodunovState:
     return GodunovState(rho=rho_g, un=un_g, ut=ut, utt=utt, p=p_g, rhoe=re_g, ustar=ustar)
 
 
+def riemanncg(ri: RiemannInputs, small_dens, small_pres,
+              maxiter=12) -> GodunovState:
+    """Iterative two-shock solver (reference `riemanncg`,
+    riemann_solvers.H:227): Newton/secant iteration on pstar with the
+    Colella-Glaz wave impedances, then the same contact sampling as the
+    CGF solver. Here the impedance uses the gamma-law shock jump
+    w^2 = rho*((gamma+1)/2 pstar + (gamma-1)/2 p) for pstar > p and the
+    rarefaction integral impedance otherwise."""
+
+    def wsq(p_k, rho_k, gamc_k, pstar):
+        # shock branch
+        w2_s = rho_k * (0.5 * (gamc_k + 1.0) * pstar + 0.5 * (gamc_k - 1.0) * p_k)
+        # rarefaction branch: w = (1 - r^((g-1)/2g)) path impedance
+        g = gamc_k
+        c_k = jnp.sqrt(g * p_k / rho_k)
+        r = jnp.maximum(pstar / p_k, 1e-10)
+        expo = (g - 1.0) / (2.0 * g)
+        du = 2.0 * c_k / (g - 1.0) * (1.0 - r**expo)
+        w_r = jnp.where(jnp.abs(du) > 1e-12 * c_k,
+                        jnp.abs((pstar - p_k) / du), rho_k * c_k)
+        return jnp.where(pstar > p_k, w2_s, w_r * w_r)
+
+    wsmall = small_dens * ri.csmall
+    wl0 = jnp.maximum(wsmall, jnp.sqrt(jnp.abs(ri.gamc_l * ri.p_l * ri.rho_l)))
+    wr0 = jnp.maximum(wsmall, jnp.sqrt(jnp.abs(ri.gamc_r * ri.p_r * ri.rho_r)))
+    wwinv = 1.0 / (wl0 + wr0)
+    pstar = jnp.maximum(small_pres,
+                        ((wr0 * ri.p_l + wl0 * ri.p_r)
+                         + wl0 * wr0 * (ri.un_l - ri.un_r)) * wwinv)
+
+    def ustars(pstar):
+        wl = jnp.maximum(wsmall, jnp.sqrt(wsq(ri.p_l, ri.rho_l, ri.gamc_l, pstar)))
+        wr = jnp.maximum(wsmall, jnp.sqrt(wsq(ri.p_r, ri.rho_r, ri.gamc_r, pstar)))
+        usl = ri.un_l - (pstar - ri.p_l) / wl
+        usr = ri.un_r + (pstar - ri.p_r) / wr
+        return usl, usr, wl, wr
+
+    # secant iteration on f(p) = usl(p) - usr(p)
+    p0 = pstar
+    p1 = jnp.maximum(small_pres, 1.05 * pstar)
+    usl0, usr0, _, _ = ustars(p0)
+    f0 = usl0 - usr0
+    for _ in range(maxiter):
+        usl1, usr1, _, _ = ustars(p1)
+        f1 = usl1 - usr1
+        denom = jnp.where(jnp.abs(f1 - f0) > 1e-300, f1 - f0, 1e-300)
+        p2 = jnp.clip(p1 - f1 * (p1 - p0) / denom,
+                      small_pres, 1e6 * jnp.maximum(ri.p_l, ri.p_r))
+        p0, f0, p1 = p1, f1, p2
+    pstar = p1
+    usl, usr, wl, wr = ustars(pstar)
+    ustar = 0.5 * (usl + usr)
+
+    # contact sampling identical to riemannus (with the converged star)
+    ustar = jnp.where(
+        jnp.abs(ustar) < SMALLU * 0.5 * (jnp.abs(ri.un_l) + jnp.abs(ri.un_r)),
+        0.0, ustar)
+    sgnm = jnp.sign(ustar)
+    fp = 0.5 * (1.0 + sgnm)
+    fm = 0.5 * (1.0 - sgnm)
+    ro = jnp.maximum(small_dens, fp * ri.rho_l + fm * ri.rho_r)
+    uo = fp * ri.un_l + fm * ri.un_r
+    po = fp * ri.p_l + fm * ri.p_r
+    reo = fp * ri.rhoe_l + fm * ri.rhoe_r
+    gamco = fp * ri.gamc_l + fm * ri.gamc_r
+    roinv = 1.0 / ro
+    co = jnp.maximum(ri.csmall, jnp.sqrt(jnp.abs(gamco * po * roinv)))
+    co2inv = 1.0 / (co * co)
+    ut = fp * ri.ut_l + fm * ri.ut_r
+    utt = fp * ri.utt_l + fm * ri.utt_r
+    drho = (pstar - po) * co2inv
+    rstar = jnp.maximum(small_dens, ro + drho)
+    entho = (reo + po) * roinv * co2inv
+    estar = reo + (pstar - po) * entho
+    cstar = jnp.maximum(ri.csmall, jnp.sqrt(jnp.abs(gamco * pstar / rstar)))
+    spout = co - sgnm * uo
+    spin = cstar - sgnm * ustar
+    ushock = 0.5 * (spin + spout)
+    is_shock = pstar - po > 0.0
+    spin = jnp.where(is_shock, ushock, spin)
+    spout = jnp.where(is_shock, ushock, spout)
+    scr = jnp.where(spout - spin == 0.0, SMALL * ri.cavg, spout - spin)
+    frac = jnp.clip(0.5 * (1.0 + (spout + spin) / scr), 0.0, 1.0)
+    rho_g = frac * rstar + (1.0 - frac) * ro
+    un_g = frac * ustar + (1.0 - frac) * uo
+    p_g = frac * pstar + (1.0 - frac) * po
+    re_g = frac * estar + (1.0 - frac) * reo
+    rho_g = jnp.where(spout < 0.0, ro, rho_g)
+    un_g = jnp.where(spout < 0.0, uo, un_g)
+    p_g = jnp.where(spout < 0.0, po, p_g)
+    re_g = jnp.where(spout < 0.0, reo, re_g)
+    rho_g = jnp.where(spin >= 0.0, rstar, rho_g)
+    un_g = jnp.where(spin >= 0.0, ustar, un_g)
+    p_g = jnp.where(spin >= 0.0, pstar, p_g)
+    re_g = jnp.where(spin >= 0.0, estar, re_g)
+    p_g = jnp.maximum(p_g, small_pres)
+    return GodunovState(rho=rho_g, un=un_g, ut=ut, utt=utt, p=p_g,
+                        rhoe=re_g, ustar=ustar)
+
+
+def hll_flux(ri: RiemannInputs, d, layout, small_dens, small_pres):
+    """Einfeldt HLLE flux from interface states (reference `HLL`,
+    riemann_solvers.H:817+; used by hybrid_riemann inside shocks)."""
+    L = layout
+    cl = jnp.maximum(ri.csmall, jnp.sqrt(jnp.abs(ri.gamc_l * ri.p_l / ri.rho_l)))
+    cr = jnp.maximum(ri.csmall, jnp.sqrt(jnp.abs(ri.gamc_r * ri.p_r / ri.rho_r)))
+    SL = jnp.minimum(ri.un_l - cl, ri.un_r - cr)
+    SR = jnp.maximum(ri.un_l + cl, ri.un_r + cr)
+
+    def cons_and_flux(rho, un, ut, utt, p, rhoe):
+        E = rhoe + 0.5 * rho * (un**2 + ut**2 + utt**2)
+        U = jnp.stack([rho, rho * un, rho * ut, rho * utt, E, rhoe])
+        F = jnp.stack([rho * un, rho * un * un + p, rho * ut * un,
+                       rho * utt * un, un * (E + p), un * rhoe])
+        return U, F
+
+    UL, FL = cons_and_flux(ri.rho_l, ri.un_l, ri.ut_l, ri.utt_l, ri.p_l, ri.rhoe_l)
+    UR, FR = cons_and_flux(ri.rho_r, ri.un_r, ri.ut_r, ri.utt_r, ri.p_r, ri.rhoe_r)
+    SLc = jnp.minimum(SL, 0.0)
+    SRc = jnp.maximum(SR, 0.0)
+    Fh = (SRc * FL - SLc * FR + SLc * SRc * (UR - UL)) / (SRc - SLc)
+    return Fh  # rotated order: [rho, mn, mt1, mt2, E, rhoe]
+
+
 def riemann_hllc(ri: RiemannInputs, small_dens, small_pres) -> GodunovState:
     """HLLC interface state (reference HLLC, `riemann_solvers.H:993`),
     expressed as a sampled state like the CGF solver so the same flux
@@ -285,14 +409,35 @@ def compute_flux(gd: GodunovState, qm, qp, d, layout, coord: CoordSys, bnd_mask=
 
 
 def cmpflx(qm, qp, qaux, d, layout, coord, riemann_solver=0,
-           small_dens=1e-200, small_pres=1e-200, bnd_mask=None):
+           small_dens=1e-200, small_pres=1e-200, bnd_mask=None,
+           hybrid_riemann=False, shk=None):
     """Riemann solve + flux on every face (reference `cmpflx_plus_godunov`,
-    `Source/hydro/riemann.cpp:16`)."""
+    `Source/hydro/riemann.cpp:16`). With hybrid_riemann, faces inside
+    detected shocks use the HLLE flux (carbuncle suppression)."""
+    L = layout
     ri = load_inputs(qm, qp, qaux, d, layout, small_dens)
-    if riemann_solver in (0, 1):
+    if riemann_solver == 0:
         gd = riemannus(ri, small_dens, small_pres)
+    elif riemann_solver == 1:
+        gd = riemanncg(ri, small_dens, small_pres)
     elif riemann_solver == 2:
         gd = riemann_hllc(ri, small_dens, small_pres)
     else:
         raise ValueError(f"riemann_solver={riemann_solver}")
-    return compute_flux(gd, qm, qp, d, layout, coord, bnd_mask=bnd_mask)
+    flux, qgdnv = compute_flux(gd, qm, qp, d, layout, coord, bnd_mask=bnd_mask)
+
+    if hybrid_riemann and shk is not None:
+        shk_face = jnp.maximum(shk, shifted(shk, -1, d)) > 0.0
+        Fh = hll_flux(ri, d, layout, small_dens, small_pres)
+        mom = {0: (L.momentum_index(0), L.UMY, L.UMZ),
+               1: (L.UMY, L.UMX, L.UMZ),
+               2: (L.UMZ, L.UMX, L.UMY)}[d]
+        hyb = flux
+        hyb = hyb.at[L.URHO].set(Fh[0])
+        hyb = hyb.at[mom[0]].set(Fh[1])
+        hyb = hyb.at[mom[1]].set(Fh[2])
+        hyb = hyb.at[mom[2]].set(Fh[3])
+        hyb = hyb.at[L.UEDEN].set(Fh[4])
+        hyb = hyb.at[L.UEINT].set(Fh[5])
+        flux = jnp.where(shk_face[None], hyb, flux)
+    return flux, qgdnv

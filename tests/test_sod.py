@@ -71,3 +71,30 @@ def test_sod_y_2d():
 def test_sod_z_3d():
     sim = run_sod(3, 3, n=32)
     check_against_exact(sim, 2, 0.06)
+
+
+@pytest.mark.parametrize("opts", [
+    dict(ppm_type=0, plm_limiter=2),          # PLM, 4th-order MC
+    dict(ppm_type=0, plm_limiter=1),          # PLM, 2nd-order MC
+    dict(riemann_solver=1),                   # Colella-Glaz iterative
+    dict(riemann_solver=2),                   # HLLC
+    dict(hybrid_riemann=1, use_shock_var=1),  # HLL inside shocks
+])
+def test_sod_solver_variants(opts):
+    """Every reconstruction/Riemann option resolves Sod within tolerance
+    (reference: castro.ppm_type / riemann_solver / hybrid_riemann knobs)."""
+    params = sod.make_params(n=128, dim=1)
+    params = params.with_ns("castro", **opts)
+    sim = Simulation(params, problem_init=sod.problem_init)
+    sim.run(stop_time=0.2, verbose=False)
+
+    L = sim.layout
+    u = np.asarray(sim.interior())
+    rho = u[L.URHO]
+    p = u[L.UEINT] * 0.4
+    x = np.asarray(sim.geom.cell_centers_1d(0, 0))
+    rho_ex, u_ex, p_ex = solution(x, sim.t, 0.5, 1.0, 0.0, 1.0, 0.125, 0.0, 0.1, 1.4)
+    err = np.abs(rho - rho_ex).mean() / rho_ex.mean()
+    assert err < 0.02, err
+    mid = (x > 0.55) & (x < 0.65)
+    assert abs(p[mid].mean() - 0.30313) / 0.30313 < 0.03
