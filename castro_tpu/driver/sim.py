@@ -89,11 +89,28 @@ class Simulation:
         # Strang reaction coupling (reference Castro_react.cpp; SDC modes
         # use their own coupling)
         self.reactor = None
-        if params.castro.do_react and self.network.reactive:
+        tim = params.castro.time_integration_method
+        if params.castro.do_react and self.network.reactive and tim == 0:
             from castro_tpu.reactions.strang import StrangReactor
 
             self.reactor = StrangReactor(params, self.network, self.eos,
                                          self.layout)
+
+        # SDC time integration (reference Castro_advance_sdc.cpp /
+        # simplified-SDC react_state)
+        self.sdc = None
+        self.sdc_simplified = None
+        if tim == 2:
+            from castro_tpu.sdc import TrueSDC2
+
+            self.sdc = TrueSDC2(self)
+            self._jit_sdc_step = jax.jit(
+                lambda u, dt, t: self.sdc.advance(u, dt, t))
+        elif tim == 3 and params.castro.do_react and self.network.reactive:
+            from castro_tpu.sdc import SimplifiedSDC
+
+            self.sdc_simplified = SimplifiedSDC(self)
+            self._jit_ssdc_step = jax.jit(self._ssdc_step_impl)
 
         c = params.castro
         self.ng = self.layout.ngrow
@@ -296,7 +313,47 @@ class Simulation:
         u_new = self._clean_fill_impl(u_new)
         return u_new, Er_new, min_rho, bad
 
+    def _ssdc_step_impl(self, u, dt, t):
+        """Simplified-SDC step: CTU advective term (+ sources) feeds the
+        full-dt coupled burn (reference react_state(time,dt))."""
+        L = self.layout
+        c = self.params.castro
+
+        def advective(u_k):
+            u_k = self._fill(u_k)
+            q, qaux = ctoprim(u_k, L, self.eos, self.cfg.small_dens,
+                              max(c.small_temp, 1e-200))
+            src = None
+            if self.source_fns:
+                src = jnp.zeros_like(u_k)
+                for fn in self.source_fns:
+                    src = src + fn(self, u_k, q, qaux, t, dt)
+            srcQ = None if src is None else src_to_prim(q, qaux, src, L)
+            hsrc, _, _, _ = ctu_hydro(u_k, q, qaux, srcQ, dt, self.geom, L,
+                                      self.cfg)
+            return hsrc + (src if src is not None else 0.0)
+
+        u = self._fill(u)
+        u_new, burn_fail = self.sdc_simplified.advance(u, dt, t, advective)
+        inner = interior_slice(self.ng, L.dim)
+        min_rho = jnp.min(u_new[inner][L.URHO])
+        nan_flag = ~jnp.isfinite(jnp.sum(u_new[inner]))
+        u_new = self._clean_fill_impl(u_new)
+        return u_new, min_rho, nan_flag | burn_fail
+
     def try_step(self, dt: float):
+        if self.sdc is not None:
+            u_new, fail = self._jit_sdc_step(self.u, dt, self.t)
+            inner = interior_slice(self.ng, self.layout.dim)
+            min_rho = float(jnp.min(u_new[inner][self.layout.URHO]))
+            ok_num = bool(jnp.isfinite(jnp.sum(u_new[inner])))
+            status = StepStatus(min_rho=min_rho, has_nan=(not ok_num),
+                                burn_fail=bool(fail))
+            return u_new, status
+        if self.sdc_simplified is not None:
+            u_new, min_rho, nan_flag = self._jit_ssdc_step(self.u, dt, self.t)
+            return u_new, StepStatus(min_rho=float(min_rho),
+                                     has_nan=bool(nan_flag))
         if self.rad is not None:
             u_new, Er_new, min_rho, nan_flag = self._jit_rad_step(
                 self.u, self.u_rad, dt, self.t)

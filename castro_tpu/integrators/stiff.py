@@ -31,30 +31,42 @@ SHRINK_MIN = 0.1
 
 
 def make_burner(network, eos, rtol=1e-6, atol_x=1e-8, atol_e=1e-6,
-                max_substeps=1024):
-    """Returns burn(rho, T, xn, e, dt) -> (xn_new, e_new, fail).
+                max_substeps=1024, with_forcing=False):
+    """Returns burn(rho, T, xn, e, dt[, xf, ef]) -> (xn_new, e_new, fail).
 
-    All arrays share the grid shape; xn is [nspec, ...]."""
+    All arrays share the grid shape; xn is [nspec, ...].
+    with_forcing: the RHS gains piecewise-constant advective forcing terms
+    (simplified-SDC coupling, reference `Castro_react.cpp:239-480`:
+    the burn integrates dX/dt = xdot + A_X, de/dt = edot + A_e)."""
     nspec = network.nspec
     ny = nspec + 1
 
-    def rhs_point(y, rho):
+    def rhs_point(y, rho, force=None):
         """Pointwise RHS for one zone (y: [ny], rho: scalar)."""
         xn = jnp.clip(y[:nspec], 0.0, 1.0)
         e = jnp.maximum(y[nspec], 1e-30)
         es = eos.re(rho=rho, e=e, xn=xn)
         xdot, edot = network.rhs(rho, es.T, xn, e)
-        return jnp.concatenate([xdot, edot[None]])
+        out = jnp.concatenate([xdot, edot[None]])
+        if force is not None:
+            out = out + force
+        return out
 
     jac_point = jax.jacfwd(rhs_point)
-    rhs_v = jax.vmap(rhs_point)
-    jac_v = jax.vmap(jac_point)
+    if with_forcing:
+        rhs_v = jax.vmap(rhs_point, in_axes=(0, 0, 0))
+        jac_v = jax.vmap(jac_point, in_axes=(0, 0, 0))
+    else:
+        rhs_v0 = jax.vmap(rhs_point, in_axes=(0, 0))
+        jac_v0 = jax.vmap(jac_point, in_axes=(0, 0))
+        rhs_v = lambda y, rho, force: rhs_v0(y, rho)
+        jac_v = lambda y, rho, force: jac_v0(y, rho)
 
-    def rosenbrock_step(y, rho, h):
+    def rosenbrock_step(y, rho, h, force):
         """One ode23s step, batched: y [nz, ny], rho [nz], h [nz].
         Returns (y_new, err_vec)."""
-        f0 = rhs_v(y, rho)
-        J = jac_v(y, rho)
+        f0 = rhs_v(y, rho, force)
+        J = jac_v(y, rho, force)
         I = jnp.eye(ny, dtype=y.dtype)
         W = I[None] - (h * D)[:, None, None] * J
         lu, piv = lu_factor(W)
@@ -63,18 +75,23 @@ def make_burner(network, eos, rtol=1e-6, atol_x=1e-8, atol_e=1e-6,
             return lu_solve((lu, piv), b[..., None])[..., 0]
 
         k1 = solve(f0)
-        f1 = rhs_v(y + 0.5 * h[:, None] * k1, rho)
+        f1 = rhs_v(y + 0.5 * h[:, None] * k1, rho, force)
         k2 = solve(f1 - k1) + k1
         y_new = y + h[:, None] * k2
-        f2 = rhs_v(y_new, rho)
+        f2 = rhs_v(y_new, rho, force)
         k3 = solve(f2 - E32 * (k2 - f1) - 2.0 * (k1 - f0))
         err = (h / 6.0)[:, None] * (k1 - 2.0 * k2 + k3)
         return y_new, err
 
-    def burn(rho, T, xn, e, dt):
+    def burn(rho, T, xn, e, dt, xdot_force=None, edot_force=None):
         shape = rho.shape
         rho_f = rho.reshape(-1)
         y0 = jnp.concatenate([xn.reshape(nspec, -1), e.reshape(1, -1)], axis=0).T
+        if with_forcing:
+            force = jnp.concatenate([xdot_force.reshape(nspec, -1),
+                                     edot_force.reshape(1, -1)], axis=0).T
+        else:
+            force = None
         nz = y0.shape[0]
         h0 = jnp.full((nz,), dt / 16.0, y0.dtype)
 
@@ -86,7 +103,7 @@ def make_burner(network, eos, rtol=1e-6, atol_x=1e-8, atol_e=1e-6,
             t, h, y, it = state
             active = t < dt * (1 - 1e-12)
             h_eff = jnp.where(active, jnp.minimum(h, dt - t), h)
-            y_new, err = rosenbrock_step(y, rho_f, h_eff)
+            y_new, err = rosenbrock_step(y, rho_f, h_eff, force)
 
             scale = atol_x + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_new))
             scale = scale.at[:, nspec].set(

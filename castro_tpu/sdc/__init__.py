@@ -1,0 +1,142 @@
+"""SDC time-integration modes.
+
+- Simplified SDC (castro.time_integration_method=3): iterate {advective
+  update from the reaction-informed state; full-dt burn with the
+  piecewise-constant advective source inside the integrator} (reference
+  `Castro_react.cpp:239-480` + `create_source_corrector`,
+  `Castro.cpp:3780-3836`).
+- True SDC (time_integration_method=2), sdc_order=2: Gauss-Lobatto
+  trapezoid node update with MOL advection at the nodes and an implicit
+  reaction solve at the new-time node (reference `Source/sdc/
+  Castro_sdc.cpp` ca_sdc_update_o2_lobatto; 4th-order Radau TODO).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from castro_tpu.integrators.stiff import make_burner
+from castro_tpu.ops.advection_util import ctoprim
+from castro_tpu.ops.mol import mol_hydro
+
+
+class SimplifiedSDC:
+    """Full-dt burns with advective forcing, 2 SDC iterations."""
+
+    def __init__(self, sim, n_iters=2):
+        self.sim = sim
+        ip = sim.params.integrator
+        self.burner = make_burner(
+            sim.network, sim.eos,
+            rtol=max(ip.rtol_spec, ip.rtol_enuc),
+            atol_x=ip.atol_spec, atol_e=ip.atol_enuc,
+            with_forcing=True)
+        self.n_iters = n_iters
+
+    def advance(self, u, dt, t, advective_fn):
+        """advective_fn(u) -> A(U) [NVAR, grown] (hydro + non-reacting
+        sources). Returns (u_new, burn_fail)."""
+        sim = self.sim
+        L = sim.layout
+        fail = jnp.asarray(False)
+        u_k = u
+        for _ in range(self.n_iters):
+            A = advective_fn(u_k)
+            rho0 = u[L.URHO]
+            rho1 = jnp.maximum(rho0 + dt * A[L.URHO], sim.cfg.small_dens)
+            # advective forcing in primitive burn variables
+            xn0 = u[L.UFS:L.UFS + L.nspec] / rho0[None]
+            e0 = u[L.UEINT] / rho0
+            xf = (A[L.UFS:L.UFS + L.nspec] - xn0 * A[L.URHO][None]) / rho0[None]
+            ef = (A[L.UEINT] - e0 * A[L.URHO]) / rho0
+            xn1, e1, bf = self.burner(rho0, u[L.UTEMP], xn0, e0, dt,
+                                      xdot_force=xf, edot_force=ef)
+            fail = fail | jnp.any(bf)
+            # assemble U^{k+1}: conserved update for rho/mom/E from A,
+            # species and internal energy from the coupled burn
+            u_k = u + dt * A
+            u_k = u_k.at[L.URHO].set(rho1)
+            u_k = u_k.at[L.UFS:L.UFS + L.nspec].set(rho1[None] * xn1)
+            de_react = rho1 * e1 - (u[L.UEINT] + dt * A[L.UEINT])
+            u_k = u_k.at[L.UEINT].set(rho1 * e1)
+            u_k = u_k.at[L.UEDEN].add(de_react)
+        return u_k, fail
+
+
+class TrueSDC2:
+    """2nd-order Gauss-Lobatto SDC: nodes {t^n, t^{n+1}}, trapezoid
+    quadrature, MOL advection, implicit reactions at the second node."""
+
+    def __init__(self, sim, n_iters=2):
+        self.sim = sim
+        self.n_iters = n_iters
+        if sim.network.reactive:
+            ip = sim.params.integrator
+            self.burner = make_burner(
+                sim.network, sim.eos,
+                rtol=max(ip.rtol_spec, ip.rtol_enuc),
+                atol_x=ip.atol_spec, atol_e=ip.atol_enuc,
+                with_forcing=True)
+        else:
+            self.burner = None
+
+    def _adv(self, u):
+        sim = self.sim
+        L = sim.layout
+        u = sim._fill(u)
+        q, qaux = ctoprim(u, L, sim.eos, sim.cfg.small_dens,
+                          max(sim.params.castro.small_temp, 1e-200))
+        adv, _, _ = mol_hydro(u, q, qaux, 0.0, sim.geom, L, sim.cfg)
+        return adv
+
+    def _react_rate(self, u):
+        sim = self.sim
+        L = sim.layout
+        if not sim.network.reactive:
+            return jnp.zeros_like(u)
+        rho = jnp.maximum(u[L.URHO], sim.cfg.small_dens)
+        xn = u[L.UFS:L.UFS + L.nspec] / rho[None]
+        e = u[L.UEINT] / rho
+        es = sim.eos.re(rho=rho, e=e, xn=xn)
+        xdot, edot = sim.network.rhs(rho, es.T, xn, e)
+        R = jnp.zeros_like(u)
+        R = R.at[L.UFS:L.UFS + L.nspec].set(rho[None] * xdot)
+        R = R.at[L.UEINT].set(rho * edot)
+        R = R.at[L.UEDEN].set(rho * edot)
+        return R
+
+    def advance(self, u, dt, t):
+        """One SDC-2 step. Returns (u_new, fail)."""
+        sim = self.sim
+        fail = jnp.asarray(False)
+        A0 = self._adv(u)
+        R0 = self._react_rate(u)
+        u1 = u + dt * (A0 + R0)  # provisional (forward Euler predictor)
+        u1 = sim._clean_fill_impl(u1)
+        for _ in range(self.n_iters):
+            A1 = self._adv(u1)
+            R1 = self._react_rate(u1)
+            # trapezoid node update: U^1 = U^0 + dt/2 (A0+A1) + dt/2 (R0+R1);
+            # with reactions the R1 piece solved implicitly via a burn with
+            # the time-averaged advective forcing
+            if self.burner is not None:
+                L = sim.layout
+                Aavg = 0.5 * (A0 + A1)
+                rho0 = u[L.URHO]
+                xn0 = u[L.UFS:L.UFS + L.nspec] / rho0[None]
+                e0 = u[L.UEINT] / rho0
+                xf = (Aavg[L.UFS:L.UFS + L.nspec] - xn0 * Aavg[L.URHO][None]) / rho0[None]
+                ef = (Aavg[L.UEINT] - e0 * Aavg[L.URHO]) / rho0
+                xn1, e1, bf = self.burner(rho0, u[L.UTEMP], xn0, e0, dt,
+                                          xdot_force=xf, edot_force=ef)
+                fail = fail | jnp.any(bf)
+                u1 = u + dt * Aavg
+                rho1 = jnp.maximum(u1[L.URHO], sim.cfg.small_dens)
+                de = rho1 * e1 - u1[L.UEINT]
+                u1 = u1.at[L.UFS:L.UFS + L.nspec].set(rho1[None] * xn1)
+                u1 = u1.at[L.UEINT].set(rho1 * e1)
+                u1 = u1.at[L.UEDEN].add(de)
+            else:
+                u1 = u + 0.5 * dt * (A0 + A1)
+            u1 = sim._clean_fill_impl(u1)
+        return u1, fail

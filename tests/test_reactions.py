@@ -105,3 +105,39 @@ def test_strang_coupled_burning_box():
     assert np.abs(ui[L.UMX]).max() < 1e-10  # still uniform
     # density unchanged by burning
     assert np.allclose(ui[L.URHO], 1.0, rtol=1e-12)
+
+
+@pytest.mark.parametrize("tim", [2, 3])
+def test_sdc_burning_box(tim):
+    """SDC coupling modes advance the reacting box like Strang does
+    (reference Detonation inputs-det-x.sdc / .simplified_sdc variants)."""
+    from castro_tpu.driver.sim import Simulation
+    from castro_tpu.problems.util import fill_from_prim
+
+    p = Params()
+    p = p.with_ns("amr", n_cell=(16,))
+    p = p.with_ns("geometry", prob_lo=(0.0,), prob_hi=(1.0,))
+    p = p.with_ns("castro", lo_bc=(0,), hi_bc=(0,), do_react=1,
+                  time_integration_method=tim,
+                  small_dens=1e-12, small_temp=1e-12, small_pres=1e-15)
+    p = p.with_ns("network", network_name="powerlaw", rtilde=10.0,
+                  specific_q_burn=5.0, T_burn_ref=1.0, rho_burn_ref=1.0)
+    p = p.with_ns("eos", eos_gamma=1.4)
+    p = p.with_ns("tpu", dtype="float64")
+
+    def init(sim, u):
+        xn = jnp.zeros((3,) + u.shape[1:]).at[0].set(1.0)
+        return fill_from_prim(sim, u, 1.0, (0.0, 0.0, 0.0), T=2.0, xn=xn)
+
+    sim = Simulation(p, problem_init=init)
+    sim.init_data()
+    L = sim.layout
+    x_fuel0 = float(np.asarray(sim.interior())[L.UFS].sum())
+    for _ in range(3):
+        u_new, status = sim.try_step(2e-3)
+        assert status.success, status
+        sim.u = u_new
+    ui = np.asarray(sim.interior())
+    assert ui[L.UFS].sum() < x_fuel0          # fuel burned
+    assert np.allclose(ui[L.URHO], 1.0, rtol=1e-10)  # still static/uniform
+    assert np.abs(ui[L.UMX]).max() < 1e-8
