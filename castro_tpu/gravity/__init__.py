@@ -47,12 +47,34 @@ class Gravity:
     def grav_vector(self, rho_interior):
         """g components [3, interior grid] (+ phi or None)."""
         if self.gtype == "ConstantGrav":
-            return self._constant(rho_interior)
-        if self.gtype == "MonopoleGrav":
-            return self._monopole(rho_interior)
-        if self.gtype == "PoissonGrav":
-            return self._poisson(rho_interior)
-        raise ValueError(self.gtype)
+            g, phi = self._constant(rho_interior)
+        elif self.gtype == "MonopoleGrav":
+            g, phi = self._monopole(rho_interior)
+        elif self.gtype == "PoissonGrav":
+            g, phi = self._poisson(rho_interior)
+        else:
+            raise ValueError(self.gtype)
+        pm = self.params.castro.point_mass
+        if self.params.castro.use_point_mass and pm != 0.0:
+            g = g + self._point_mass_field(rho_interior, pm)
+        return g, phi
+
+    def _point_mass_field(self, rho, mass):
+        """Central point mass (reference Castro_pointmass.cpp): g adds
+        -G M rhat / r^2 about the problem center."""
+        geom = self.geom
+        r, center = self._radius_and_center()
+        r = jnp.broadcast_to(r, rho.shape)
+        rsafe = jnp.maximum(r, 0.5 * min(geom.dx))
+        gmag = -C.Gconst * mass / (rsafe * rsafe)
+        g = [jnp.zeros_like(rho) for _ in range(3)]
+        if geom.coord == CoordSys.SPHERICAL or geom.dim == 1:
+            g[0] = gmag
+        else:
+            for d in range(geom.dim):
+                x = geom.cell_centers(d, 0) - center[d]
+                g[d] = gmag * jnp.broadcast_to(x, rho.shape) / rsafe
+        return jnp.stack(g)
 
     # -- ConstantGrav ---------------------------------------------------------
     def _constant(self, rho):

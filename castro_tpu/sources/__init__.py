@@ -18,6 +18,8 @@ from castro_tpu.sources.gravity_src import GravitySource
 from castro_tpu.sources.sponge import SpongeSource
 from castro_tpu.sources.rotation_src import RotationSource
 from castro_tpu.sources.diffusion_src import DiffusionSource
+from castro_tpu.sources.geom_src import GeomSource
+from castro_tpu.sources.thermo_src import ThermoSource
 
 
 def build_sources(params, geom, layout, ng, ext_src=None):
@@ -37,6 +39,14 @@ def build_sources(params, geom, layout, ng, ext_src=None):
         srcs.append(SpongeSource(params, geom, layout, ng))
     if c.add_ext_src and ext_src is not None:
         srcs.append(ext_src)
+    from castro_tpu.geometry import CoordSys
+
+    if geom.coord == CoordSys.CYLINDRICAL and geom.dim == 2:
+        srcs.append(GeomSource(params, geom, layout, ng))
+    if params.castro.time_integration_method in (2,) and False:
+        # the MOL path applies pdivu through its Godunov states; the
+        # explicit thermo source is available for problem use
+        srcs.append(ThermoSource(params, geom, layout, ng))
     return srcs
 
 

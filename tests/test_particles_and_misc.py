@@ -1,0 +1,102 @@
+"""Tracer particles, point-mass gravity, HSE/ambient fills
+(reference: Source/particles, Castro_pointmass.cpp, hse_fill.cpp)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from castro_tpu.config import Params
+from castro_tpu.driver.sim import Simulation
+from castro_tpu.particles import TracerParticles
+from castro_tpu.problems import sod
+from castro_tpu.problems.util import fill_from_prim
+
+
+def test_tracer_advection_uniform_flow():
+    """Particles in a uniform periodic flow move at exactly the flow
+    speed (with periodic wrap)."""
+    params = sod.make_params(n=64, dim=2)
+    params = params.with_ns("castro", lo_bc=(0, 0), hi_bc=(0, 0))
+
+    def init(sim, u):
+        return fill_from_prim(sim, u, 1.0, (1.0, 0.5, 0.0), p=1.0)
+
+    sim = Simulation(params, problem_init=init)
+    sim.init_data()
+    pts = TracerParticles(sim, np.array([[0.25, 0.25], [0.9, 0.5]]))
+
+    dt = 0.01
+    for _ in range(20):
+        pts.advance(dt)
+        sim.t += dt
+    x = np.asarray(pts.x)
+    # displacement = v*t (mod 1)
+    assert np.allclose(x[0], [(0.25 + 0.2) % 1, (0.25 + 0.1) % 1], atol=1e-10)
+    assert np.allclose(x[1], [(0.9 + 0.2) % 1, (0.5 + 0.1) % 1], atol=1e-10)
+
+
+def test_point_mass_gravity():
+    from castro_tpu.gravity import Gravity
+    from castro_tpu.state import layout_from_params
+    from castro_tpu.geometry import geometry_from_params
+    from castro_tpu.utils import constants as C
+
+    p = Params()
+    p = p.with_ns("amr", n_cell=(32, 32, 32))
+    p = p.with_ns("geometry", prob_lo=(-1.0,) * 3, prob_hi=(1.0,) * 3)
+    p = p.with_ns("castro", lo_bc=(2,) * 3, hi_bc=(2,) * 3, do_grav=1,
+                  use_point_mass=1, point_mass=1e30)
+    p = p.with_ns("gravity", gravity_type="ConstantGrav", const_grav=0.0)
+    p = p.with_ns("tpu", dtype="float64")
+    grav = Gravity(p, geometry_from_params(p), layout_from_params(p), 4)
+    rho = jnp.zeros((32, 32, 32))
+    g3, _ = grav.grav_vector(rho)
+    gmag = np.sqrt(np.asarray((g3**2).sum(axis=0)))
+    x = np.asarray(geometry_from_params(p).cell_centers_1d(0, 0))
+    X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+    r = np.sqrt(X**2 + Y**2 + Z**2)
+    mask = (r > 0.3) & (r < 0.9)
+    expect = C.Gconst * 1e30 / r[mask] ** 2
+    assert np.allclose(gmag[mask], expect, rtol=1e-10)
+
+
+def test_hse_fill_keeps_atmosphere_static():
+    """Constant-gravity atmosphere with HSE boundary fills: boundary
+    velocities stay far smaller than with plain reflecting walls."""
+    from castro_tpu.problems.fills import make_hse_fill
+
+    n = 64
+    p = Params()
+    p = p.with_ns("amr", n_cell=(n,))
+    p = p.with_ns("geometry", prob_lo=(0.0,), prob_hi=(1.0,))
+    p = p.with_ns("castro", lo_bc=(1,), hi_bc=(1,), do_grav=1, cfl=0.5,
+                  small_dens=1e-12, small_temp=1e-12, small_pres=1e-15)
+    p = p.with_ns("gravity", gravity_type="ConstantGrav", const_grav=-1.0)
+    p = p.with_ns("eos", eos_gamma=1.4)
+    p = p.with_ns("tpu", dtype="float64")
+
+    H = 0.5
+    c2 = H
+
+    def init(sim, u):
+        z = np.asarray(sim.geom.cell_centers_1d(0, sim.ng))
+        dz = sim.geom.dx[0]
+        rho = np.exp(-z / H)
+        pres = np.empty_like(rho)
+        pres[0] = c2 * rho[0]
+        for i in range(1, len(z)):
+            pres[i] = pres[i - 1] + 0.5 * (rho[i] + rho[i - 1]) * (-1.0) * dz
+        return fill_from_prim(sim, u, jnp.asarray(rho), (0.0, 0.0, 0.0),
+                              p=jnp.asarray(pres))
+
+    sim = Simulation(p, problem_init=init)
+    sim.problem_fill = make_hse_fill(sim, [(0, "lo"), (0, "hi")], -1.0)
+    sim.run(stop_time=1.0, max_step=2000, verbose=False)
+    L = sim.layout
+    ui = np.asarray(sim.interior())
+    vel = np.abs(ui[L.UMX] / ui[L.URHO])
+    cs = np.sqrt(1.4 * c2)
+    # the whole domain (including edges) stays quiet with HSE ghosts
+    assert vel.max() < 2e-2 * cs, vel.max()
+    assert vel[2:-2].max() < 5e-3 * cs
