@@ -49,3 +49,9 @@ class PolytropeEos(GammaLawEos):
     def tp(self, T, p, xn=None) -> EosState:
         rho = (p / self.K) ** (1.0 / self.gamma)
         return self._fill_poly(rho, xn)
+
+    def rh(self, rho, h, xn=None) -> EosState:
+        # h = gamma K rho^(gamma-1)/(gamma-1)  =>  invert for rho
+        g = self.gamma
+        rho_h = ((g - 1.0) * h / (g * self.K)) ** (1.0 / (g - 1.0))
+        return self._fill_poly(rho_h, xn)
