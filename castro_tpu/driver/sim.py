@@ -130,6 +130,8 @@ class Simulation:
             use_pslope=bool(c.use_pslope),
             plm_iorder=c.plm_limiter,
             pslope_cutoff_density=c.pslope_cutoff_density,
+            use_pallas=(jax.default_backend() == "tpu"
+                        and params.tpu.dtype != "float64"),
             lo_bc=tuple(c.lo_bc[: self.layout.dim]),
             hi_bc=tuple(c.hi_bc[: self.layout.dim]),
             ng=self.ng,

@@ -50,6 +50,7 @@ class HydroConfig(NamedTuple):
     use_pslope: bool = False
     plm_iorder: int = 2
     pslope_cutoff_density: float = -1.0e20
+    use_pallas: bool = False
     lo_bc: Tuple[int, ...] = (0, 0, 0)
     hi_bc: Tuple[int, ...] = (0, 0, 0)
     ng: int = 4
@@ -156,7 +157,8 @@ def ctu_hydro(u, q, qaux, srcQ, dt, geom: Geometry, layout, cfg: HydroConfig):
                       riemann_solver=cfg.riemann_solver,
                       small_dens=cfg.small_dens, small_pres=cfg.small_pres,
                       bnd_mask=masks[d],
-                      hybrid_riemann=cfg.hybrid_riemann, shk=shk)
+                      hybrid_riemann=cfg.hybrid_riemann, shk=shk,
+                      use_pallas=cfg.use_pallas)
 
     states = [trace(d) for d in range(dim)]
 
@@ -181,13 +183,14 @@ def ctu_hydro(u, q, qaux, srcQ, dt, geom: Geometry, layout, cfg: HydroConfig):
             states[0][0], states[0][1], f1[0], f1[1], qaux, 0, 1,
             hdt / dx[1], L, cfg.small_pres,
             cfg.transverse_reset_density, cfg.transverse_reset_rhoe,
-            geom_terms=geom_z, hdt=hdt)
+            geom_terms=geom_z, hdt=hdt, use_pallas=cfg.use_pallas)
         qym, qyp = trans_single(
             states[1][0], states[1][1], f0[0], f0[1], qaux, 1, 0,
             hdt / dx[0], L, cfg.small_pres,
             cfg.transverse_reset_density, cfg.transverse_reset_rhoe,
             geom_terms=geom_r, hdt=hdt,
-            radial_p_fix=rz and not mom_flux_has_p(0, geom.coord))
+            radial_p_fix=rz and not mom_flux_has_p(0, geom.coord),
+            use_pallas=cfg.use_pallas)
         fluxes_qe = [solve(qxm, qxp, 0), solve(qym, qyp, 1)]
 
     else:
@@ -204,7 +207,8 @@ def ctu_hydro(u, q, qaux, srcQ, dt, geom: Geometry, layout, cfg: HydroConfig):
                 cc[(n, t)] = trans_single(
                     states[n][0], states[n][1], f1d[t][0], f1d[t][1], qaux,
                     n, t, third / dx[t], L, cfg.small_pres,
-                    cfg.transverse_reset_density, cfg.transverse_reset_rhoe)
+                    cfg.transverse_reset_density, cfg.transverse_reset_rhoe,
+                    use_pallas=cfg.use_pallas)
 
         # intermediate fluxes F^{d|t} from q{d}|{t}
         fint = {}
@@ -222,7 +226,7 @@ def ctu_hydro(u, q, qaux, srcQ, dt, geom: Geometry, layout, cfg: HydroConfig):
                 fint[(t2, t1)][0], fint[(t2, t1)][1],
                 qaux, n, t1, t2, hdt / dx[t1], hdt / dx[t2], L,
                 cfg.small_pres, cfg.transverse_reset_density,
-                cfg.transverse_reset_rhoe)
+                cfg.transverse_reset_rhoe, use_pallas=cfg.use_pallas)
             fluxes_qe.append(solve(qm_f, qp_f, n))
 
     fluxes = [fq[0] for fq in fluxes_qe]

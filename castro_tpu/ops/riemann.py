@@ -357,9 +357,10 @@ def compute_flux(gd: GodunovState, qm, qp, d, layout, coord: CoordSys, bnd_mask=
     L = layout
     un = gd.un if bnd_mask is None else gd.un * bnd_mask
     frho = gd.rho * un
+    zero = jnp.zeros_like(frho)
 
-    flux = jnp.zeros((L.NVAR,) + frho.shape, dtype=frho.dtype)
-    flux = flux.at[L.URHO].set(frho)
+    comps = [None] * L.NVAR
+    comps[L.URHO] = frho
     im1 = L.momentum_index(d)
     # transverse momentum axes in Castro order
     if d == 0:
@@ -371,14 +372,16 @@ def compute_flux(gd: GodunovState, qm, qp, d, layout, coord: CoordSys, bnd_mask=
     fm1 = frho * un
     if mom_flux_has_p(d, coord):
         fm1 = fm1 + gd.p
-    flux = flux.at[im1].set(fm1)
-    flux = flux.at[im2].set(frho * gd.ut)
-    flux = flux.at[im3].set(frho * gd.utt)
+    comps[im1] = fm1
+    comps[im2] = frho * gd.ut
+    comps[im3] = frho * gd.utt
 
     rhoetot = gd.rhoe + 0.5 * gd.rho * (un * un + gd.ut * gd.ut + gd.utt * gd.utt)
-    flux = flux.at[L.UEDEN].set(un * (rhoetot + gd.p))
-    flux = flux.at[L.UEINT].set(un * gd.rhoe)
-    # UTEMP, USHK fluxes stay zero
+    comps[L.UEDEN] = un * (rhoetot + gd.p)
+    comps[L.UEINT] = un * gd.rhoe
+    comps[L.UTEMP] = zero
+    if L.shock_var:
+        comps[L.USHK] = zero
 
     # passives: upwind on the interface velocity (riemann.cpp:106-135)
     sgnm = jnp.sign(un)
@@ -393,28 +396,49 @@ def compute_flux(gd: GodunovState, qm, qp, d, layout, coord: CoordSys, bnd_mask=
     for qc, uc in zip(pass_comps_q, pass_comps_u):
         x_int = fp * qm[qc] + fm * qp[qc]
         # when un == 0, average (sgnm==0 -> fp=fm=0.5)
-        flux = flux.at[uc].set(frho * x_int)
+        comps[uc] = frho * x_int
+    for i, cpn in enumerate(comps):
+        if cpn is None:
+            comps[i] = zero
+    flux = jnp.stack(comps)
 
-    qgdnv = jnp.zeros((L.NGDNV,) + frho.shape, dtype=frho.dtype)
-    qgdnv = qgdnv.at[L.GDRHO].set(gd.rho)
-    # velocity placement by direction
-    gd_comp = {0: (L.GDU, L.GDV, L.GDW), 1: (L.GDV, L.GDU, L.GDW), 2: (L.GDW, L.GDU, L.GDV)}[d]
-    qgdnv = qgdnv.at[gd_comp[0]].set(un)
-    qgdnv = qgdnv.at[gd_comp[1]].set(gd.ut)
-    qgdnv = qgdnv.at[gd_comp[2]].set(gd.utt)
-    qgdnv = qgdnv.at[L.GDPRES].set(gd.p)
-    qgdnv = qgdnv.at[L.GDGAME].set(
-        gd.p / jnp.maximum(gd.rhoe, jnp.finfo(gd.p.dtype).tiny) + 1.0)
+    gcomps = [None] * L.NGDNV
+    gcomps[L.GDRHO] = gd.rho
+    gd_comp = {0: (L.GDU, L.GDV, L.GDW), 1: (L.GDV, L.GDU, L.GDW),
+               2: (L.GDW, L.GDU, L.GDV)}[d]
+    gcomps[gd_comp[0]] = un
+    gcomps[gd_comp[1]] = gd.ut
+    gcomps[gd_comp[2]] = gd.utt
+    gcomps[L.GDPRES] = gd.p
+    gcomps[L.GDGAME] = gd.p / jnp.maximum(
+        gd.rhoe, jnp.finfo(gd.p.dtype).tiny) + 1.0
+    for i, cpn in enumerate(gcomps):
+        if cpn is None:
+            gcomps[i] = zero
+    qgdnv = jnp.stack(gcomps)
     return flux, qgdnv
 
 
 def cmpflx(qm, qp, qaux, d, layout, coord, riemann_solver=0,
            small_dens=1e-200, small_pres=1e-200, bnd_mask=None,
-           hybrid_riemann=False, shk=None):
+           hybrid_riemann=False, shk=None, use_pallas=False):
     """Riemann solve + flux on every face (reference `cmpflx_plus_godunov`,
     `Source/hydro/riemann.cpp:16`). With hybrid_riemann, faces inside
-    detected shocks use the HLLE flux (carbuncle suppression)."""
+    detected shocks use the HLLE flux (carbuncle suppression).
+
+    use_pallas routes the pointwise solve through the fused TPU kernel
+    (one VMEM pass instead of several XLA fusions)."""
     L = layout
+    if (use_pallas and bnd_mask is None and not hybrid_riemann
+            and riemann_solver in (0, 2)):
+        from castro_tpu.ops.pallas_kernels import cmpflx_pallas
+
+        ax = d
+        c = qaux[L.QC]
+        g = qaux[L.QGAMC]
+        return cmpflx_pallas(qm, qp, shifted(g, -1, ax), g,
+                             shifted(c, -1, ax), c, d, layout, coord,
+                             riemann_solver, small_dens, small_pres)
     ri = load_inputs(qm, qp, qaux, d, layout, small_dens)
     if riemann_solver == 0:
         gd = riemannus(ri, small_dens, small_pres)

@@ -181,11 +181,62 @@ def _trans_apply(q_face, cell_shift, n_ax, terms, qaux, layout,
     return out
 
 
+def _term_bundle(terms, qaux, n_ax, cell_shift, layout, radial_fix_cdtdx=None):
+    """Precompute the summed transverse bundle (dflux [NVAR], dreint_extra,
+    dp) registered at the target state's cell (for the fused Pallas apply).
+    Cartesian-only (no RZ area weighting)."""
+    L = layout
+    import jax.numpy as jnp
+
+    def C(arr, t_ax=None, t_off=0):
+        out = arr
+        comp_off = out.ndim - (qaux.ndim - 1)
+        if t_off:
+            out = shifted(out, t_off, comp_off + t_ax)
+        if cell_shift:
+            out = shifted(out, cell_shift, comp_off + n_ax)
+        return out
+
+    gamc = C(qaux[L.QGAMC])
+    dflux = 0.0
+    dre = 0.0
+    dp = 0.0
+    for t in terms:
+        F, qe, t_ax, cdtdx = t["flux"], t["qe"], t["t_ax"], t["cdtdx"]
+        gdu_comp = (L.GDU, L.GDV, L.GDW)[t["t_dir"]]
+        dflux = dflux + cdtdx * (C(F, t_ax=t_ax, t_off=1) - C(F, t_ax=t_ax))
+        pgm = C(qe[L.GDPRES], t_ax=t_ax)
+        pgp = C(qe[L.GDPRES], t_ax=t_ax, t_off=1)
+        ugm = C(qe[gdu_comp], t_ax=t_ax)
+        ugp = C(qe[gdu_comp], t_ax=t_ax, t_off=1)
+        dup = pgp * ugp - pgm * ugm
+        du = ugp - ugm
+        pav = 0.5 * (pgp + pgm)
+        dre = dre + cdtdx * pav * du
+        dp = dp + cdtdx * (dup + pav * du * (gamc - 1.0))
+        if t.get("radial_p_fix", False):
+            dflux = dflux.at[L.UMX].add(cdtdx * (pgp - pgm))
+    return dflux, dre, dp
+
+
 def trans_single(qm, qp, flux_t, qe_t, qaux, n_dir, t_dir, cdtdx, layout,
                  small_pres, reset_density=True, reset_rhoe=False,
-                 geom_terms: Optional[dict] = None, radial_p_fix=False, hdt=None):
+                 geom_terms: Optional[dict] = None, radial_p_fix=False,
+                 hdt=None, use_pallas=False):
     """Single transverse correction of both interface states
     (reference `trans_single`, trans.cpp:15)."""
+    if use_pallas and geom_terms is None and not radial_p_fix:
+        from castro_tpu.ops.pallas_kernels import trans_apply_pallas
+
+        term = {"flux": flux_t, "qe": qe_t, "t_ax": t_dir, "t_dir": t_dir,
+                "cdtdx": cdtdx}
+        out = []
+        for q_face, cshift in ((qp, 0), (qm, -1)):
+            df, dre, dp = _term_bundle([term], qaux, n_dir, cshift, layout)
+            out.append(trans_apply_pallas(q_face, df, dre, dp, layout,
+                                          small_pres, reset_density,
+                                          reset_rhoe))
+        return out[1], out[0]
     n_ax, t_ax = n_dir, t_dir
     base = {
         "flux": flux_t,
@@ -208,8 +259,25 @@ def trans_single(qm, qp, flux_t, qe_t, qaux, n_dir, t_dir, cdtdx, layout,
 
 def trans_final(qm, qp, flux_t1, qe_t1, flux_t2, qe_t2, qaux,
                 n_dir, t1_dir, t2_dir, cdtdx_t1, cdtdx_t2, layout,
-                small_pres, reset_density=True, reset_rhoe=False):
+                small_pres, reset_density=True, reset_rhoe=False,
+                use_pallas=False):
     """Double transverse correction (reference `trans_final`, trans.cpp:442)."""
+    if use_pallas:
+        from castro_tpu.ops.pallas_kernels import trans_apply_pallas
+
+        terms_p = [
+            {"flux": flux_t1, "qe": qe_t1, "t_ax": t1_dir, "t_dir": t1_dir,
+             "cdtdx": cdtdx_t1},
+            {"flux": flux_t2, "qe": qe_t2, "t_ax": t2_dir, "t_dir": t2_dir,
+             "cdtdx": cdtdx_t2},
+        ]
+        out = []
+        for q_face, cshift in ((qp, 0), (qm, -1)):
+            df, dre, dp = _term_bundle(terms_p, qaux, n_dir, cshift, layout)
+            out.append(trans_apply_pallas(q_face, df, dre, dp, layout,
+                                          small_pres, reset_density,
+                                          reset_rhoe))
+        return out[1], out[0]
     terms = [
         {"flux": flux_t1, "qe": qe_t1, "t_ax": t1_dir, "t_dir": t1_dir,
          "cdtdx": cdtdx_t1, "hdt": None},
