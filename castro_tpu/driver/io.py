@@ -58,15 +58,26 @@ def write_job_info(path, sim):
         f.write(json.dumps(_params_dict(sim.params), indent=1, default=str))
 
 
-def write_checkpoint(sim, path: Optional[str] = None):
-    """Exact-restart checkpoint (reference Castro::checkPoint)."""
+def write_checkpoint(sim, path: Optional[str] = None, async_writer=None):
+    """Exact-restart checkpoint (reference Castro::checkPoint).
+
+    With async_writer (castro_tpu.utils.native.AsyncWriter) the state blob
+    is handed to the native threaded writer (CRC32-stamped) and the call
+    returns without blocking on disk — the VisMF-async analog."""
     if path is None:
         path = f"{sim.params.amr.check_file}{sim.step_count:05d}"
     os.makedirs(path, exist_ok=True)
-    np.savez_compressed(
-        os.path.join(path, "state.npz"),
-        u=np.asarray(sim.u),
-    )
+    if async_writer is not None:
+        import io as _io
+
+        buf = _io.BytesIO()
+        np.save(buf, np.asarray(sim.u))
+        async_writer.submit(os.path.join(path, "state.cio"), buf.getvalue())
+    else:
+        np.savez_compressed(
+            os.path.join(path, "state.npz"),
+            u=np.asarray(sim.u),
+        )
     meta = {
         "version": CHECKPOINT_VERSION,
         "time": sim.t,
@@ -99,8 +110,17 @@ def restart(sim, path: str, reset_time: Optional[float] = None,
         raise ValueError(
             "checkpoint state variables do not match this build: "
             f"{meta['state_variables']} vs {list(sim.layout.cons_names)}")
-    data = np.load(os.path.join(path, "state.npz"))
-    sim.u = jnp.asarray(data["u"], dtype=sim.dtype)
+    cio_path = os.path.join(path, "state.cio")
+    if os.path.exists(cio_path):
+        import io as _io
+
+        from castro_tpu.utils.native import read_blob
+
+        u = np.load(_io.BytesIO(read_blob(cio_path)))
+        sim.u = jnp.asarray(u, dtype=sim.dtype)
+    else:
+        data = np.load(os.path.join(path, "state.npz"))
+        sim.u = jnp.asarray(data["u"], dtype=sim.dtype)
     sim.t = meta["time"] if reset_time is None else reset_time
     sim.step_count = meta["step"] if reset_step is None else reset_step
     sim.dt = meta["dt"]

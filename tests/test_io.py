@@ -99,3 +99,47 @@ def test_all_derives_evaluate(tmp_path):
         out = np.asarray(fn(sim, ui))
         assert out.shape == (64,), name
         assert np.isfinite(out).all(), name
+
+
+def test_native_async_checkpoint(tmp_path):
+    """Native threaded writer: checkpoint written off-thread, CRC verified
+    on restart, corruption detected (cpp/castro_io.cpp)."""
+    from castro_tpu.utils import native
+
+    lib = native.get_lib()
+    assert lib is not None, "native castro_io failed to build"
+
+    sim = make_sim(str(tmp_path))
+    sim.run(stop_time=0.02, verbose=False)
+    w = native.AsyncWriter(2)
+    path = cio.write_checkpoint(sim, str(tmp_path / "chk_async"),
+                                async_writer=w)
+    w.wait()
+    assert w.ok()
+
+    sim2 = make_sim(str(tmp_path))
+    cio.restart(sim2, path)
+    assert np.array_equal(np.asarray(sim2.u), np.asarray(sim.u))
+
+    # corrupt one byte -> checksum failure on restart
+    blob = (tmp_path / "chk_async" / "state.cio")
+    raw = bytearray(blob.read_bytes())
+    raw[40] ^= 0xFF
+    blob.write_bytes(bytes(raw))
+    sim3 = make_sim(str(tmp_path))
+    with pytest.raises(ValueError):
+        cio.restart(sim3, path)
+
+
+def test_async_writer_many_files(tmp_path):
+    from castro_tpu.utils import native
+
+    w = native.AsyncWriter(4)
+    blobs = {f"f{i}": bytes(np.random.default_rng(i).integers(
+        0, 255, 10000, dtype=np.uint8)) for i in range(16)}
+    for name, b in blobs.items():
+        w.submit(str(tmp_path / name), b)
+    w.wait()
+    assert w.ok()
+    for name, b in blobs.items():
+        assert native.read_blob(str(tmp_path / name)) == b
