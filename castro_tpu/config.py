@@ -414,14 +414,15 @@ def _coerce(value_tokens, ftype):
         if elem is str:
             return tuple(str(v) for v in value_tokens)
         return tuple(value_tokens)
-    v = value_tokens[0] if len(value_tokens) == 1 else value_tokens
+    # scalar field: ParmParse-style, take the first token if several
+    v = value_tokens[0]
     if ftype is float:
         return float(v)
     if ftype is int:
-        return int(v)
+        return int(float(v))
     if ftype is str:
         return str(v)
-    return v
+    return v if len(value_tokens) == 1 else value_tokens
 
 
 def parse_inputs_text(text: str, base: Optional[Params] = None) -> Params:
