@@ -93,3 +93,28 @@ def clean_state(u, layout, eos, small_dens=1e-200, small_temp=1e-200,
     u = reset_internal_energy(u, layout, eos, dual_energy_eta2, small_temp)
     u = compute_temp(u, layout, eos, small_temp)
     return u
+
+
+def update_hybrid_momenta(u, layout, geom, ng):
+    """Keep the hybrid momenta (radial/angular/perpendicular about the
+    domain center, reference `Source/hydro/hybrid.H:1-162`
+    linear_to_hybrid) consistent with the linear momenta.
+
+    Round-1 parity note: the reference can optionally advect these
+    independently for exact angular-momentum conservation
+    (hybrid_hydro); here they are derived fields refreshed every clean."""
+    L = layout
+    if not L.hybrid_momentum:
+        return u
+    dim = L.dim
+    center = [0.5 * (geom.prob_lo[d] + geom.prob_hi[d]) for d in range(dim)]
+    shape = u.shape[1:]
+    x = jnp.broadcast_to(geom.cell_centers(0, ng) - center[0], shape)
+    y = (jnp.broadcast_to(geom.cell_centers(1, ng) - center[1], shape)
+         if dim > 1 else jnp.zeros(shape, u.dtype))
+    px, py, pz = u[L.UMX], u[L.UMY], u[L.UMZ]
+    R = jnp.maximum(jnp.sqrt(x * x + y * y), 1e-30)
+    u = u.at[L.UMR].set((x * px + y * py) / R)
+    u = u.at[L.UML].set(x * py - y * px)
+    u = u.at[L.UMP].set(pz)
+    return u

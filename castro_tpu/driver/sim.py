@@ -179,6 +179,9 @@ class Simulation:
             small_dens=self.cfg.small_dens, small_temp=max(c.small_temp, 1e-200),
             dual_energy_eta2=c.dual_energy_eta2,
             do_normalize_species=bool(c.normalize_species))
+        if self.layout.hybrid_momentum:
+            u = clean_mod.update_hybrid_momenta(u, self.layout, self.geom,
+                                                self.ng)
         u = self._fill(u)
         return u
 
