@@ -59,8 +59,17 @@ def problem_init(sim, u, center=None):
     w = 0.5 * dx_min
     inside = 0.5 * (1.0 - jnp.tanh((r - r_init) / w))
 
+    # renormalize so the smoothed profile deposits EXACTLY exp_energy
+    # (the reference achieves the same with nsub^d subsampling per zone)
+    from castro_tpu.ops.stencil import interior_slice
+
+    vol = jnp.broadcast_to(g.volume(sim.ng), inside.shape)
+    inner = interior_slice(sim.ng, dim, comp_ndim=0)
+    e_raw = jnp.sum((e_in * inside * vol)[inner])
+    scale = pp["exp_energy"] / jnp.maximum(e_raw, 1e-300)
+
     gamma = sim.eos.gamma
-    p_in = (gamma - 1.0) * e_in
+    p_in = (gamma - 1.0) * e_in * scale
     p = pp["p_ambient"] + (p_in - pp["p_ambient"]) * inside
     rho = jnp.full(r.shape, pp["dens_ambient"])
     return fill_from_prim(sim, u, rho, (0.0, 0.0, 0.0), p=p)
