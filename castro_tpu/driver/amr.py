@@ -110,12 +110,14 @@ class AmrSimulation:
         self.masks[0] = jnp.ones(self.sims[0].geom.n_cell, bool)
         for l in range(self.max_level):
             self.masks[l + 1] = jnp.zeros(self.sims[l + 1].geom.n_cell, bool)
-        self.regrid()
-        # problem data is exact everywhere at t=0; masks just mark validity
+        # problem data is exact everywhere at t=0: tag, but do not replace
+        # fine data with prolonged coarse data (reference Amr::init does the
+        # same — initData per level, then grids)
+        self.regrid(fill_new=False)
         return self
 
     # ------------------------------------------------------------------ regrid
-    def regrid(self):
+    def regrid(self, fill_new=True):
         """Re-tag every level (reference Amr regrid; ratio-2 dense masks)."""
         for l in range(self.max_level):
             sim = self.sims[l]
@@ -126,7 +128,7 @@ class AmrSimulation:
             new_mask = prolong_mask(tags, sim.layout.dim)
             fsim = self.sims[l + 1]
             newly = new_mask & ~self.masks[l + 1]
-            if self.u[l + 1] is not None:
+            if self.u[l + 1] is not None and fill_new:
                 # fill newly-refined cells from the coarse level
                 coarse_int = self.u[l][interior_slice(sim.ng, sim.layout.dim)]
                 fine_from_coarse = prolong(coarse_int, sim.layout.dim)

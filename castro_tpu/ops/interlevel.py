@@ -29,12 +29,18 @@ def prolong(c, dim, comp_axes=1, conservative=True):
     """Coarse -> fine (ratio 2), limited-linear, mean-preserving.
 
     c: [..., n1, n2, ...] with `comp_axes` leading non-spatial axes.
-    fine child values: c -/+ slope/4 along each dim."""
+    fine child values: c + sum_d (+-1/4) slope_d with ALL slopes limited on
+    the coarse field (like AMReX CellConservativeLinear). Computing every
+    slope from the coarse data — rather than nesting per-dimension passes —
+    keeps the operator symmetric under axis exchange (the nested variant
+    breaks transpose symmetry when limiters fire)."""
+    slopes = ([_mc_slope(c, comp_axes + d) for d in range(dim)]
+              if conservative else None)
     out = c
     for d in range(dim):
         ax = comp_axes + d
         if conservative:
-            sl = _mc_slope(out, ax)
+            sl = slopes[d]
             lo = out - 0.25 * sl
             hi = out + 0.25 * sl
         else:
@@ -42,6 +48,10 @@ def prolong(c, dim, comp_axes=1, conservative=True):
         st = jnp.stack([lo, hi], axis=ax + 1)
         shape = st.shape[:ax] + (2 * out.shape[ax],) + st.shape[ax + 2:]
         out = st.reshape(shape)
+        if conservative:
+            # upsample the not-yet-applied slopes along this axis
+            for k in range(d + 1, dim):
+                slopes[k] = jnp.repeat(slopes[k], 2, axis=ax)
     return out
 
 
