@@ -195,7 +195,15 @@ class Simulation:
         dt = estdt_cfl(u, self.layout, self.eos, self.geom, self.ng, c.cfl)
         dt_b = estdt_burning(u, self.layout, self.eos, self.network, self.ng,
                              c.dtnuc_e, c.dtnuc_X, c.dtnuc_X_threshold)
-        return jnp.minimum(dt, dt_b)
+        dt = jnp.minimum(dt, dt_b)
+        diff_src = next((s for s in self.source_fns
+                         if getattr(s, "name", "") == "diff"), None)
+        if diff_src is not None:
+            from castro_tpu.driver.timestep import estdt_temp_diffusion
+
+            dt = jnp.minimum(dt, estdt_temp_diffusion(
+                u, self.layout, self.eos, self.geom, self.ng, diff_src))
+        return dt
 
     def estimate_dt(self) -> float:
         c = self.params.castro
@@ -241,9 +249,14 @@ class Simulation:
                 src_old = src_old + fn(self, u, q, qaux, t, dt)
         srcQ = None if src_old is None else src_to_prim(q, qaux, src_old, L)
 
-        hsrc, fluxes, qes, shk = ctu_hydro(u, q, qaux, srcQ, dt, self.geom,
-                                           L, self.cfg)
-        u_new = u + dt * hsrc
+        if c.do_hydro:
+            hsrc, fluxes, qes, shk = ctu_hydro(u, q, qaux, srcQ, dt,
+                                               self.geom, L, self.cfg)
+            u_new = u + dt * hsrc
+        else:  # source-only evolution (reference castro.do_hydro=0)
+            fluxes = [jnp.zeros_like(u) for _ in range(L.dim)]
+            qes, shk = None, None
+            u_new = u
         if src_old is not None:
             u_new = u_new + dt * src_old
 

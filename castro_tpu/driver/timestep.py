@@ -52,3 +52,23 @@ def estdt_burning(u, layout, eos, network, ng, dtnuc_e, dtnuc_X, dtnuc_X_thresho
         dt = jnp.minimum(dt, dtnuc_X * jnp.min(
             jnp.where(big, xn, jnp.inf) / jnp.maximum(rate, 1e-50)))
     return dt
+
+
+def estdt_temp_diffusion(u, layout, eos, geom, ng, diffusion_src, cfl=0.5):
+    """Explicit-conduction stability limit dt <= 0.5 dx^2/D with
+    D = k/(rho c_v) (reference `estdt_temp_diffusion`, timestep.cpp:262)."""
+    if diffusion_src is None:
+        return jnp.inf
+    L = layout
+    inner = interior_slice(ng, L.dim, comp_ndim=1)
+    ui = u[inner]
+    rho = ui[L.URHO]
+    T = ui[L.UTEMP]
+    xn = ui[L.UFS : L.UFS + L.nspec] / rho[None]
+    es = eos.re(rho=rho, e=ui[L.UEINT] / rho, xn=xn)
+    k = diffusion_src.conductivity(rho, T)
+    D = k / jnp.maximum(rho * es.cv, 1e-300)
+    dt = jnp.inf
+    for d in range(L.dim):
+        dt = jnp.minimum(dt, jnp.min(0.5 * geom.dx[d] ** 2 / jnp.maximum(D, 1e-300)))
+    return cfl * dt

@@ -44,8 +44,6 @@ def trace_plm(q, qaux, srcQ, flatn, d, dt, dx_d, layout, small_dens,
     else:
         dp = uslope(p, flatn, ax, order)
 
-    h = (rhoe + p) / (rho * csq)
-
     # characteristic amplitudes alpha_k = l_k . dq
     alpham = 0.5 * (dp / (rho * cc) - dun) * rho / cc
     alphap = 0.5 * (dp / (rho * cc) + dun) * rho / cc

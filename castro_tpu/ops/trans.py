@@ -38,12 +38,12 @@ def _trans_apply(q_face, cell_shift, n_ax, terms, qaux, layout,
       t_ax   : transverse spatial axis (grid axis index)
       t_dir  : transverse direction index (0/1/2) for GDU lookup
       cdtdx  : scalar dt factor
-      area_lo/area_hi/volinv : optional RZ metric arrays (cell-registered
-               after shifting), already divided appropriately; if None,
-               plain cdtdx differencing is used.
-    radial_p_fix: None or (qe, cdtdx, t_dir) — subtract cdtdx*(pgp-pgm) from
-      the radial momentum when the radial flux lacks the pressure term
-      (2D RZ, trans.cpp:303-306).
+      area/vol : optional 2D-RZ metric arrays (area face-registered along
+               t_ax, vol cell-registered; hdt weighting used instead of
+               cdtdx)
+      radial_p_fix : subtract cdtdx*(pgp-pgm) from the radial momentum when
+               the radial flux lacks the pressure term (2D RZ,
+               trans.cpp:303-306)
     """
     L = layout
 

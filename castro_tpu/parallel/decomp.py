@@ -13,7 +13,6 @@ arrays are global-position-dependent).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

@@ -24,7 +24,6 @@ dirichlet ghost = 2*f - interior; neumann ghost = interior.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -200,11 +199,6 @@ def _coarsen_face_coef(b, d):
             new_shape = out.shape[:k] + (n // 2, 2) + out.shape[k + 1:]
             out = out.reshape(new_shape).mean(axis=k + 1)
     return out
-
-
-def _coarse_bc(bc):
-    # same types on coarse levels, but Dirichlet becomes homogeneous
-    return bc
 
 
 def solve(rhs, dx, *, acoef=None, bcoefs=None, alpha=0.0, beta=1.0,
