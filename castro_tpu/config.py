@@ -338,6 +338,7 @@ class TpuParams:
     mesh_axes: Tuple[str, ...] = ("mx", "my", "mz")
     patch_size: int = 32  # AMR fixed patch edge length (cells)
     donate_state: int = 1
+    profile: int = 0  # phase timers (TinyProfiler analog)
 
 
 @dataclass(frozen=True)

@@ -459,17 +459,25 @@ class Simulation:
                 for lg in loggers:
                     lg.log(sums)
 
+        from castro_tpu.utils import profiler
+
+        if self.params.tpu.profile:
+            profiler.enable()
+
         wall0 = time.time()
         while self.step_count < max_step and self.t < stop_time * (1 - 1e-12):
-            dt = self.estimate_dt()
+            with profiler.profile("estTimeStep"):
+                dt = self.estimate_dt()
             if self.t + dt > stop_time:
                 dt = stop_time - self.t
-            taken = self.advance(dt)
+            with profiler.profile("Castro::advance", sync=self.u):
+                taken = self.advance(dt)
             self.dt = taken
             self.step_count += 1
             if verbose:
                 print(f"STEP {self.step_count} t={self.t:.6e} dt={taken:.6e}")
-            maybe_io()
+            with profiler.profile("io"):
+                maybe_io()
             for cb in callbacks:
                 cb(self)
         wall = time.time() - wall0

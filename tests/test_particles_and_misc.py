@@ -144,3 +144,43 @@ def test_hybrid_momentum_slots():
     # angular momentum drift stays small over the short run (periodic
     # boxes don't conserve L about a fixed center exactly)
     assert abs(ui[L.UML].sum() - aml0) < 0.1 * abs(aml0)
+
+
+def test_model_parser(tmp_path):
+    """Initial-model file reader (Util/model_parser_cxx analog)."""
+    from castro_tpu.utils.model_parser import InitialModel
+
+    path = tmp_path / "model.hse"
+    path.write_text("""# npts = 4
+# num of variables = 3
+# density
+# temperature
+# pressure
+1.0  10.0 2e8 1e22
+2.0   8.0 1e8 5e21
+3.0   4.0 5e7 1e21
+4.0   1.0 1e7 1e20
+""")
+    m = InitialModel.from_file(str(path))
+    assert m.names == ["density", "temperature", "pressure"]
+    assert np.isclose(m.interpolate("density", np.array([1.5]))[0], 9.0)
+    # clamped outside the model
+    assert np.isclose(m.interpolate("density", np.array([10.0]))[0], 1.0)
+
+
+def test_profiler_report(capsys):
+    from castro_tpu.utils import profiler
+
+    profiler.reset()
+    profiler.enable()
+    with profiler.profile("phase_a"):
+        sum(range(1000))
+    with profiler.profile("phase_a"):
+        pass
+    import io as _io
+
+    buf = _io.StringIO()
+    profiler.report(out=buf)
+    text = buf.getvalue()
+    assert "phase_a" in text
+    profiler.reset()
