@@ -63,3 +63,45 @@ def test_sedov_1d_spherical_vs_analytic():
     vol = np.asarray(sim.geom.volume(0)).ravel()
     E_tot = float((ui[L.UEDEN] * vol).sum())
     assert abs(E_tot - 1.0) < 0.01, E_tot
+
+
+def test_sedov_2d_rz_matches_1d_spherical():
+    """Spherical blast in 2D cylindrical (r,z) coordinates (reference
+    inputs.2d.sph_in_cylcoords): the radial profile must match the 1D
+    spherical run — exercises the RZ metric terms in the transverse
+    corrections and consup."""
+    import jax.numpy as jnp
+    from castro_tpu.problems.util import fill_from_prim
+
+    n = 64
+    stop = 0.01
+    # 1D spherical reference
+    p1 = sedov.make_params(n=n, dim=1, coord=2, stop_time=stop,
+                           r_init=0.1, p_ambient=1e-5, exp_energy=1.0)
+    p1 = p1.with_ns("castro", lo_bc=(3,), hi_bc=(2,), cfl=0.4)
+    s1 = Simulation(p1, problem_init=lambda s, u: sedov.problem_init(
+        s, u, center=(0.0,)))
+    s1.run(verbose=False)
+    rho1 = np.asarray(s1.interior())[0]
+    r1 = np.asarray(s1.geom.cell_centers_1d(0, 0))
+
+    # 2D RZ: r in [0,1], z in [-1,1], blast at the origin (on the axis)
+    p2 = sedov.make_params(n=n, dim=2, coord=1, stop_time=stop,
+                           r_init=0.1, p_ambient=1e-5, exp_energy=1.0)
+    p2 = p2.with_ns("geometry", coord_sys=1, prob_lo=(0.0, -1.0, 0.0),
+                    prob_hi=(1.0, 1.0, 0.0))
+    p2 = p2.with_ns("amr", n_cell=(n, 2 * n))
+    p2 = p2.with_ns("castro", lo_bc=(3, 2), hi_bc=(2, 2), cfl=0.4)
+    s2 = Simulation(p2, problem_init=lambda s, u: sedov.problem_init(
+        s, u, center=(0.0, 0.0)))
+    s2.run(verbose=False)
+    u2 = np.asarray(s2.interior())
+    # the z=0 midplane radial cut (average the two rows straddling z=0)
+    rho2 = 0.5 * (u2[0][:, n - 1] + u2[0][:, n])
+
+    err = np.abs(rho2 - rho1).mean() / rho1.mean()
+    assert err < 0.05, err
+    # peak positions agree within 2 cells
+    assert abs(np.argmax(rho2) - np.argmax(rho1)) <= 2
+    # z-reflection symmetry of the RZ run
+    assert np.allclose(u2[0], u2[0][:, ::-1], rtol=1e-8, atol=1e-10)
