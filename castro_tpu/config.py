@@ -103,6 +103,7 @@ class CastroParams:
     fourth_order: int = 0
     limit_fluxes_on_small_dens: int = 0
     speed_limit: float = 0.0
+    check_cfl_violation: int = 1  # retry when courant > 1 (Castro_hydro.cpp:234)
     hydro_memory_footprint_ratio: float = -1.0
     # -- state cleaning / floors
     small_dens: float = 1.0e-200

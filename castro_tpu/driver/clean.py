@@ -84,10 +84,32 @@ def compute_temp(u, layout, eos, small_temp=1e-200):
     return u.at[L.UTEMP].set(T)
 
 
+def enforce_speed_limit(u, layout, speed_limit):
+    """Cap |v| at castro.speed_limit, removing the corresponding kinetic
+    energy (reference Castro::enforce_speed_limit, Castro.cpp:3050)."""
+    L = layout
+    rho = u[L.URHO]
+    rhoinv = 1.0 / rho
+    v2 = 0.0
+    for UM in (L.UMX, L.UMY, L.UMZ):
+        v2 = v2 + (u[UM] * rhoinv) ** 2
+    v = jnp.sqrt(v2)
+    fac = jnp.where(v > speed_limit, speed_limit / jnp.maximum(v, 1e-300),
+                    1.0)
+    ke_old = 0.5 * rho * v2
+    for UM in (L.UMX, L.UMY, L.UMZ):
+        u = u.at[UM].multiply(fac)
+    u = u.at[L.UEDEN].add(-(ke_old - ke_old * fac * fac))
+    return u
+
+
 def clean_state(u, layout, eos, small_dens=1e-200, small_temp=1e-200,
-                dual_energy_eta2=1e-4, do_normalize_species=True):
+                dual_energy_eta2=1e-4, do_normalize_species=True,
+                speed_limit=0.0):
     """Full ladder (reference `Castro::clean_state`, Castro.cpp:4238)."""
     u = enforce_min_density(u, layout, small_dens, small_temp, eos)
+    if speed_limit > 0.0:
+        u = enforce_speed_limit(u, layout, speed_limit)
     if do_normalize_species and layout.nspec > 0:
         u = normalize_species(u, layout)
     u = reset_internal_energy(u, layout, eos, dual_energy_eta2, small_temp)

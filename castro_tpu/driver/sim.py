@@ -33,6 +33,49 @@ from castro_tpu.state import layout_from_params
 from castro_tpu.ops.stencil import interior_slice
 
 
+def _ctx_tolerant(fn):
+    """Wrap a source callable that predates the ctx protocol so the driver
+    can always pass ctx= (user ext_src hooks)."""
+    import inspect
+
+    try:
+        sig = inspect.signature(fn.__call__ if not inspect.isfunction(fn)
+                                and not inspect.ismethod(fn) else fn)
+        params = sig.parameters
+        if "ctx" in params or any(p.kind == p.VAR_KEYWORD
+                                  for p in params.values()):
+            return fn
+    except (TypeError, ValueError):
+        pass
+
+    def wrapped(sim, u, q, qaux, t, dt, ctx=None):
+        return fn(sim, u, q, qaux, t, dt)
+
+    wrapped.name = getattr(fn, "name", getattr(fn, "__name__", "ext"))
+    return wrapped
+
+
+class StepCtx:
+    """Execution context for one step: how to fill ghosts, how to reduce
+    globally, and the (possibly shard-local) geometry.
+
+    The default context is the single-device whole-domain one; the sharded
+    path (`castro_tpu/parallel/decomp.py`) substitutes halo-exchange fills,
+    collective reductions, and a shard-local geometry view so the SAME
+    `_step_impl` runs under `shard_map` (the reference achieves this with
+    ubiquitous `ParallelDescriptor` calls — SURVEY.md §2.8 P1/P2)."""
+
+    __slots__ = ("fill", "pmin", "pany", "psum", "geom", "axis_names")
+
+    def __init__(self, fill, pmin, pany, psum, geom, axis_names=()):
+        self.fill = fill
+        self.pmin = pmin
+        self.pany = pany
+        self.psum = psum
+        self.geom = geom
+        self.axis_names = axis_names
+
+
 @dataclass
 class StepStatus:
     min_rho: float
@@ -132,6 +175,9 @@ class Simulation:
             pslope_cutoff_density=c.pslope_cutoff_density,
             use_pallas=(jax.default_backend() == "tpu"
                         and params.tpu.dtype != "float64"),
+            limit_fluxes_on_small_dens=bool(c.limit_fluxes_on_small_dens),
+            speed_limit=c.speed_limit,
+            cfl=c.cfl,
             lo_bc=tuple(c.lo_bc[: self.layout.dim]),
             hi_bc=tuple(c.hi_bc[: self.layout.dim]),
             ng=self.ng,
@@ -143,6 +189,13 @@ class Simulation:
         self.u = None
         self.num_zones_advanced = 0  # FOM accounting (main.cpp:169-214)
         self.keep_fluxes = False  # AMR refluxing needs the face fluxes
+
+        # default single-device context; psum is the cross-shard elementwise
+        # sum — identity with one shard
+        self._default_ctx = StepCtx(
+            fill=self._fill, pmin=jnp.min, pany=lambda b: b,
+            psum=lambda x: x, geom=self.geom, axis_names=())
+        self.source_fns = [_ctx_tolerant(fn) for fn in self.source_fns]
 
         self._jit_step = jax.jit(self._step_impl)
         self._jit_estdt = jax.jit(self._estdt_impl)
@@ -172,28 +225,31 @@ class Simulation:
             self.u_rad = C.a_rad * Ti**4
         return self.u
 
-    def _clean_fill_impl(self, u):
+    def _clean_fill_impl(self, u, ctx: Optional[StepCtx] = None, t=0.0):
+        ctx = ctx or self._default_ctx
         c = self.params.castro
         u = clean_mod.clean_state(
             u, self.layout, self.eos,
             small_dens=self.cfg.small_dens, small_temp=max(c.small_temp, 1e-200),
             dual_energy_eta2=c.dual_energy_eta2,
-            do_normalize_species=bool(c.normalize_species))
+            do_normalize_species=bool(c.normalize_species),
+            speed_limit=c.speed_limit)
         if self.layout.hybrid_momentum:
-            u = clean_mod.update_hybrid_momenta(u, self.layout, self.geom,
+            u = clean_mod.update_hybrid_momenta(u, self.layout, ctx.geom,
                                                 self.ng)
-        u = self._fill(u)
+        u = ctx.fill(u, t)
         return u
 
-    def _fill(self, u):
+    def _fill(self, u, t=0.0):
         return fill_ghosts(u, self.layout, self.cfg.lo_bc, self.cfg.hi_bc,
-                           self.ng, problem_fill=self.problem_fill)
+                           self.ng, problem_fill=self.problem_fill, t=t)
 
     # -- dt ------------------------------------------------------------------
-    def _estdt_impl(self, u):
+    def _estdt_impl(self, u, Er=None):
         c = self.params.castro
-        dt = estdt_cfl(u, self.layout, self.eos, self.geom, self.ng, c.cfl)
-        dt_b = estdt_burning(u, self.layout, self.eos, self.network, self.ng,
+        L = self.layout
+        dt = estdt_cfl(u, L, self.eos, self.geom, self.ng, c.cfl)
+        dt_b = estdt_burning(u, L, self.eos, self.network, self.ng,
                              c.dtnuc_e, c.dtnuc_X, c.dtnuc_X_threshold)
         dt = jnp.minimum(dt, dt_b)
         diff_src = next((s for s in self.source_fns
@@ -202,14 +258,28 @@ class Simulation:
             from castro_tpu.driver.timestep import estdt_temp_diffusion
 
             dt = jnp.minimum(dt, estdt_temp_diffusion(
-                u, self.layout, self.eos, self.geom, self.ng, diff_src))
+                u, L, self.eos, self.geom, self.ng, diff_src))
+        if self.rad is not None and Er is not None:
+            # matter-radiation coupling limiter (reference estdt_rad,
+            # timestep.cpp:499 / Radiation::EstTimeStep)
+            inner = interior_slice(self.ng, L.dim)
+            ui = u[inner]
+            rho = ui[L.URHO]
+            e = ui[L.UEINT] / rho
+            xn = ui[L.UFS: L.UFS + L.nspec] / rho[None]
+            es = self.eos.re(rho=rho, e=e, xn=xn)
+            Er_tot = jnp.sum(Er, axis=0) if Er.ndim > L.dim else Er
+            dt = jnp.minimum(dt, self.rad.estdt(Er_tot, rho, e, es.cv, es.T))
         return dt
 
     def estimate_dt(self) -> float:
         c = self.params.castro
         if c.fixed_dt > 0:
             return c.fixed_dt
-        dt = float(self._jit_estdt(self.u))
+        if self.rad is not None and self.u_rad is not None:
+            dt = float(self._jit_estdt(self.u, self.u_rad))
+        else:
+            dt = float(self._jit_estdt(self.u))
         if self.step_count == 0:
             if c.initial_dt > 0:
                 dt = c.initial_dt
@@ -220,23 +290,28 @@ class Simulation:
         return min(dt, c.max_dt)
 
     # -- the step --------------------------------------------------------------
-    def _step_impl(self, u, dt, t):
+    def _step_impl(self, u, dt, t, ctx: Optional[StepCtx] = None):
         """One CTU step with Strang-free source handling (reference
         do_advance_ctu, Castro_advance_ctu.cpp:16): old-time sources are
         applied and traced into interface states; new-time sources apply a
         time-centered corrector 0.5*dt*(S_new - S_old)
         (do_old_sources/do_new_sources, Castro_sources.cpp:123,185).
         Returns (u_new, min_rho_raw, nan_flag)."""
+        ctx = ctx or self._default_ctx
         L = self.layout
         c = self.params.castro
-        u = self._fill(u)
+        cfg = self.cfg
+        if any(n is not None for n in ctx.axis_names):
+            # sharded: wall-face masks must know the shard's mesh position
+            cfg = cfg._replace(mesh_axes=tuple(ctx.axis_names))
+        u = ctx.fill(u, t)
 
         burn_fail = jnp.asarray(False)
         if self.reactor is not None:
             shk = u[L.USHK] if L.shock_var else None
             u, _, _, bf = self.reactor.react(u, 0.5 * dt, shk)
             burn_fail = burn_fail | bf
-            u = self._clean_fill_impl(u)
+            u = self._clean_fill_impl(u, ctx, t)
 
         q, qaux = ctoprim(u, L, self.eos, self.cfg.small_dens,
                           max(c.small_temp, 1e-200))
@@ -246,12 +321,12 @@ class Simulation:
         if self.source_fns:
             src_old = jnp.zeros_like(u)
             for fn in self.source_fns:
-                src_old = src_old + fn(self, u, q, qaux, t, dt)
+                src_old = src_old + fn(self, u, q, qaux, t, dt, ctx=ctx)
         srcQ = None if src_old is None else src_to_prim(q, qaux, src_old, L)
 
         if c.do_hydro:
             hsrc, fluxes, qes, shk = ctu_hydro(u, q, qaux, srcQ, dt,
-                                               self.geom, L, self.cfg)
+                                               ctx.geom, L, cfg)
             u_new = u + dt * hsrc
         else:  # source-only evolution (reference castro.do_hydro=0)
             fluxes = [jnp.zeros_like(u) for _ in range(L.dim)]
@@ -261,12 +336,19 @@ class Simulation:
             u_new = u_new + dt * src_old
 
         # validity checks on the raw state (reference density/NaN checks,
-        # Castro_advance_ctu.cpp:64-68,168-216)
+        # Castro_advance_ctu.cpp:64-68,168-216; CFL-violation check,
+        # Castro_hydro.cpp:234 — a courant number > 1 invalidates the CTU
+        # characteristic tracing, so the step must be retried)
         inner = interior_slice(self.ng, L.dim)
-        min_rho = jnp.min(u_new[inner][L.URHO])
-        nan_flag = ~jnp.isfinite(jnp.sum(u_new[inner]))
+        min_rho = ctx.pmin(u_new[inner][L.URHO])
+        nan_flag = ctx.pany(~jnp.isfinite(jnp.sum(u_new[inner])))
+        if c.do_hydro and c.check_cfl_violation:
+            from castro_tpu.ops.advection_util import max_courant
 
-        u_new = self._clean_fill_impl(u_new)
+            courant = max_courant(q, qaux, dt, ctx.geom, L, self.ng)
+            nan_flag = nan_flag | ctx.pany(courant > 1.0)
+
+        u_new = self._clean_fill_impl(u_new, ctx, t + dt)
 
         # new-time source corrector
         if self.source_fns:
@@ -274,16 +356,18 @@ class Simulation:
                                 max(c.small_temp, 1e-200))
             src_new = jnp.zeros_like(u)
             for fn in self.source_fns:
-                src_new = src_new + fn(self, u_new, q2, qaux2, t + dt, dt)
+                src_new = src_new + fn(self, u_new, q2, qaux2, t + dt, dt,
+                                       ctx=ctx)
             u_new = u_new + 0.5 * dt * (src_new - src_old)
-            u_new = self._clean_fill_impl(u_new)
+            u_new = self._clean_fill_impl(u_new, ctx, t + dt)
 
         if self.reactor is not None:
             shk2 = u_new[L.USHK] if L.shock_var else None
             u_new, self_wdot, _, bf2 = self.reactor.react(u_new, 0.5 * dt, shk2)
             burn_fail = burn_fail | bf2
-            u_new = self._clean_fill_impl(u_new)
+            u_new = self._clean_fill_impl(u_new, ctx, t + dt)
 
+        burn_fail = ctx.pany(burn_fail)
         if self.keep_fluxes:
             # interior-face slices for the flux registers: along d faces
             # [ng..ng+n] (n+1 values), other axes interior cells
@@ -359,9 +443,12 @@ class Simulation:
         u_new = self._clean_fill_impl(u_new)
         return u_new, min_rho, nan_flag | burn_fail
 
-    def try_step(self, dt: float):
+    def try_step(self, dt: float, t: Optional[float] = None):
+        """One trial step from time t (defaults to self.t; subcycles pass
+        the advanced substep time so time-dependent sources are correct)."""
+        t = self.t if t is None else t
         if self.sdc is not None:
-            u_new, fail = self._jit_sdc_step(self.u, dt, self.t)
+            u_new, fail = self._jit_sdc_step(self.u, dt, t)
             inner = interior_slice(self.ng, self.layout.dim)
             min_rho = float(jnp.min(u_new[inner][self.layout.URHO]))
             ok_num = bool(jnp.isfinite(jnp.sum(u_new[inner])))
@@ -369,17 +456,17 @@ class Simulation:
                                 burn_fail=bool(fail))
             return u_new, status
         if self.sdc_simplified is not None:
-            u_new, min_rho, nan_flag = self._jit_ssdc_step(self.u, dt, self.t)
+            u_new, min_rho, nan_flag = self._jit_ssdc_step(self.u, dt, t)
             return u_new, StepStatus(min_rho=float(min_rho),
                                      has_nan=bool(nan_flag))
         if self.rad is not None:
             u_new, Er_new, min_rho, nan_flag = self._jit_rad_step(
-                self.u, self.u_rad, dt, self.t)
+                self.u, self.u_rad, dt, t)
             status = StepStatus(min_rho=float(min_rho), has_nan=bool(nan_flag))
             if status.success:
                 self.u_rad = Er_new
             return u_new, status
-        u_new, min_rho, nan_flag = self._jit_step(self.u, dt, self.t)
+        u_new, min_rho, nan_flag = self._jit_step(self.u, dt, t)
         status = StepStatus(min_rho=float(min_rho), has_nan=bool(nan_flag))
         return u_new, status
 
@@ -395,16 +482,18 @@ class Simulation:
             self._count_zones(1)
             return dt
 
-        # retry with subcycling
+        # retry with subcycling (reference retry_advance_ctu: restore the
+        # pre-step state — including radiation — then re-subcycle)
         dt_sub = dt * c.retry_subcycle_factor
         for _ in range(c.max_subcycles):
             t_adv = 0.0
             ok = True
             u_save = self.u
+            u_rad_save = self.u_rad
             nsub = 0
             while t_adv < dt * (1 - 1e-12):
                 step_dt = min(dt_sub, dt - t_adv)
-                u_new, status = self.try_step(step_dt)
+                u_new, status = self.try_step(step_dt, t=self.t + t_adv)
                 if not status.success:
                     ok = False
                     break
@@ -417,6 +506,7 @@ class Simulation:
                 return dt
             # restore and halve again
             self.u = u_save
+            self.u_rad = u_rad_save
             dt_sub *= c.retry_subcycle_factor
             if dt_sub < c.dt_cutoff:
                 break

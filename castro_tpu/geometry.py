@@ -29,7 +29,14 @@ class CoordSys(enum.IntEnum):
 
 @dataclass(frozen=True)
 class Geometry:
-    """Uniform-grid geometry for one level."""
+    """Uniform-grid geometry for one level.
+
+    A *local view* (see `local_view`) describes one shard of a domain-
+    decomposed run: `n_cell` is the local cell count, `n_global` the whole
+    domain's, and `ilo[d]` the global index of local cell 0 along d (may be
+    a traced value inside `shard_map`). Coordinates and metric arrays are
+    then correct for the shard's position; `dx` stays global.
+    """
 
     dim: int
     coord: CoordSys
@@ -37,12 +44,22 @@ class Geometry:
     prob_hi: Tuple[float, ...]
     n_cell: Tuple[int, ...]
     dtype: object = jnp.float32
+    n_global: Tuple[int, ...] = None
+    ilo: Tuple = None
 
     @property
     def dx(self) -> Tuple[float, ...]:
+        n = self.n_global if self.n_global is not None else self.n_cell
         return tuple(
-            (self.prob_hi[d] - self.prob_lo[d]) / self.n_cell[d] for d in range(self.dim)
+            (self.prob_hi[d] - self.prob_lo[d]) / n[d] for d in range(self.dim)
         )
+
+    def local_view(self, n_local: Tuple[int, ...], ilo: Tuple) -> "Geometry":
+        """Shard-local geometry: n_local cells starting at global index ilo."""
+        base = self.n_global if self.n_global is not None else self.n_cell
+        return Geometry(self.dim, self.coord, self.prob_lo, self.prob_hi,
+                        tuple(n_local), self.dtype, n_global=base,
+                        ilo=tuple(ilo))
 
     def refined(self, ratio: int) -> "Geometry":
         return Geometry(
@@ -59,12 +76,16 @@ class Geometry:
         """1D array of cell-center coordinates along axis d, with ng ghosts."""
         dx = self.dx[d]
         i = np.arange(-ng, self.n_cell[d] + ng)
+        if self.ilo is not None:
+            i = jnp.asarray(i, dtype=self.dtype) + self.ilo[d]
         return jnp.asarray(self.prob_lo[d] + (i + 0.5) * dx, dtype=self.dtype)
 
     def faces_1d(self, d: int, ng: int = 0) -> jnp.ndarray:
         """1D array of face coordinates along axis d (n+1 faces), with ng ghosts."""
         dx = self.dx[d]
         i = np.arange(-ng, self.n_cell[d] + ng + 1)
+        if self.ilo is not None:
+            i = jnp.asarray(i, dtype=self.dtype) + self.ilo[d]
         return jnp.asarray(self.prob_lo[d] + i * dx, dtype=self.dtype)
 
     def bshape(self, arr: jnp.ndarray, axis: int) -> jnp.ndarray:

@@ -24,6 +24,49 @@ from castro_tpu.solvers import multigrid as mg
 from castro_tpu.utils import constants as C
 
 
+def _legendre_all(lmax, x):
+    """Associated Legendre P_lm(x) for 0 <= m <= l <= lmax (no
+    Condon-Shortley phase folded into the normalization below). Returns
+    dict[(l, m)] of arrays shaped like x."""
+    P = {}
+    P[(0, 0)] = jnp.ones_like(x)
+    if lmax == 0:
+        return P
+    somx2 = jnp.sqrt(jnp.maximum(1.0 - x * x, 0.0))
+    for m in range(0, lmax + 1):
+        if m > 0:
+            # P_mm = (2m-1)!! somx2^m
+            fact = 1.0
+            for k in range(1, 2 * m, 2):
+                fact *= k
+            P[(m, m)] = fact * somx2 ** m
+        if m + 1 <= lmax:
+            P[(m + 1, m)] = x * (2 * m + 1) * P[(m, m)]
+        for l in range(m + 2, lmax + 1):
+            P[(l, m)] = ((2 * l - 1) * x * P[(l - 1, m)] -
+                         (l + m - 1) * P[(l - 2, m)]) / (l - m)
+    return P
+
+
+def _real_sph_harm(lmax, cost, phi):
+    """Real spherical harmonics Y_lm up to lmax: returns a list of
+    (l, Y) with Y arrays; the (2l+1)/(4 pi) normalization included so
+    phi = -G sum 4pi/(2l+1) q Y / r^(l+1)."""
+    P = _legendre_all(lmax, cost)
+    out = []
+    for l in range(lmax + 1):
+        n0 = math.sqrt((2 * l + 1) / (4.0 * math.pi))
+        out.append((l, n0 * P[(l, 0)]))
+        for m in range(1, l + 1):
+            fac = 1.0
+            for k in range(l - m + 1, l + m + 1):
+                fac *= k
+            nlm = math.sqrt((2 * l + 1) / (2.0 * math.pi) / fac)
+            out.append((l, nlm * P[(l, m)] * jnp.cos(m * phi)))
+            out.append((l, nlm * P[(l, m)] * jnp.sin(m * phi)))
+    return out
+
+
 class Gravity:
     """One object covering the (single) level, like the reference singleton."""
 
@@ -38,32 +81,40 @@ class Gravity:
         self.periodic = all(
             b == 0 for b in params.castro.lo_bc[: geom.dim]
         ) and all(b == 0 for b in params.castro.hi_bc[: geom.dim])
-        self.n_vcycles = 10
+        self.n_vcycles = 50  # max cycles; solves iterate to rtol
+        # MLMG rel_eps analog (Gravity.cpp:3542-3558): tolerance scaled to
+        # the working precision
+        self.rtol = 1e-10 if params.tpu.dtype == "float64" else 1e-5
         # gravity acts toward -"vertical": reference ConstantGrav applies
         # const_grav along the last spatial dimension
         self.vert = geom.dim - 1
 
     # -- public API ---------------------------------------------------------
-    def grav_vector(self, rho_interior):
-        """g components [3, interior grid] (+ phi or None)."""
+    def grav_vector(self, rho_interior, ctx=None):
+        """g components [3, interior grid] (+ phi or None).
+
+        `ctx` (driver StepCtx) makes the solve shard-aware: geometry is the
+        shard-local view and reductions/solves go over ctx.axis_names
+        (the reference's distributed MLMG, Gravity.cpp:3500-3558)."""
         if self.gtype == "ConstantGrav":
             g, phi = self._constant(rho_interior)
         elif self.gtype == "MonopoleGrav":
-            g, phi = self._monopole(rho_interior)
+            g, phi = self._monopole(rho_interior, ctx)
         elif self.gtype == "PoissonGrav":
-            g, phi = self._poisson(rho_interior)
+            g, phi = self._poisson(rho_interior, ctx)
         else:
             raise ValueError(self.gtype)
         pm = self.params.castro.point_mass
         if self.params.castro.use_point_mass and pm != 0.0:
-            g = g + self._point_mass_field(rho_interior, pm)
+            g = g + self._point_mass_field(rho_interior, pm,
+                                           ctx.geom if ctx else None)
         return g, phi
 
-    def _point_mass_field(self, rho, mass):
+    def _point_mass_field(self, rho, mass, geom=None):
         """Central point mass (reference Castro_pointmass.cpp): g adds
         -G M rhat / r^2 about the problem center."""
-        geom = self.geom
-        r, center = self._radius_and_center()
+        geom = geom if geom is not None else self.geom
+        r, center = self._radius_and_center(geom)
         r = jnp.broadcast_to(r, rho.shape)
         rsafe = jnp.maximum(r, 0.5 * min(geom.dx))
         gmag = -C.Gconst * mass / (rsafe * rsafe)
@@ -84,8 +135,8 @@ class Gravity:
         return jnp.stack(g), None
 
     # -- MonopoleGrav -----------------------------------------------------------
-    def _radius_and_center(self):
-        geom = self.geom
+    def _radius_and_center(self, geom=None):
+        geom = geom if geom is not None else self.geom
         # center: origin for symmetric/axisymmetric problems (r starts at 0),
         # else the domain center; 1D spherical: r coordinate itself
         if geom.coord == CoordSys.SPHERICAL:
@@ -102,25 +153,27 @@ class Gravity:
             r2 = r2 + x * x
         return jnp.sqrt(r2), center
 
-    def _monopole(self, rho):
+    def _monopole(self, rho, ctx=None):
         """Radial mass binning -> enclosed mass -> g = -G M(<r)/r^2
         (reference `make_radial_gravity` + `interpolate_monopole_grav`)."""
-        geom = self.geom
-        r, center = self._radius_and_center()
+        geom = ctx.geom if ctx is not None else self.geom
+        r, center = self._radius_and_center(geom)
         r = jnp.broadcast_to(r, rho.shape)
-        dr = min(geom.dx) / max(self.params.gravity.drdxfac, 1)
-        # max radius across the domain corners
+        dr = min(self.geom.dx) / max(self.params.gravity.drdxfac, 1)
+        # max radius across the domain corners (global geometry)
         rmax = 0.0
-        for d in range(geom.dim):
-            span = geom.prob_hi[d] - geom.prob_lo[d]
+        for d in range(self.geom.dim):
+            span = self.geom.prob_hi[d] - self.geom.prob_lo[d]
             rmax += span * span
         rmax = math.sqrt(rmax)
         nbins = int(np.ceil(rmax / dr)) + 2
 
         vol = jnp.broadcast_to(geom.volume(0), rho.shape)
         ibin = jnp.clip((r / dr).astype(jnp.int32), 0, nbins - 1)
-        mass_in_bin = jax.ops.segment_sum(
-            (rho * vol).ravel(), ibin.ravel(), num_segments=nbins)
+        mass_in_bin = jnp.zeros((nbins,), rho.dtype).at[ibin.ravel()].add(
+            (rho * vol).ravel())
+        if ctx is not None:
+            mass_in_bin = ctx.psum(mass_in_bin)  # cross-shard radial sum
         # geometry factor: in 2D-Cartesian/1D-Cartesian the "enclosed mass"
         # monopole is only meaningful for spherical-like setups; reference
         # restricts MonopoleGrav similarly.
@@ -143,38 +196,111 @@ class Gravity:
         return jnp.stack(g), None
 
     # -- PoissonGrav ------------------------------------------------------------
-    def _poisson(self, rho):
-        geom = self.geom
+    def _poisson(self, rho, ctx=None):
+        geom = ctx.geom if ctx is not None else self.geom
+        names = tuple(ctx.axis_names) if ctx is not None else ()
+        sharded = any(n is not None for n in names)
         rhs = 4.0 * math.pi * C.Gconst * rho
         if geom.coord != CoordSys.CARTESIAN:
-            return self._poisson_curvilinear(rho)
+            return self._poisson_curvilinear(rho, ctx)
         if self.periodic:
             bc_lo = bc_hi = ("periodic",) * geom.dim
             bvl = bvh = None
         else:
-            # isolated BCs: multipole (monopole term) Dirichlet values on the
-            # domain faces (reference fill_multipole_BCs, Gravity.cpp:1743;
-            # lnum=0 monopole; higher moments TODO)
+            # isolated BCs: multipole Dirichlet values on the domain faces
+            # (reference fill_multipole_BCs, Gravity.cpp:1579-1743)
             bc_lo = bc_hi = ("dirichlet",) * geom.dim
-            vol = jnp.broadcast_to(geom.volume(0), rho.shape)
-            mtot = jnp.sum(rho * vol)
-            r, center = self._radius_and_center()
-            if center is None:
-                center = [0.0] * geom.dim
-            bvl, bvh = [], []
-            for d in range(geom.dim):
-                bvl.append(self._face_phi(mtot, center, d, "lo"))
-                bvh.append(self._face_phi(mtot, center, d, "hi"))
-        phi, res = mg.poisson(rhs, geom.dx, bc_lo=bc_lo, bc_hi=bc_hi,
+            bvl, bvh = self._multipole_bcs(rho, geom, ctx)
+        phi, res = mg.poisson(rhs, self.geom.dx, bc_lo=bc_lo, bc_hi=bc_hi,
                               bc_vals_lo=bvl, bc_vals_hi=bvh,
-                              n_vcycles=self.n_vcycles)
-        g = self._grad_phi(phi, bvl, bvh)
+                              n_vcycles=self.n_vcycles, rtol=self.rtol,
+                              axis_names=names if sharded else None)
+        g = self._grad_phi(phi, bvl, bvh, names if sharded else ())
         return g, phi
 
-    def _face_phi(self, mtot, center, d, side):
+    def _multipole_bcs(self, rho, geom, ctx=None):
+        """Multipole boundary potential on each domain face (reference
+        `fill_multipole_BCs`, Gravity.cpp:1579-1743): real spherical-
+        harmonic moments of rho up to l = gravity.max_multipole_order,
+        evaluated at the face cell centers. l=0 reduces to the monopole
+        -G M / r values. Shard-aware: moments psum over the mesh."""
+        lnum = int(self.params.gravity.max_multipole_order)
+        vol = jnp.broadcast_to(geom.volume(0), rho.shape)
+        r, center = self._radius_and_center(geom)
+        if center is None:
+            center = [0.0] * geom.dim
+
+        if lnum <= 0:
+            mtot = jnp.sum(rho * vol)
+            if ctx is not None:
+                mtot = ctx.psum(mtot)
+            bvl, bvh = [], []
+            for d in range(geom.dim):
+                bvl.append(self._face_phi(mtot, center, d, "lo", geom))
+                bvh.append(self._face_phi(mtot, center, d, "hi", geom))
+            return bvl, bvh
+
+        # source moments q_i = sum rho vol r^l Y_i(theta, phi)
+        def angles(xyz, rr):
+            z = xyz[2] if geom.dim == 3 else jnp.zeros_like(rr)
+            cost = jnp.where(rr > 0, z / jnp.maximum(rr, 1e-300), 0.0)
+            phi_ang = jnp.arctan2(xyz[1], xyz[0])
+            return cost, phi_ang
+
+        xyz = []
+        for d in range(3):
+            if d < geom.dim:
+                x = geom.cell_centers(d, 0) - center[d]
+                xyz.append(jnp.broadcast_to(x, rho.shape))
+            else:
+                xyz.append(jnp.zeros_like(rho))
+        cost, phi_ang = angles(xyz, r)
+        Ys = _real_sph_harm(lnum, cost, phi_ang)
+        moments = []
+        for l, Y in Ys:
+            q = jnp.sum(rho * vol * r ** l * Y)
+            if ctx is not None:
+                q = ctx.psum(q)
+            moments.append((l, q))
+
+        def face_vals(d, side):
+            coords = []
+            for k in range(geom.dim):
+                if k == d:
+                    xk = jnp.asarray(
+                        (geom.prob_lo[k] if side == "lo" else geom.prob_hi[k])
+                        - center[k], dtype=geom.dtype)
+                    sh = [1] * geom.dim
+                    coords.append(jnp.broadcast_to(xk.reshape([1] * geom.dim),
+                                                   tuple(sh)))
+                else:
+                    c = geom.cell_centers_1d(k, 0) - center[k]
+                    sh = [1] * geom.dim
+                    sh[k] = c.shape[0]
+                    coords.append(c.reshape(sh))
+            target = tuple(geom.n_cell[k] if k != d else 1
+                           for k in range(geom.dim))
+            fx = [jnp.broadcast_to(c, target) for c in coords]
+            while len(fx) < 3:
+                fx.append(jnp.zeros(target, geom.dtype))
+            rr = jnp.sqrt(sum(c * c for c in fx))
+            rr = jnp.maximum(rr, 1e-300)
+            cost_f, phi_f = angles(fx, rr)
+            Yf = _real_sph_harm(lnum, cost_f, phi_f)
+            phi_val = 0.0
+            for (l, q), (_, Y) in zip(moments, Yf):
+                phi_val = phi_val - C.Gconst * (4.0 * math.pi / (2 * l + 1)) \
+                    * q * Y / rr ** (l + 1)
+            return phi_val
+
+        bvl = [face_vals(d, "lo") for d in range(geom.dim)]
+        bvh = [face_vals(d, "hi") for d in range(geom.dim)]
+        return bvl, bvh
+
+    def _face_phi(self, mtot, center, d, side, geom=None):
         """Monopole potential -G M / r on one domain face (cell-center
         positions of the face plane)."""
-        geom = self.geom
+        geom = geom if geom is not None else self.geom
         dim = geom.dim
         coords = []
         shape = [1] * dim
@@ -197,16 +323,20 @@ class Gravity:
         target = [geom.n_cell[k] if k != d else 1 for k in range(dim)]
         return jnp.broadcast_to(face, tuple(target))
 
-    def _grad_phi(self, phi, bvl, bvh):
+    def _grad_phi(self, phi, bvl, bvh, axis_names=()):
         """g = -grad(phi), centered differences; one-sided with the BC face
         value at domain boundaries (reference get_new_grav_vector)."""
         geom = self.geom
         dim = geom.dim
-        if self.periodic:
-            pad_codes = (mg.PERIODIC,) * dim
+        sharded = any(n is not None for n in axis_names)
+        pad_codes = (mg.PERIODIC,) * dim if self.periodic else \
+            (mg.DIRICHLET,) * dim
+        if sharded:
+            phi_g = mg.sharded_fill_bc(phi, pad_codes, pad_codes, axis_names,
+                                       bvl, bvh)
+        elif self.periodic:
             phi_g = mg.fill_bc(mg._grow(phi), pad_codes, pad_codes)
         else:
-            pad_codes = (mg.DIRICHLET,) * dim
             phi_g = mg.fill_bc(mg._grow(phi), pad_codes, pad_codes, bvl, bvh)
         g = [jnp.zeros_like(phi) for _ in range(3)]
         for d in range(dim):
@@ -220,9 +350,9 @@ class Gravity:
             g[d] = -(hi - lo) / (2.0 * geom.dx[d])
         return jnp.stack(g)
 
-    def _poisson_curvilinear(self, rho):
+    def _poisson_curvilinear(self, rho, ctx=None):
         """1D spherical / 2D RZ Poisson via the metric-weighted operator.
 
         For 1D spherical this reduces to the monopole solution, which is
         exact — use it (reference does the same above max_solve_level)."""
-        return self._monopole(rho)
+        return self._monopole(rho, ctx)

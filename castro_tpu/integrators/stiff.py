@@ -93,7 +93,9 @@ def make_burner(network, eos, rtol=1e-6, atol_x=1e-8, atol_e=1e-6,
         else:
             force = None
         nz = y0.shape[0]
-        h0 = jnp.full((nz,), dt / 16.0, y0.dtype)
+        # derive from rho_f so the carry stays axis-varying under shard_map
+        t0 = (rho_f * 0).astype(y0.dtype)
+        h0 = t0 + dt / 16.0
 
         def cond(state):
             t, h, y, it = state
@@ -123,7 +125,6 @@ def make_burner(network, eos, rtol=1e-6, atol_x=1e-8, atol_e=1e-6,
             h = jnp.where(active, h_eff * fac, h)
             return t, h, y, it + 1
 
-        t0 = jnp.zeros((nz,), y0.dtype)
         t, h, y, it = lax.while_loop(cond, body, (t0, h0, y0, 0))
         fail = (t < dt * (1 - 1e-12)).reshape(shape)
 

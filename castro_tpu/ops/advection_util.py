@@ -154,3 +154,157 @@ def normalize_species_fluxes(flux, layout):
     sumn = jnp.sum(flux[L.UFS : L.UFS + L.nspec], axis=0)
     fac = jnp.where(sumn != 0.0, flux[L.URHO] / jnp.where(sumn == 0.0, 1.0, sumn), 1.0)
     return flux.at[L.UFS : L.UFS + L.nspec].multiply(fac[None])
+
+
+def _cell_flux(u, q, d, coord, layout):
+    """Cell-centered flux vector in direction d from (conserved, primitive)
+    cell states (reference `dflux`, advection_util.H:12); used to build the
+    Lax-Friedrichs fallback flux for the positivity limiters."""
+    from castro_tpu.ops.riemann import mom_flux_has_p
+
+    L = layout
+    v = q[L.velocity_index(d)]
+    f = jnp.zeros_like(u)
+    f = f.at[L.URHO].set(u[L.URHO] * v)
+    f = f.at[L.UMX].set(u[L.UMX] * v)
+    f = f.at[L.UMY].set(u[L.UMY] * v)
+    f = f.at[L.UMZ].set(u[L.UMZ] * v)
+    f = f.at[L.UEDEN].set((u[L.UEDEN] + q[L.QPRES]) * v)
+    f = f.at[L.UEINT].set(u[L.UEINT] * v)
+    if mom_flux_has_p(d, coord):
+        f = f.at[L.momentum_index(d)].add(q[L.QPRES])
+    for uc in range(L.UFS, L.UFS + L.nspec):
+        f = f.at[uc].set(u[uc] * v)
+    if L.naux > 0:
+        for uc in range(L.UFX, L.UFX + L.naux):
+            f = f.at[uc].set(u[uc] * v)
+    return f
+
+
+def _shift_maybe(a, off, axis):
+    """Shift a broadcast-shaped metric array only along non-degenerate axes."""
+    return shifted(a, off, axis) if a.shape[axis] > 1 else a
+
+
+def _lf_setup(flux, d, u, q, geom, layout, dt, cfl, ng):
+    """Shared pieces of the Hu-Adams-Shu flux limiters: left/right cell
+    states, Lax-Friedrichs flux, and the per-side update coefficients."""
+    L = layout
+    ax = 1 + d
+    uL = shifted(u, -1, ax)
+    uR = u
+    qL = shifted(q, -1, ax)
+    fL = _cell_flux(uL, qL, d, geom.coord, L)
+    fR = _cell_flux(uR, q, d, geom.coord, L)
+    alpha = 1.0 / L.dim
+    dtdx = dt / geom.dx[d]
+    fluxLF = 0.5 * (fL + fR + (cfl / dtdx / alpha) * (uL - uR))
+    area = geom.face_area(d, ng)
+    vol = geom.volume(ng)
+    volL = _shift_maybe(vol, -1, d)
+    coefR = 2.0 * (dt / alpha) * area / vol
+    coefL = 2.0 * (dt / alpha) * area / volL
+    return uL, uR, fluxLF, coefL, coefR
+
+
+def _safe_div(a, b):
+    tiny = jnp.finfo(a.dtype).tiny
+    return a / jnp.where(jnp.abs(b) < tiny, jnp.where(b < 0, -tiny, tiny), b)
+
+
+def limit_hydro_fluxes_on_small_dens(flux, d, u, q, geom, layout, dt, cfl,
+                                     small_dens, ng):
+    """Positivity-preserving flux limiter (Hu, Adams & Shu 2013 as adapted
+    by the reference, `advection_util.cpp:662`): blend each face flux toward
+    the Lax-Friedrichs flux so no single face update can push a density
+    below the (padded) floor; then hard-scale as a backstop."""
+    L = layout
+    density_floor = small_dens * 1.1 * 2 * L.dim
+    uL, uR, fluxLF, coefL, coefR = _lf_setup(flux, d, u, q, geom, layout,
+                                             dt, cfl, ng)
+
+    rhoL0 = uL[L.URHO]
+    rhoR0 = uR[L.URHO]
+    drhoL = coefL * flux[L.URHO]
+    drhoR = coefR * flux[L.URHO]
+    rhoL = rhoL0 - drhoL
+    rhoR = rhoR0 + drhoR
+
+    rhoLF_L = rhoL0 - coefL * fluxLF[L.URHO]
+    rhoLF_R = rhoR0 + coefR * fluxLF[L.URHO]
+    thetaL = _safe_div(density_floor - rhoLF_L, rhoL - rhoLF_L)
+    thetaR = _safe_div(density_floor - rhoLF_R, rhoR - rhoLF_R)
+    theta = jnp.where(rhoL < density_floor, thetaL,
+                      jnp.where(rhoR < density_floor, thetaR, 1.0))
+    theta = jnp.clip(theta, 0.0, 1.0)
+
+    out = (1.0 - theta)[None] * fluxLF + theta[None] * flux
+    out = out.at[L.UTEMP].set(0.0)
+    if L.shock_var:
+        out = out.at[L.USHK].set(0.0)
+
+    # backstop: scale the final flux so the floor cannot be crossed
+    drhoR2 = coefR * out[L.URHO]
+    drhoL2 = coefL * out[L.URHO]
+    scale = jnp.where(
+        rhoR0 + drhoR2 < density_floor,
+        jnp.abs(_safe_div(density_floor - rhoR0, drhoR2)),
+        jnp.where(rhoL0 - drhoL2 < density_floor,
+                  jnp.abs(_safe_div(density_floor - rhoL0, drhoL2)), 1.0))
+    out = out * scale[None]
+
+    # a side already below the floor: zero the flux and wait for a reset
+    bad = (rhoL0 < density_floor) | (rhoR0 < density_floor)
+    return jnp.where(bad[None], 0.0, out)
+
+
+def limit_hydro_fluxes_on_large_vel(flux, d, u, q, geom, layout, dt, cfl,
+                                    speed_limit, ng):
+    """Velocity analog of the density limiter (reference
+    `advection_util.cpp:897`): blend toward Lax-Friedrichs when a face
+    update would push |rho u| past rho * speed_limit."""
+    if speed_limit <= 0.0:
+        return flux
+    L = layout
+    uL, uR, fluxLF, coefL, coefR = _lf_setup(flux, d, u, q, geom, layout,
+                                             dt, cfl, ng)
+    lim = speed_limit / (2 * L.dim)
+
+    theta = jnp.ones_like(flux[L.URHO])
+    drhoL = coefL * flux[L.URHO]
+    rhoL = uL[L.URHO] - drhoL
+    drhoR = coefR * flux[L.URHO]
+    rhoR = uR[L.URHO] + drhoR
+    for UM in (L.UMX, L.UMY, L.UMZ):
+        rhouL = jnp.abs(uL[UM] - coefL * flux[UM])
+        rhouR = jnp.abs(uR[UM] + coefR * flux[UM])
+        rhouLF_L = jnp.abs(uL[UM] - coefL * fluxLF[UM])
+        rhouLF_R = jnp.abs(uR[UM] + coefR * fluxLF[UM])
+        thL = jnp.abs(_safe_div(rhoL * lim - rhouLF_L, rhouL - rhouLF_L))
+        thR = jnp.abs(_safe_div(rhoR * lim - rhouLF_R, rhouR - rhouLF_R))
+        th = jnp.where(rhouL > rhoL * lim, thL,
+                       jnp.where(rhouR > rhoR * lim, thR, 1.0))
+        theta = jnp.minimum(theta, th)
+    theta = jnp.clip(theta, 0.0, 1.0)
+
+    out = (1.0 - theta)[None] * fluxLF + theta[None] * flux
+    out = out.at[L.UTEMP].set(0.0)
+    if L.shock_var:
+        out = out.at[L.USHK].set(0.0)
+    return out
+
+
+def max_courant(q, qaux, dt, geom, layout, ng):
+    """Max interior Courant number over all directions (reference
+    `check_for_cfl_violation`, Castro_hydro.cpp:234); > 1 means the CTU
+    characteristic tracing was invalid and the step should be retried."""
+    from castro_tpu.ops.stencil import interior_slice
+
+    L = layout
+    inner = interior_slice(ng, L.dim)
+    c = qaux[L.QC][inner[1:]]
+    courant = jnp.zeros_like(c)
+    for d in range(L.dim):
+        v = q[L.velocity_index(d)][inner[1:]]
+        courant = jnp.maximum(courant, (jnp.abs(v) + c) * (dt / geom.dx[d]))
+    return jnp.max(courant)

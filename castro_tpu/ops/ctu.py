@@ -51,6 +51,9 @@ class HydroConfig(NamedTuple):
     plm_iorder: int = 2
     pslope_cutoff_density: float = -1.0e20
     use_pallas: bool = False
+    limit_fluxes_on_small_dens: bool = False
+    speed_limit: float = 0.0
+    cfl: float = 0.8
     lo_bc: Tuple[int, ...] = (0, 0, 0)
     hi_bc: Tuple[int, ...] = (0, 0, 0)
     ng: int = 4
@@ -148,6 +151,14 @@ def ctu_hydro(u, q, qaux, srcQ, dt, geom: Geometry, layout, cfg: HydroConfig):
                              use_pslope=cfg.use_pslope,
                              pslope_cutoff_density=cfg.pslope_cutoff_density,
                              dloga=dloga)
+        if cfg.use_pallas and dim == 3 and dloga is None:
+            from castro_tpu.ops.pallas_kernels import trace_ppm_pallas
+
+            flatn_arr = flatn if cfg.use_flattening else \
+                jnp.ones(grid_shape, dtype)
+            return trace_ppm_pallas(q, qaux, srcQ, flatn_arr, d, dt, dx[d],
+                                    L, cfg.small_dens, cfg.small_pres,
+                                    cfg.small_ener)
         return trace_ppm(q, qaux, srcQ, flatn, d, dt, dx[d], L,
                          cfg.small_dens, cfg.small_pres, cfg.small_ener,
                          dloga=dloga)
@@ -198,43 +209,96 @@ def ctu_hydro(u, q, qaux, srcQ, dt, geom: Geometry, layout, cfg: HydroConfig):
         f1d = [solve(states[d][0], states[d][1], d) for d in range(3)]
 
         third = dt / 3.0
-        # corner-coupled states q{n}|{t}
-        cc = {}
-        for n in range(3):
-            for t in range(3):
-                if t == n:
-                    continue
-                cc[(n, t)] = trans_single(
-                    states[n][0], states[n][1], f1d[t][0], f1d[t][1], qaux,
-                    n, t, third / dx[t], L, cfg.small_pres,
-                    cfg.transverse_reset_density, cfg.transverse_reset_rhoe,
-                    use_pallas=cfg.use_pallas)
-
-        # intermediate fluxes F^{d|t} from q{d}|{t}
-        fint = {}
-        for (n, t), (qm_c, qp_c) in cc.items():
-            fint[(n, t)] = solve(qm_c, qp_c, n)
-
-        # final states: q{n} corrected by F^{t1|t2} and F^{t2|t1}
         hdt = 0.5 * dt
-        fluxes_qe = []
-        for n in range(3):
-            t1, t2 = [d for d in range(3) if d != n]
-            qm_f, qp_f = trans_final(
-                states[n][0], states[n][1],
-                fint[(t1, t2)][0], fint[(t1, t2)][1],
-                fint[(t2, t1)][0], fint[(t2, t1)][1],
-                qaux, n, t1, t2, hdt / dx[t1], hdt / dx[t2], L,
-                cfg.small_pres, cfg.transverse_reset_density,
-                cfg.transverse_reset_rhoe, use_pallas=cfg.use_pallas)
-            fluxes_qe.append(solve(qm_f, qp_f, n))
+        use_fused = (cfg.use_pallas and not cfg.hybrid_riemann
+                     and cfg.riemann_solver in (0, 2))
+        if use_fused:
+            # fused transverse-correct + Riemann (one VMEM pass per stage):
+            # corner-coupled and final interface states never hit HBM
+            from castro_tpu.ops.pallas_kernels import trans_cmpflx_pallas
+            from castro_tpu.ops.trans import _term_bundle
+
+            c_arr = qaux[L.QC]
+            g_arr = qaux[L.QGAMC]
+
+            def fused_solve(qm_s, qp_s, terms, n):
+                df_p, dre_p, dp_p = _term_bundle(terms, qaux, n, 0, L)
+                df_m, dre_m, dp_m = _term_bundle(terms, qaux, n, -1, L)
+                return trans_cmpflx_pallas(
+                    qm_s, qp_s, df_m, df_p, dre_m, dre_p, dp_m, dp_p,
+                    shifted(g_arr, -1, n), g_arr,
+                    shifted(c_arr, -1, n), c_arr, n, L, geom.coord,
+                    cfg.riemann_solver, cfg.small_dens, cfg.small_pres,
+                    cfg.transverse_reset_density, cfg.transverse_reset_rhoe,
+                    bnd_mask=masks[n])
+
+            fint = {}
+            for n in range(3):
+                for t in range(3):
+                    if t == n:
+                        continue
+                    term = {"flux": f1d[t][0], "qe": f1d[t][1], "t_ax": t,
+                            "t_dir": t, "cdtdx": third / dx[t]}
+                    fint[(n, t)] = fused_solve(states[n][0], states[n][1],
+                                               [term], n)
+            fluxes_qe = []
+            for n in range(3):
+                t1, t2 = [d for d in range(3) if d != n]
+                terms = [
+                    {"flux": fint[(t1, t2)][0], "qe": fint[(t1, t2)][1],
+                     "t_ax": t1, "t_dir": t1, "cdtdx": hdt / dx[t1]},
+                    {"flux": fint[(t2, t1)][0], "qe": fint[(t2, t1)][1],
+                     "t_ax": t2, "t_dir": t2, "cdtdx": hdt / dx[t2]},
+                ]
+                fluxes_qe.append(fused_solve(states[n][0], states[n][1],
+                                             terms, n))
+        else:
+            # corner-coupled states q{n}|{t}
+            cc = {}
+            for n in range(3):
+                for t in range(3):
+                    if t == n:
+                        continue
+                    cc[(n, t)] = trans_single(
+                        states[n][0], states[n][1], f1d[t][0], f1d[t][1],
+                        qaux, n, t, third / dx[t], L, cfg.small_pres,
+                        cfg.transverse_reset_density,
+                        cfg.transverse_reset_rhoe,
+                        use_pallas=cfg.use_pallas)
+
+            # intermediate fluxes F^{d|t} from q{d}|{t}
+            fint = {}
+            for (n, t), (qm_c, qp_c) in cc.items():
+                fint[(n, t)] = solve(qm_c, qp_c, n)
+
+            # final states: q{n} corrected by F^{t1|t2} and F^{t2|t1}
+            fluxes_qe = []
+            for n in range(3):
+                t1, t2 = [d for d in range(3) if d != n]
+                qm_f, qp_f = trans_final(
+                    states[n][0], states[n][1],
+                    fint[(t1, t2)][0], fint[(t1, t2)][1],
+                    fint[(t2, t1)][0], fint[(t2, t1)][1],
+                    qaux, n, t1, t2, hdt / dx[t1], hdt / dx[t2], L,
+                    cfg.small_pres, cfg.transverse_reset_density,
+                    cfg.transverse_reset_rhoe, use_pallas=cfg.use_pallas)
+                fluxes_qe.append(solve(qm_f, qp_f, n))
 
     fluxes = [fq[0] for fq in fluxes_qe]
     qes = [fq[1] for fq in fluxes_qe]
 
-    # artificial viscosity + species flux normalization
+    # artificial viscosity + positivity flux limiters + species flux
+    # normalization (reference flux-clean block, Castro_ctu_hydro.cpp:1150)
     for d in range(dim):
         fluxes[d] = au.apply_av(fluxes[d], d, div_node, u, L, cfg.difmag, dx)
+        if cfg.limit_fluxes_on_small_dens:
+            fluxes[d] = au.limit_hydro_fluxes_on_small_dens(
+                fluxes[d], d, u, q, geom, L, dt, cfg.cfl, cfg.small_dens,
+                cfg.ng)
+        if cfg.speed_limit > 0.0:
+            fluxes[d] = au.limit_hydro_fluxes_on_large_vel(
+                fluxes[d], d, u, q, geom, L, dt, cfg.cfl, cfg.speed_limit,
+                cfg.ng)
         fluxes[d] = au.normalize_species_fluxes(fluxes[d], L)
 
     # conservative update (reference consup_hydro, Castro_ctu.cpp:12)

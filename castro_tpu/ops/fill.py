@@ -81,18 +81,34 @@ def fill_ghosts(
     ng: int,
     odd_components: Optional[dict] = None,
     problem_fill: Optional[Callable] = None,
+    t=0.0,
 ) -> jnp.ndarray:
     """Fill ng ghost cells on every face of a component-major grown array.
 
     odd_components: {direction d: components whose sign flips under
     reflection in d} — the normal momentum for the conserved state.
+
+    INFLOW faces get a first-order extrapolation baseline and MUST then be
+    overwritten by `problem_fill` (the reference's problem_bc_fill hook,
+    `Castro_bc_fill_nd.cpp:11-180`); problem_fill receives (u, t) so
+    time-dependent inflow (double Mach reflection) works.
     """
     for d in range(layout.dim):
         u = bc_fill_side(u, layout, d, "lo", lo_bc[d], ng, odd_components)
         u = bc_fill_side(u, layout, d, "hi", hi_bc[d], ng, odd_components)
-    if problem_fill is not None:
-        u = problem_fill(u)
-    return u
+    return apply_problem_fill(u, problem_fill, t)
+
+
+def apply_problem_fill(u, problem_fill, t):
+    if problem_fill is None:
+        return u
+    import inspect
+
+    try:
+        n = len(inspect.signature(problem_fill).parameters)
+    except (TypeError, ValueError):
+        n = 1
+    return problem_fill(u, t) if n >= 2 else problem_fill(u)
 
 
 def prim_odd_components(layout):

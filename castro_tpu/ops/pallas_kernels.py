@@ -21,6 +21,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from castro_tpu.ops import riemann as rm
 
+# Test hook: route pallas_call through the interpreter so the TPU fast
+# path is exercised (and parity-checked) on CPU test runs.
+INTERPRET = False
+
 
 def _tiling(grid_shape, dim):
     """Pick tile sizes for the leading spatial dims (minor dim stays whole
@@ -32,8 +36,8 @@ def _tiling(grid_shape, dim):
         return max(b, 1)
 
     if dim == 3:
-        bx = pick(grid_shape[0], 8)
-        by = pick(grid_shape[1], 8)
+        bx = pick(grid_shape[0], 16)
+        by = pick(grid_shape[1], 16)
         return (grid_shape[0] // bx, grid_shape[1] // by), (bx, by)
     if dim == 2:
         bx = pick(grid_shape[0], 8)
@@ -56,6 +60,152 @@ def _block_spec(ncomp, tiles, grid_shape, dim):
     return pl.BlockSpec(block, index)
 
 
+def _riemann_block(qm_b, qp_b, gl, gr, cl, cr, d, L, coord,
+                   riemann_solver, small_dens, small_pres, bnd_mask=None):
+    """Pointwise Riemann + flux assembly on one VMEM block."""
+    QUN, QUT, QUTT = rm._riemann_vel_map(L, d)
+    csmall = jnp.maximum(rm.SMALL, rm.SMALL * jnp.maximum(cl, cr))
+    cavg = 0.5 * (cl + cr)
+    ri = rm.RiemannInputs(
+        rho_l=jnp.maximum(qm_b[L.QRHO], small_dens),
+        un_l=qm_b[QUN], ut_l=qm_b[QUT], utt_l=qm_b[QUTT],
+        p_l=qm_b[L.QPRES], rhoe_l=qm_b[L.QREINT], gamc_l=gl,
+        rho_r=jnp.maximum(qp_b[L.QRHO], small_dens),
+        un_r=qp_b[QUN], ut_r=qp_b[QUT], utt_r=qp_b[QUTT],
+        p_r=qp_b[L.QPRES], rhoe_r=qp_b[L.QREINT], gamc_r=gr,
+        csmall=csmall, cavg=cavg)
+    if riemann_solver == 2:
+        gd = rm.riemann_hllc(ri, small_dens, small_pres)
+    else:
+        gd = rm.riemannus(ri, small_dens, small_pres)
+    return rm.compute_flux(gd, qm_b, qp_b, d, L, coord, bnd_mask=bnd_mask)
+
+
+def _trans_apply_block(q, df, dre_x, dp_b, L, small_pres, reset_density,
+                       reset_rhoe):
+    """Transverse-correction apply on one VMEM block: the conserved
+    update + reset ladder of the reference actual_trans_single/final
+    (trans.cpp:67,442) given the precomputed summed bundle."""
+    rho = q[L.QRHO]
+    uu = q[L.QU]
+    vv = q[L.QV]
+    ww = q[L.QW]
+    reint = q[L.QREINT]
+    p = q[L.QPRES]
+
+    rr = rho
+    ru, rv, rw = rho * uu, rho * vv, rho * ww
+    ekin = 0.5 * rho * (uu * uu + vv * vv + ww * ww)
+    re = reint + ekin
+
+    rrnew = rr - df[L.URHO]
+    runew = ru - df[L.UMX]
+    rvnew = rv - df[L.UMY]
+    rwnew = rw - df[L.UMZ]
+    renew = re - df[L.UEDEN]
+    dreint = df[L.UEINT] + dre_x
+
+    bad = (rrnew < 0.0) if reset_density else jnp.zeros_like(rr, bool)
+    rrnew = jnp.where(bad, rr, rrnew)
+    runew = jnp.where(bad, ru, runew)
+    rvnew = jnp.where(bad, rv, rvnew)
+    rwnew = jnp.where(bad, rw, rwnew)
+    renew = jnp.where(bad, re, renew)
+
+    rhoinv = 1.0 / rrnew
+    rhoeken = 0.5 * (runew**2 + rvnew**2 + rwnew**2) * rhoinv
+    reint_new = renew - rhoeken
+    if reset_rhoe:
+        reint_new = jnp.where(reint_new <= 0.0, reint - dreint, reint_new)
+    reint_new = jnp.where(reint_new <= 0.0, reint, reint_new)
+    reint_new = jnp.where(bad, reint, reint_new)
+    pnew = jnp.where(bad, p, jnp.maximum(p - dp_b, small_pres))
+
+    comps = [None] * L.NQ
+    comps[L.QRHO] = rrnew
+    comps[L.QU] = runew * rhoinv
+    comps[L.QV] = rvnew * rhoinv
+    comps[L.QW] = rwnew * rhoinv
+    comps[L.QREINT] = reint_new
+    comps[L.QPRES] = pnew
+    pass_q = list(range(L.QFS, L.QFS + L.nspec)) + (
+        list(range(L.QFX, L.QFX + L.naux)) if L.naux > 0 else [])
+    pass_u = list(range(L.UFS, L.UFS + L.nspec)) + (
+        list(range(L.UFX, L.UFX + L.naux)) if L.naux > 0 else [])
+    for qc, uc in zip(pass_q, pass_u):
+        val = (rr * q[qc] - df[uc]) / rrnew
+        comps[qc] = jnp.where(bad, q[qc], val)
+    for i, cpn in enumerate(comps):
+        if cpn is None:
+            comps[i] = q[i]
+    return jnp.stack(comps)
+
+
+def trans_cmpflx_pallas(qm, qp, df_m, df_p, dre_m, dre_p, dp_m, dp_p,
+                        gamc_l, gamc_r, c_l, c_r, d, layout, coord,
+                        riemann_solver, small_dens, small_pres,
+                        reset_density, reset_rhoe, bnd_mask=None):
+    """Fused transverse-correct + Riemann + flux: corrects both interface
+    states with their precomputed transverse bundles and solves the Riemann
+    problem in ONE VMEM pass — the corrected states are never materialized
+    in HBM (the 3D CTU's 6 corner-coupling + 3 final stages all ride this).
+    """
+    L = layout
+    dim = L.dim
+    grid_shape = qm.shape[1:]
+    grid, tiles = _tiling(grid_shape, dim)
+    spec_q = _block_spec(L.NQ, tiles, grid_shape, dim)
+    spec_v = _block_spec(L.NVAR, tiles, grid_shape, dim)
+    spec_1 = _block_spec(1, tiles, grid_shape, dim)
+    with_mask = bnd_mask is not None
+
+    def kernel(*refs):
+        if with_mask:
+            (qm_ref, qp_ref, dfm_ref, dfp_ref, drem_ref, drep_ref,
+             dpm_ref, dpp_ref, gl_ref, gr_ref, cl_ref, cr_ref, msk_ref,
+             flux_ref, qe_ref) = refs
+            mask = msk_ref[0]
+        else:
+            (qm_ref, qp_ref, dfm_ref, dfp_ref, drem_ref, drep_ref,
+             dpm_ref, dpp_ref, gl_ref, gr_ref, cl_ref, cr_ref,
+             flux_ref, qe_ref) = refs
+            mask = None
+        qm_c = _trans_apply_block(qm_ref[...], dfm_ref[...], drem_ref[0],
+                                  dpm_ref[0], L, small_pres, reset_density,
+                                  reset_rhoe)
+        qp_c = _trans_apply_block(qp_ref[...], dfp_ref[...], drep_ref[0],
+                                  dpp_ref[0], L, small_pres, reset_density,
+                                  reset_rhoe)
+        flux, qgdnv = _riemann_block(qm_c, qp_c, gl_ref[0], gr_ref[0],
+                                     cl_ref[0], cr_ref[0], d, L, coord,
+                                     riemann_solver, small_dens, small_pres,
+                                     bnd_mask=mask)
+        flux_ref[...] = flux
+        qe_ref[...] = qgdnv
+
+    in_specs = [spec_q, spec_q, spec_v, spec_v, spec_1, spec_1, spec_1,
+                spec_1, spec_1, spec_1, spec_1, spec_1]
+    args = [qm, qp, df_m, df_p, dre_m[None], dre_p[None], dp_m[None],
+            dp_p[None], gamc_l[None], gamc_r[None], c_l[None], c_r[None]]
+    if with_mask:
+        in_specs.append(spec_1)
+        args.append(jnp.broadcast_to(bnd_mask, grid_shape)[None])
+    out_shape = (
+        jax.ShapeDtypeStruct((L.NVAR,) + grid_shape, qm.dtype),
+        jax.ShapeDtypeStruct((L.NGDNV,) + grid_shape, qm.dtype),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(spec_v, _block_spec(L.NGDNV, tiles, grid_shape, dim)),
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=INTERPRET,
+    )(*args)
+
+
 def cmpflx_pallas(qm, qp, gamc_l, gamc_r, c_l, c_r, d, layout, coord,
                   riemann_solver, small_dens, small_pres):
     """Fused Riemann + flux assembly. Inputs are face-registered full-grid
@@ -65,31 +215,11 @@ def cmpflx_pallas(qm, qp, gamc_l, gamc_r, c_l, c_r, d, layout, coord,
     grid_shape = qm.shape[1:]
     grid, tiles = _tiling(grid_shape, dim)
 
-    QUN, QUT, QUTT = rm._riemann_vel_map(L, d)
-
     def kernel(qm_ref, qp_ref, gl_ref, gr_ref, cl_ref, cr_ref,
                flux_ref, qe_ref):
-        qm_b = qm_ref[...]
-        qp_b = qp_ref[...]
-        gl = gl_ref[0]
-        gr = gr_ref[0]
-        cl = cl_ref[0]
-        cr = cr_ref[0]
-        csmall = jnp.maximum(rm.SMALL, rm.SMALL * jnp.maximum(cl, cr))
-        cavg = 0.5 * (cl + cr)
-        ri = rm.RiemannInputs(
-            rho_l=jnp.maximum(qm_b[L.QRHO], small_dens),
-            un_l=qm_b[QUN], ut_l=qm_b[QUT], utt_l=qm_b[QUTT],
-            p_l=qm_b[L.QPRES], rhoe_l=qm_b[L.QREINT], gamc_l=gl,
-            rho_r=jnp.maximum(qp_b[L.QRHO], small_dens),
-            un_r=qp_b[QUN], ut_r=qp_b[QUT], utt_r=qp_b[QUTT],
-            p_r=qp_b[L.QPRES], rhoe_r=qp_b[L.QREINT], gamc_r=gr,
-            csmall=csmall, cavg=cavg)
-        if riemann_solver == 2:
-            gd = rm.riemann_hllc(ri, small_dens, small_pres)
-        else:
-            gd = rm.riemannus(ri, small_dens, small_pres)
-        flux, qgdnv = rm.compute_flux(gd, qm_b, qp_b, d, L, coord)
+        flux, qgdnv = _riemann_block(
+            qm_ref[...], qp_ref[...], gl_ref[0], gr_ref[0], cl_ref[0],
+            cr_ref[0], d, L, coord, riemann_solver, small_dens, small_pres)
         flux_ref[...] = flux
         qe_ref[...] = qgdnv
 
@@ -117,6 +247,7 @@ def cmpflx_pallas(qm, qp, gamc_l, gamc_r, c_l, c_r, d, layout, coord,
             _block_spec(L.NGDNV, tiles, grid_shape, dim),
         ),
         out_shape=out_shape,
+        interpret=INTERPRET,
     )(qm, qp, gl3, gr3, cl3, cr3)
 
 
@@ -208,4 +339,78 @@ def trans_apply_pallas(q_face, dflux, dreint_extra, dp, layout,
         ],
         out_specs=_block_spec(L.NQ, tiles, grid_shape, dim),
         out_shape=jax.ShapeDtypeStruct((L.NQ,) + grid_shape, q_face.dtype),
+        interpret=INTERPRET,
     )(q_face, dflux, dreint_extra[None], dp[None])
+
+
+def _pencil_spec(ncomp, d, gshape, bt):
+    """BlockSpec covering the FULL axis d (the stencil direction) and the
+    full minor axis, tiled by bt along the remaining major axis. The whole
+    characteristic-tracing stencil then lives in VMEM."""
+    ta = 1 if d != 1 else 0  # tile axis: a major axis != d
+    block = [ncomp] + list(gshape)
+    block[1 + ta] = bt
+
+    def index(i, *_scalar_refs):
+        idx = [0, 0, 0, 0]
+        idx[1 + ta] = i
+        return tuple(idx)
+
+    return pl.BlockSpec(tuple(block), index), gshape[ta] // bt
+
+
+def trace_ppm_pallas(q, qaux, srcQ, flatn, d, dt, dx_d, layout,
+                     small_dens, small_pres, small_ener, dloga=None, bt=8):
+    """Fused per-direction PPM characteristic tracing (3D): the whole
+    reconstruct + integrate + project chain of `trace_ppm` runs on pencil
+    blocks held in VMEM — ONE HBM read of (q, qaux, flatn[, srcQ]) and one
+    write of (qm, qp) per direction, instead of the many-fusion XLA chain.
+    Bitwise-identical math to `castro_tpu.ops.trace_ppm.trace_ppm`."""
+    from castro_tpu.ops.trace_ppm import trace_ppm
+
+    assert dloga is None, "curvilinear tracing stays on the XLA path"
+    L = layout
+    gshape = q.shape[1:]
+    spec_q, n_blocks = _pencil_spec(L.NQ, d, gshape, bt)
+    spec_aux, _ = _pencil_spec(qaux.shape[0], d, gshape, bt)
+    spec_1, _ = _pencil_spec(1, d, gshape, bt)
+
+    with_src = srcQ is not None
+
+    def kernel(dt_ref, *refs):
+        dt_s = dt_ref[0]
+        if with_src:
+            q_ref, aux_ref, fl_ref, src_ref, qm_ref, qp_ref = refs
+            src_b = src_ref[...]
+        else:
+            q_ref, aux_ref, fl_ref, qm_ref, qp_ref = refs
+            src_b = None
+        qm, qp = trace_ppm(q_ref[...], aux_ref[...], src_b, fl_ref[0],
+                           d, dt_s, dx_d, L, small_dens, small_pres,
+                           small_ener, dloga=None)
+        qm_ref[...] = qm
+        qp_ref[...] = qp
+
+    in_specs = [spec_q, spec_aux, spec_1] + ([spec_q] if with_src else [])
+    args = [q, qaux, flatn[None]] + ([srcQ] if with_src else [])
+    out_shape = (
+        jax.ShapeDtypeStruct((L.NQ,) + gshape, q.dtype),
+        jax.ShapeDtypeStruct((L.NQ,) + gshape, q.dtype),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=in_specs,
+        out_specs=[spec_q, spec_q],
+    )
+    dt_arr = jnp.asarray(dt, q.dtype).reshape(1)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        # the tracing chain holds many live temporaries per pencil block;
+        # raise the scoped-VMEM budget above the 16MB default
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=INTERPRET,
+    )(dt_arr, *args)

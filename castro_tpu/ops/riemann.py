@@ -172,119 +172,179 @@ def riemannus(ri: RiemannInputs, small_dens, small_pres) -> GodunovState:
     return GodunovState(rho=rho_g, un=un_g, ut=ut, utt=utt, p=p_g, rhoe=re_g, ustar=ustar)
 
 
-def riemanncg(ri: RiemannInputs, small_dens, small_pres,
-              maxiter=12) -> GodunovState:
-    """Iterative two-shock solver (reference `riemanncg`,
-    riemann_solvers.H:227): Newton/secant iteration on pstar with the
-    Colella-Glaz wave impedances, then the same contact sampling as the
-    CGF solver. Here the impedance uses the gamma-law shock jump
-    w^2 = rho*((gamma+1)/2 pstar + (gamma-1)/2 p) for pstar > p and the
-    rarefaction integral impedance otherwise."""
+def _wsqge(p, tau, gam, gdot, gmin, gmax, csq, pstar):
+    """CG approximate Lagrangian wave speed squared + predicted gamma_e
+    across the wave (reference `wsqge`, riemann.H: CG Eq. 31 & 34)."""
+    SMLP1 = 1.0e-10
+    gstar = (pstar - p) * gdot / (pstar + p) + gam
+    gstar = jnp.clip(gstar, gmin, gmax)
+    alpha = pstar - (gstar - 1.0) * p / (gam - 1.0)
+    alpha = jnp.where(alpha == 0.0, SMLP1 * (pstar + p), alpha)
+    beta = pstar + 0.5 * (gstar - 1.0) * (pstar + p)
+    wsq = (pstar - p) * beta / (tau * alpha)
+    wsq = jnp.where(jnp.abs(pstar - p) < SMLP1 * (pstar + p), csq, wsq)
+    wsq = jnp.maximum(wsq, (0.5 * (gam - 1.0) / gam) * csq)
+    return wsq, gstar
 
-    def wsq(p_k, rho_k, gamc_k, pstar):
-        # shock branch
-        w2_s = rho_k * (0.5 * (gamc_k + 1.0) * pstar + 0.5 * (gamc_k - 1.0) * p_k)
-        # rarefaction branch: w = (1 - r^((g-1)/2g)) path impedance
-        g = gamc_k
-        c_k = jnp.sqrt(g * p_k / rho_k)
-        r = jnp.maximum(pstar / p_k, 1e-10)
-        expo = (g - 1.0) / (2.0 * g)
-        du = 2.0 * c_k / (g - 1.0) * (1.0 - r**expo)
-        w_r = jnp.where(jnp.abs(du) > 1e-12 * c_k,
-                        jnp.abs((pstar - p_k) / du), rho_k * c_k)
-        return jnp.where(pstar > p_k, w2_s, w_r * w_r)
+
+def riemanncg(ri: RiemannInputs, small_dens, small_pres,
+              maxiter=12, cg_tol=1.0e-5) -> GodunovState:
+    """The Colella & Glaz (1985) iterative two-shock solver (reference
+    `riemanncg`, riemann_solvers.H:227-599): secant iteration on pstar
+    with the CG gamma-model wave speeds (`wsqge`), the two-shock estimate
+    as the non-convergence fallback (cg_blend=1), and CG contact sampling
+    with the interpolated interface gamma_e."""
+    WEAKWV = 1.0e-3
+    taul = 1.0 / ri.rho_l
+    taur = 1.0 / ri.rho_r
+    clsql = ri.gamc_l * ri.p_l * ri.rho_l
+    clsqr = ri.gamc_r * ri.p_r * ri.rho_r
+
+    # gamma_e built from the interface (rho e) (see reference note)
+    gamel = ri.p_l / ri.rhoe_l + 1.0
+    gamer = ri.p_r / ri.rhoe_r + 1.0
+    gmin = jnp.minimum(jnp.minimum(gamel, gamer), 1.0)
+    gmax = jnp.maximum(jnp.maximum(gamel, gamer), 2.0)
+    game_bar = 0.5 * (gamel + gamer)
+    gamc_bar = 0.5 * (ri.gamc_l + ri.gamc_r)
+    gdot = 2.0 * (1.0 - game_bar / gamc_bar) * (game_bar - 1.0)
 
     wsmall = small_dens * ri.csmall
-    wl0 = jnp.maximum(wsmall, jnp.sqrt(jnp.abs(ri.gamc_l * ri.p_l * ri.rho_l)))
-    wr0 = jnp.maximum(wsmall, jnp.sqrt(jnp.abs(ri.gamc_r * ri.p_r * ri.rho_r)))
-    wwinv = 1.0 / (wl0 + wr0)
-    pstar = jnp.maximum(small_pres,
-                        ((wr0 * ri.p_l + wl0 * ri.p_r)
-                         + wl0 * wr0 * (ri.un_l - ri.un_r)) * wwinv)
+    wl = jnp.maximum(wsmall, jnp.sqrt(jnp.abs(clsql)))
+    wr = jnp.maximum(wsmall, jnp.sqrt(jnp.abs(clsqr)))
 
-    def ustars(pstar):
-        wl = jnp.maximum(wsmall, jnp.sqrt(wsq(ri.p_l, ri.rho_l, ri.gamc_l, pstar)))
-        wr = jnp.maximum(wsmall, jnp.sqrt(wsq(ri.p_r, ri.rho_r, ri.gamc_r, pstar)))
-        usl = ri.un_l - (pstar - ri.p_l) / wl
-        usr = ri.un_r + (pstar - ri.p_r) / wr
-        return usl, usr, wl, wr
+    # two-shock initial guess
+    pstar = ri.p_l + ((ri.p_r - ri.p_l) - wr * (ri.un_r - ri.un_l)) \
+        * wl / (wl + wr)
+    pstar = jnp.maximum(pstar, small_pres)
+    pstar_two_shock = pstar
 
-    # secant iteration on f(p) = usl(p) - usr(p)
-    p0 = pstar
-    p1 = jnp.maximum(small_pres, 1.05 * pstar)
-    usl0, usr0, _, _ = ustars(p0)
-    f0 = usl0 - usr0
-    for _ in range(maxiter):
-        usl1, usr1, _, _ = ustars(p1)
-        f1 = usl1 - usr1
-        denom = jnp.where(jnp.abs(f1 - f0) > 1e-300, f1 - f0, 1e-300)
-        p2 = jnp.clip(p1 - f1 * (p1 - p0) / denom,
-                      small_pres, 1e6 * jnp.maximum(ri.p_l, ri.p_r))
-        p0, f0, p1 = p1, f1, p2
-    pstar = p1
-    usl, usr, wl, wr = ustars(pstar)
-    ustar = 0.5 * (usl + usr)
+    wlsq, _ = _wsqge(ri.p_l, taul, gamel, gdot, gmin, gmax, clsql, pstar)
+    wrsq, _ = _wsqge(ri.p_r, taur, gamer, gdot, gmin, gmax, clsqr, pstar)
+    pstar_old = pstar
+    wl = jnp.sqrt(wlsq)
+    wr = jnp.sqrt(wrsq)
+    ustar_l = ri.un_l - (pstar - ri.p_l) / wl
+    ustar_r = ri.un_r + (pstar - ri.p_r) / wr
 
-    # contact sampling identical to riemannus (with the converged star)
+    # secant iteration (CG Eq. 18), fixed count with converged masking
+    converged = jnp.zeros_like(pstar, dtype=bool)
+    for _ in range(max(maxiter, 2)):
+        wlsq, _ = _wsqge(ri.p_l, taul, gamel, gdot, gmin, gmax, clsql, pstar)
+        wrsq, _ = _wsqge(ri.p_r, taur, gamer, gdot, gmin, gmax, clsqr, pstar)
+        wl_i = 1.0 / jnp.sqrt(wlsq)  # inverse wave speeds
+        wr_i = 1.0 / jnp.sqrt(wrsq)
+        ustar_r_old = ustar_r
+        ustar_l_old = ustar_l
+        ustar_r_new = ri.un_r - (ri.p_r - pstar) * wr_i
+        ustar_l_new = ri.un_l + (ri.p_l - pstar) * wl_i
+        dpditer = jnp.abs(pstar_old - pstar)
+        zp = jnp.abs(ustar_l_new - ustar_l_old)
+        zp = jnp.where(zp - WEAKWV * ri.cavg <= 0.0, dpditer * wl_i, zp)
+        zm = jnp.abs(ustar_r_new - ustar_r_old)
+        zm = jnp.where(zm - WEAKWV * ri.cavg <= 0.0, dpditer * wr_i, zm)
+        denom = dpditer / jnp.maximum(zp + zm, SMALL * ri.cavg)
+        pstar_new = jnp.maximum(
+            pstar - denom * (ustar_r_new - ustar_l_new), small_pres)
+        err = jnp.abs(pstar_new - pstar)
+        # freeze converged zones (the reference exits its while loop)
+        upd = ~converged
+        ustar_l = jnp.where(upd, ustar_l_new, ustar_l)
+        ustar_r = jnp.where(upd, ustar_r_new, ustar_r)
+        pstar_old = jnp.where(upd, pstar, pstar_old)
+        pstar = jnp.where(upd, pstar_new, pstar)
+        converged = converged | (err < cg_tol * pstar)
+
+    # cg_blend=1 fallback: revert non-converged zones to the two-shock
+    # estimate (riemann_solvers.H:394)
+    pstar = jnp.where(converged, pstar, pstar_two_shock)
+
+    wlsq, _ = _wsqge(ri.p_l, taul, gamel, gdot, gmin, gmax, clsql, pstar)
+    wrsq, _ = _wsqge(ri.p_r, taur, gamer, gdot, gmin, gmax, clsqr, pstar)
+    wl_i = 1.0 / jnp.sqrt(wlsq)
+    wr_i = 1.0 / jnp.sqrt(wrsq)
+    ustar_r = ri.un_r - (ri.p_r - pstar) * wr_i
+    ustar_l = ri.un_l + (ri.p_l - pstar) * wl_i
+    ustar = 0.5 * (ustar_l + ustar_r)
     ustar = jnp.where(
         jnp.abs(ustar) < SMALLU * 0.5 * (jnp.abs(ri.un_l) + jnp.abs(ri.un_r)),
         0.0, ustar)
-    sgnm = jnp.sign(ustar)
-    fp = 0.5 * (1.0 + sgnm)
-    fm = 0.5 * (1.0 - sgnm)
-    ro = jnp.maximum(small_dens, fp * ri.rho_l + fm * ri.rho_r)
+
+    # contact sampling with the CG gamma model (riemann_solvers.H:460-590)
+    fp = jnp.where(ustar > 0.0, 1.0, jnp.where(ustar < 0.0, 0.0, 0.5))
+    fm = 1.0 - fp
+    ro = fp * ri.rho_l + fm * ri.rho_r
     uo = fp * ri.un_l + fm * ri.un_r
     po = fp * ri.p_l + fm * ri.p_r
-    reo = fp * ri.rhoe_l + fm * ri.rhoe_r
+    tauo = fp * taul + fm * taur
     gamco = fp * ri.gamc_l + fm * ri.gamc_r
-    roinv = 1.0 / ro
-    co = jnp.maximum(ri.csmall, jnp.sqrt(jnp.abs(gamco * po * roinv)))
-    co2inv = 1.0 / (co * co)
-    ut = fp * ri.ut_l + fm * ri.ut_r
-    utt = fp * ri.utt_l + fm * ri.utt_r
-    drho = (pstar - po) * co2inv
-    rstar = jnp.maximum(small_dens, ro + drho)
-    entho = (reo + po) * roinv * co2inv
-    estar = reo + (pstar - po) * entho
+    gameo = fp * gamel + fm * gamer
+
+    ro = jnp.maximum(small_dens, 1.0 / tauo)
+    tauo = 1.0 / ro
+    co = jnp.maximum(ri.csmall, jnp.sqrt(jnp.abs(gamco * po * tauo)))
+    clsq = (co * ro) ** 2
+    wosq, gamstar = _wsqge(po, tauo, gameo, gdot, gmin, gmax, clsq, pstar)
+
+    sgnm = jnp.where(ustar < 0.0, -1.0, 1.0)
+    wo = jnp.sqrt(wosq)
+    dpjmp = pstar - po
+    rstar = 1.0 - ro * dpjmp / wosq
+    rstar = jnp.maximum(small_dens, ro / rstar)
     cstar = jnp.maximum(ri.csmall, jnp.sqrt(jnp.abs(gamco * pstar / rstar)))
+
     spout = co - sgnm * uo
     spin = cstar - sgnm * ustar
-    ushock = 0.5 * (spin + spout)
-    is_shock = pstar - po > 0.0
+    ushock = wo * tauo - sgnm * uo
+    is_shock = dpjmp >= 0.0
     spin = jnp.where(is_shock, ushock, spin)
     spout = jnp.where(is_shock, ushock, spout)
-    scr = jnp.where(spout - spin == 0.0, SMALL * ri.cavg, spout - spin)
-    frac = jnp.clip(0.5 * (1.0 + (spout + spin) / scr), 0.0, 1.0)
+    frac = 0.5 * (1.0 + (spin + spout) / jnp.maximum(
+        jnp.maximum(spout - spin, spin + spout), SMALL * ri.cavg))
+
+    ut = fp * ri.ut_l + fm * ri.ut_r
+    utt = fp * ri.utt_l + fm * ri.utt_r
+
     rho_g = frac * rstar + (1.0 - frac) * ro
     un_g = frac * ustar + (1.0 - frac) * uo
     p_g = frac * pstar + (1.0 - frac) * po
-    re_g = frac * estar + (1.0 - frac) * reo
+    game_g = frac * gamstar + (1.0 - frac) * gameo
+
     rho_g = jnp.where(spout < 0.0, ro, rho_g)
     un_g = jnp.where(spout < 0.0, uo, un_g)
     p_g = jnp.where(spout < 0.0, po, p_g)
-    re_g = jnp.where(spout < 0.0, reo, re_g)
+    game_g = jnp.where(spout < 0.0, gameo, game_g)
     rho_g = jnp.where(spin >= 0.0, rstar, rho_g)
     un_g = jnp.where(spin >= 0.0, ustar, un_g)
     p_g = jnp.where(spin >= 0.0, pstar, p_g)
-    re_g = jnp.where(spin >= 0.0, estar, re_g)
+    game_g = jnp.where(spin >= 0.0, gamstar, game_g)
+
     p_g = jnp.maximum(p_g, small_pres)
+    re_g = p_g / (game_g - 1.0)
     return GodunovState(rho=rho_g, un=un_g, ut=ut, utt=utt, p=p_g,
                         rhoe=re_g, ustar=ustar)
 
 
-def hll_flux(ri: RiemannInputs, d, layout, small_dens, small_pres):
+def hll_flux(ri: RiemannInputs, d, layout, small_dens, small_pres,
+             coord=CoordSys.CARTESIAN):
     """Einfeldt HLLE flux from interface states (reference `HLL`,
-    riemann_solvers.H:817+; used by hybrid_riemann inside shocks)."""
+    riemann_solvers.H:817+; used by hybrid_riemann inside shocks).
+
+    The pressure enters the normal momentum flux only where
+    `mom_flux_has_p` (reference riemann_solvers.H:932): in the radial
+    direction of curvilinear coords, consup applies the pressure gradient
+    as a separate source, so including p here would double-count it."""
     L = layout
     cl = jnp.maximum(ri.csmall, jnp.sqrt(jnp.abs(ri.gamc_l * ri.p_l / ri.rho_l)))
     cr = jnp.maximum(ri.csmall, jnp.sqrt(jnp.abs(ri.gamc_r * ri.p_r / ri.rho_r)))
     SL = jnp.minimum(ri.un_l - cl, ri.un_r - cr)
     SR = jnp.maximum(ri.un_l + cl, ri.un_r + cr)
+    p_in_mn = 1.0 if mom_flux_has_p(d, coord) else 0.0
 
     def cons_and_flux(rho, un, ut, utt, p, rhoe):
         E = rhoe + 0.5 * rho * (un**2 + ut**2 + utt**2)
         U = jnp.stack([rho, rho * un, rho * ut, rho * utt, E, rhoe])
-        F = jnp.stack([rho * un, rho * un * un + p, rho * ut * un,
+        F = jnp.stack([rho * un, rho * un * un + p_in_mn * p, rho * ut * un,
                        rho * utt * un, un * (E + p), un * rhoe])
         return U, F
 
@@ -452,7 +512,7 @@ def cmpflx(qm, qp, qaux, d, layout, coord, riemann_solver=0,
 
     if hybrid_riemann and shk is not None:
         shk_face = jnp.maximum(shk, shifted(shk, -1, d)) > 0.0
-        Fh = hll_flux(ri, d, layout, small_dens, small_pres)
+        Fh = hll_flux(ri, d, layout, small_dens, small_pres, coord=coord)
         mom = {0: (L.momentum_index(0), L.UMY, L.UMZ),
                1: (L.UMY, L.UMX, L.UMZ),
                2: (L.UMZ, L.UMX, L.UMY)}[d]

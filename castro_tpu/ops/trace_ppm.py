@@ -153,19 +153,22 @@ def trace_ppm(q, qaux, srcQ, flatn, d, dt, dx_d, layout, small_dens, small_pres,
         qp_p = qp_p + sourcp
         qp_re = qp_re + source
 
-    # assemble full NQ interface states (cell-registered)
-    def assemble(rho, vn, p, re, ut, utt):
-        out = q  # start from cell values (QTEMP/QGAME copied through)
-        out = out.at[L.QRHO].set(rho)
-        out = out.at[QUN].set(vn)
-        out = out.at[QUT].set(ut)
-        out = out.at[QUTT].set(utt)
-        out = out.at[L.QPRES].set(p)
-        out = out.at[L.QREINT].set(re)
-        return out
-
-    qp_cell = assemble(qp_rho, qp_un, qp_p, qp_re, qp_ut, qp_utt)
-    qm_cell = assemble(qm_rho, qm_un, qm_p, qm_re, qm_ut, qm_utt)
+    # assemble full NQ interface states (cell-registered); built as
+    # component lists + stack so the same code lowers inside Pallas blocks
+    # (scatter-free) and fuses cleanly under XLA
+    qp_comps = [q[i] for i in range(L.NQ)]  # QTEMP/QGAME copied through
+    qm_comps = [q[i] for i in range(L.NQ)]
+    for comps, vals in ((qp_comps, (qp_rho, qp_un, qp_p, qp_re, qp_ut,
+                                    qp_utt)),
+                        (qm_comps, (qm_rho, qm_un, qm_p, qm_re, qm_ut,
+                                    qm_utt))):
+        rho_v, un_v, p_v, re_v, ut_v, utt_v = vals
+        comps[L.QRHO] = rho_v
+        comps[QUN] = un_v
+        comps[QUT] = ut_v
+        comps[QUTT] = utt_v
+        comps[L.QPRES] = p_v
+        comps[L.QREINT] = re_v
 
     # passives (species + aux): carried by the contact only
     npass = L.nspec + L.naux
@@ -174,8 +177,11 @@ def trace_ppm(q, qaux, srcQ, flatn, d, dt, dx_d, layout, small_dens, small_pres,
             list(range(L.QFX, L.QFX + L.naux)) if L.naux > 0 else []
         ):
             Ipp, Imp = ppm1(q[comp])
-            qp_cell = qp_cell.at[comp].set(Imp)
-            qm_cell = qm_cell.at[comp].set(Ipp)
+            qp_comps[comp] = Imp
+            qm_comps[comp] = Ipp
+
+    qp_cell = jnp.stack(qp_comps)
+    qm_cell = jnp.stack(qm_comps)
 
     # register on faces: qm at face i comes from cell i-1's right-edge state
     qm_face = shifted(qm_cell, -1, 1 + ax)

@@ -3,29 +3,27 @@
 TPU-native replacement for AMReX BoxArray + DistributionMapping (SURVEY.md
 P1/P2): the global interior grid [NVAR, N1, N2, N3] is sharded over mesh
 axes; the step runs under shard_map, with halo exchange over ICI
-(`castro_tpu/parallel/halo.py`) replacing FillBoundary, and physical BCs
-applied on edge shards.
-
-Restriction (round 1): sharded mode is Cartesian-only (curvilinear metric
-arrays are global-position-dependent).
+(`castro_tpu/parallel/halo.py`) replacing FillBoundary, physical BCs
+applied on edge shards, and ALL physics running through the same
+`Simulation._step_impl` as single-device runs — sources (old + new-time
+corrector), reactions, clean/fill ordering, and the distributed elliptic
+solves (`solvers/multigrid.py` axis_names mode) included. Reductions
+(min-rho, NaN, burn-fail) ride `lax.pmin/pmax` (the reference's
+`ParallelDescriptor::ReduceReal*`).
 """
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from castro_tpu.geometry import CoordSys
-from castro_tpu.ops.advection_util import ctoprim, src_to_prim
-from castro_tpu.ops.ctu import ctu_hydro
+from castro_tpu.driver.sim import StepCtx
 from castro_tpu.parallel.halo import exchange_and_fill, shrink
-from castro_tpu.driver import clean as clean_mod
-from castro_tpu.ops.stencil import interior_slice
 
 
 def spatial_axis_names(sim, mesh: Mesh) -> Tuple[Optional[str], ...]:
@@ -45,58 +43,71 @@ def state_sharding(sim, mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(None, *names))
 
 
+def make_step_ctx(sim, names: Tuple[Optional[str], ...],
+                  n_loc: Optional[Tuple[int, ...]] = None) -> StepCtx:
+    """Build the shard-local StepCtx for use inside shard_map: halo-exchange
+    ghost fills, collective reductions, and a position-correct local
+    geometry view."""
+    L = sim.layout
+    ng = sim.ng
+    spatial = tuple(n for n in names if n is not None)
+
+    def fill(u_grown, t=0.0):
+        return exchange_and_fill(shrink(u_grown, ng, L.dim), L, ng, names,
+                                 sim.cfg.lo_bc, sim.cfg.hi_bc,
+                                 problem_fill=sim.problem_fill, t=t)
+
+    if spatial:
+        pmin = lambda x: lax.pmin(jnp.min(x), spatial)  # noqa: E731
+        pany = lambda b: lax.pmax(  # noqa: E731
+            jnp.asarray(b, jnp.int32), spatial) > 0
+        psum = lambda x: lax.psum(x, spatial)  # noqa: E731
+    else:
+        pmin, pany, psum = jnp.min, (lambda b: b), (lambda x: x)
+
+    geom = _local_geom(sim, names, n_loc) if n_loc is not None else sim.geom
+    return StepCtx(fill=fill, pmin=pmin, pany=pany, psum=psum,
+                   geom=geom, axis_names=names)
+
+
+def _local_geom(sim, names, n_loc):
+    """Shard-local geometry view (traced global offsets from axis_index)."""
+    ilo = []
+    for d in range(sim.layout.dim):
+        if names[d] is not None:
+            ilo.append(lax.axis_index(names[d]) * n_loc[d])
+        else:
+            ilo.append(0)
+    return sim.geom.local_view(n_loc, tuple(ilo))
+
+
 def make_sharded_step(sim, mesh: Mesh, with_status: bool = True):
     """Build a jitted whole-level step over the mesh.
 
-    The returned fn maps (u_interior_global, dt, t) -> (u_new, min_rho, nan)
+    The returned fn maps (u_interior_global, dt, t) -> (u_new, min_rho, bad)
     with u stored WITHOUT ghosts (ghosts are transient inside the shard_map).
+    It is the full `Simulation._step_impl` — reactions, old/new source
+    corrector, clean/fill — under spatial decomposition.
     """
-    assert sim.geom.coord == CoordSys.CARTESIAN, "sharded mode: Cartesian only"
     L = sim.layout
     ng = sim.ng
     names = spatial_axis_names(sim, mesh)
-    cfg = dataclasses.replace(sim.cfg, mesh_axes=names) if dataclasses.is_dataclass(sim.cfg) \
-        else sim.cfg._replace(mesh_axes=names)
-    c = sim.params.castro
-
     spec_u = P(None, *names)
 
     def local_step(u_loc, dt, t):
-        u = exchange_and_fill(u_loc, L, ng, names, cfg.lo_bc, cfg.hi_bc,
-                              problem_fill=sim.problem_fill)
-        q, qaux = ctoprim(u, L, sim.eos, cfg.small_dens, max(c.small_temp, 1e-200))
-        src = None
-        if sim.source_fns:
-            src = jnp.zeros_like(u)
-            for fn in sim.source_fns:
-                src = src + fn(sim, u, q, qaux, t, dt)
-        srcQ = None if src is None else src_to_prim(q, qaux, src, L)
-        hsrc, _, _, _ = ctu_hydro(u, q, qaux, srcQ, dt, sim.geom, L, cfg)
-        u_new = u + dt * hsrc
-        if src is not None:
-            u_new = u_new + dt * src
+        ctx = make_step_ctx(sim, names, n_loc=u_loc.shape[1:])
+        pads = [(0, 0)] + [(ng, ng)] * L.dim
+        u = jnp.pad(u_loc, pads)  # ghosts filled by the step's ctx.fill
+        u_new, min_rho, bad = sim._step_impl(u, dt, t, ctx=ctx)
+        return shrink(u_new, ng, L.dim), min_rho, bad
 
-        inner = interior_slice(ng, L.dim)
-        min_rho = jax.lax.pmin(
-            jnp.min(u_new[inner][L.URHO]),
-            tuple(n for n in names if n is not None)) if any(names) else jnp.min(
-            u_new[inner][L.URHO])
-        nan_flag = ~jnp.isfinite(jnp.sum(u_new[inner]))
-        if any(names):
-            nan_flag = jax.lax.pmax(
-                nan_flag.astype(jnp.int32),
-                tuple(n for n in names if n is not None)) > 0
-
-        u_new = clean_mod.clean_state(
-            u_new, L, sim.eos, small_dens=cfg.small_dens,
-            small_temp=max(c.small_temp, 1e-200),
-            dual_energy_eta2=c.dual_energy_eta2,
-            do_normalize_species=bool(c.normalize_species))
-        return shrink(u_new, ng, L.dim), min_rho, nan_flag
-
+    # check_vma=False: Pallas kernels inside the shard inherit no varying-
+    # axis metadata; the decomposition-invariance tests are the correctness
+    # oracle for the collective structure instead
     mapped = shard_map(
         local_step, mesh=mesh,
         in_specs=(spec_u, P(), P()),
         out_specs=(spec_u, P(), P()),
+        check_vma=False,
     )
     return jax.jit(mapped, donate_argnums=(0,))

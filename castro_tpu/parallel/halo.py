@@ -30,7 +30,7 @@ def _take(u, axis, lo, hi):
 def exchange_and_fill(u_loc, layout, ng: int,
                       axis_names: Sequence[Optional[str]],
                       lo_bc, hi_bc, odd_components=None,
-                      problem_fill=None):
+                      problem_fill=None, t=0.0):
     """Grow a local (ghost-free) block by ng and fill all ghosts.
 
     u_loc: [NVAR, n1_loc, ...] local shard WITHOUT ghosts.
@@ -79,9 +79,9 @@ def exchange_and_fill(u_loc, layout, ng: int,
             u = u.at[_take(u, axis, n + ng, n + 2 * ng)].set(
                 jnp.where(idx == m - 1, vals, cur))
 
-    if problem_fill is not None:
-        u = problem_fill(u)
-    return u
+    from castro_tpu.ops.fill import apply_problem_fill
+
+    return apply_problem_fill(u, problem_fill, t)
 
 
 def shrink(u, ng: int, dim: int):

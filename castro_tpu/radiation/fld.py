@@ -64,36 +64,49 @@ class FLDRadiation:
         return jnp.maximum(kr + ks, max(rp.kappa_floor, 1e-30))
 
     # -- the implicit update -------------------------------------------------
-    def _face_avg(self, a, d):
-        """Arithmetic average to faces: face array (n+1 along d)."""
-        pad = [(0, 0)] * a.ndim
-        pad[d] = (1, 1)
-        g = jnp.pad(a, pad, mode="edge")
-        n = a.shape[d]
-        lo = mg._take(g, d, 0, n + 1)
-        hi = mg._take(g, d, 1, n + 2)
-        return 0.5 * (g[lo] + g[hi])
+    def _grown1(self, a, axis_names=None):
+        """Grow by 1 ghost cell: Neumann (edge-clamp) at physical faces,
+        true neighbor values across shard boundaries (ppermute)."""
+        codes = (mg.NEUMANN,) * a.ndim
+        if axis_names and any(n is not None for n in axis_names):
+            return mg.sharded_fill_bc(a, codes, codes, axis_names)
+        return mg.fill_bc(mg._grow(a), codes, codes)
 
-    def _grad_mag(self, Er):
-        dim = Er.ndim
+    def _face_avg_grown(self, g, d):
+        """Faces (n+1 along d) from a 1-ghost grown array."""
+        out = g
+        for k in range(g.ndim):
+            if k != d:
+                out = out[mg._take(out, k, 1, out.shape[k] - 1)]
+        n = out.shape[d] - 2
+        lo = out[mg._take(out, d, 0, n + 1)]
+        hi = out[mg._take(out, d, 1, n + 2)]
+        return 0.5 * (lo + hi)
+
+    def _grad_mag_grown(self, Eg):
+        dim = Eg.ndim
         g2 = 0.0
         for d in range(dim):
-            pad = [(0, 0)] * dim
-            pad[d] = (1, 1)
-            Eg = jnp.pad(Er, pad, mode="edge")
-            n = Er.shape[d]
-            hi = Eg[mg._take(Eg, d, 2, n + 2)]
-            lo = Eg[mg._take(Eg, d, 0, n)]
+            v = Eg
+            for k in range(dim):
+                if k != d:
+                    v = v[mg._take(v, k, 1, v.shape[k] - 1)]
+            n = v.shape[d] - 2
+            hi = v[mg._take(v, d, 2, n + 2)]
+            lo = v[mg._take(v, d, 0, n)]
             g2 = g2 + ((hi - lo) / (2 * self.geom.dx[d])) ** 2
         return jnp.sqrt(g2)
 
-    def diffusion_coeffs(self, Er, rho, T):
+    def diffusion_coeffs(self, Er, rho, T, axis_names=None):
         """Face-registered D = c*lambda/kappa_R per dim + cell lambda."""
         kr = self.kappa_r(rho, T)
-        R = self._grad_mag(Er) / jnp.maximum(kr * jnp.maximum(Er, 1e-30), 1e-30)
+        Eg = self._grown1(Er, axis_names)
+        R = self._grad_mag_grown(Eg) / jnp.maximum(
+            kr * jnp.maximum(Er, 1e-30), 1e-30)
         lam = fld_lambda(R, self.limiter)
         D = self.c * lam / kr
-        bcoefs = [self._face_avg(D, d) for d in range(Er.ndim)]
+        Dg = self._grown1(D, axis_names)
+        bcoefs = [self._face_avg_grown(Dg, d) for d in range(Er.ndim)]
         return bcoefs, lam
 
     def _bc(self):
@@ -125,21 +138,24 @@ class FLDRadiation:
                 vhi.append(rp.hi_bcval[d] if rp.hi_bcflag[d] else 0.0)
         return tuple(lo), tuple(hi), vlo, vhi
 
-    def gray_update(self, Er, rho, e, T_guess, cv, dt):
+    def gray_update(self, Er, rho, e, T_guess, cv, dt, axis_names=None):
         """One backward-Euler gray FLD solve with eta-linearized matter
         coupling (reference single_group_update). Returns (Er', e', T').
 
-        All interior (ghost-free) arrays."""
+        All interior (ghost-free) arrays; with axis_names (inside
+        shard_map) the linear solves are distributed (RadSolve.H:171's
+        Hypre-over-MPI analog)."""
         cl = self.c
         a_r = self.arad
         bc_lo, bc_hi, bvl, bvh = self._bc()
+        rtol = 1e-10 if Er.dtype == jnp.float64 else 1e-6
 
         def outer(carry, _):
             Er_k, e_k = carry
             T_k = T_guess + (e_k - e) / cv  # local linearization of T(e)
             T_k = jnp.maximum(T_k, 1e-10)
             kp = self.kappa_p(rho, T_k)
-            bcoefs, lam = self.diffusion_coeffs(Er_k, rho, T_k)
+            bcoefs, lam = self.diffusion_coeffs(Er_k, rho, T_k, axis_names)
 
             beta = 4.0 * a_r * T_k**3 / (rho * cv)
             eta = beta * kp * cl * dt / (1.0 + beta * kp * cl * dt)
@@ -152,7 +168,8 @@ class FLDRadiation:
             Er_new, res = mg.solve(
                 rhs, self.geom.dx, acoef=acoef, bcoefs=bcoefs,
                 alpha=1.0, beta=dt, bc_lo=bc_lo, bc_hi=bc_hi,
-                bc_vals_lo=bvl, bc_vals_hi=bvh, n_vcycles=8)
+                bc_vals_lo=bvl, bc_vals_hi=bvh, n_vcycles=20, rtol=rtol,
+                axis_names=axis_names)
             # matter update (internal_energy_update): eta-damped exchange
             de = -dt * kp * cl * (a_r * T_k**4 - Er_new) / rho
             e_new = e + de / (1.0 + beta * kp * cl * dt)
@@ -164,7 +181,7 @@ class FLDRadiation:
         return Er_f, e_f, T_f
 
     def multigroup_update(self, Er_g, rho, e, T_guess, cv, dt, nu_centers,
-                          dnu):
+                          dnu, axis_names=None):
         """MGFLD-style update: groups couple through the matter temperature
         (reference MGFLD_implicit_update outer iteration over groups;
         Doppler f-space advection TODO). Er_g: [ngroups, ...]."""
@@ -172,6 +189,7 @@ class FLDRadiation:
         a_r = self.arad
         bc_lo, bc_hi, bvl, bvh = self._bc()
         ng = Er_g.shape[0]
+        rtol = 1e-10 if Er_g.dtype == jnp.float64 else 1e-6
 
         def planck_frac(T):
             """Fraction of a T^4 in each group (normalized Planck weights)."""
@@ -190,14 +208,16 @@ class FLDRadiation:
 
             Er_out = []
             for g in range(ng):
-                bcoefs, lam = self.diffusion_coeffs(Er_k[g], rho, T_k)
+                bcoefs, lam = self.diffusion_coeffs(Er_k[g], rho, T_k,
+                                                    axis_names)
                 acoef = 1.0 + (1.0 - eta) * kp * cl * dt
                 rhs = Er_k[g] * 0 + Er_g[g] + (1.0 - eta) * kp * cl * dt * \
                     a_r * T_k**4 * frac[g]
                 Er_new, _ = mg.solve(
                     rhs, self.geom.dx, acoef=acoef, bcoefs=bcoefs,
                     alpha=1.0, beta=dt, bc_lo=bc_lo, bc_hi=bc_hi,
-                    bc_vals_lo=bvl, bc_vals_hi=bvh, n_vcycles=6)
+                    bc_vals_lo=bvl, bc_vals_hi=bvh, n_vcycles=15, rtol=rtol,
+                    axis_names=axis_names)
                 Er_out.append(Er_new)
             Er_new = jnp.stack(Er_out)
             de = -dt * kp * cl * (a_r * T_k**4 - jnp.sum(Er_new, axis=0)) / rho

@@ -30,7 +30,7 @@ class DiffusionSource:
             return jnp.full_like(T, self.k0)
         return self.k0 * T ** self.nu
 
-    def __call__(self, sim, u, q, qaux, t, dt):
+    def __call__(self, sim, u, q, qaux, t, dt, ctx=None):
         L = self.layout
         dim = L.dim
         T = u[L.UTEMP]

@@ -18,19 +18,19 @@ class GravitySource:
     def __init__(self, gravity):
         self.gravity = gravity
 
-    def grav_field(self, sim, u):
+    def grav_field(self, sim, u, ctx=None):
         """g[3, grown grid] for the current state."""
         from castro_tpu.ops.stencil import interior_slice
         from castro_tpu.sources import pad_to_grown
 
         L = sim.layout
         rho_i = u[(L.URHO,) + interior_slice(sim.ng, L.dim, 0)]
-        g3, phi = self.gravity.grav_vector(rho_i)
+        g3, phi = self.gravity.grav_vector(rho_i, ctx)
         return pad_to_grown(g3, sim.ng, L.dim), phi
 
-    def __call__(self, sim, u, q, qaux, t, dt):
+    def __call__(self, sim, u, q, qaux, t, dt, ctx=None):
         L = sim.layout
-        g3, _ = self.grav_field(sim, u)
+        g3, _ = self.grav_field(sim, u, ctx)
         src = jnp.zeros_like(u)
         rho = u[L.URHO]
         e_src = 0.0

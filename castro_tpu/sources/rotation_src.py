@@ -30,8 +30,8 @@ class RotationSource:
         w[self.axis] = self.omega_mag
         return w
 
-    def _coords(self, shape):
-        geom = self.geom
+    def _coords(self, shape, geom=None):
+        geom = geom if geom is not None else self.geom
         center = [0.5 * (geom.prob_lo[d] + geom.prob_hi[d]) for d in range(geom.dim)]
         xs = []
         for d in range(3):
@@ -42,12 +42,12 @@ class RotationSource:
                 xs.append(jnp.zeros(shape))
         return xs
 
-    def __call__(self, sim, u, q, qaux, t, dt):
+    def __call__(self, sim, u, q, qaux, t, dt, ctx=None):
         L = self.layout
         rho = u[L.URHO]
         v = [u[(L.UMX, L.UMY, L.UMZ)[d]] / rho for d in range(3)]
         w = self._omega()
-        x = self._coords(rho.shape)
+        x = self._coords(rho.shape, ctx.geom if ctx is not None else None)
 
         def cross(a, b):
             return [a[1] * b[2] - a[2] * b[1],

@@ -26,13 +26,14 @@ class SpongeSource:
         self.layout = layout
         self.ng = ng
 
-    def __call__(self, sim, u, q, qaux, t, dt):
+    def __call__(self, sim, u, q, qaux, t, dt, ctx=None):
         L = self.layout
         c = self.p
+        geom = ctx.geom if ctx is not None else self.geom
         fac = jnp.zeros_like(u[L.URHO])
 
         if c.sponge_upper_radius > 0.0:
-            r = self.geom.radius(self.ng)
+            r = geom.radius(self.ng)
             r = jnp.broadcast_to(r, u[L.URHO].shape)
             fac = jnp.maximum(fac, _ramp(r, c.sponge_lower_radius,
                                          c.sponge_upper_radius))

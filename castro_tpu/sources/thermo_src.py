@@ -18,7 +18,7 @@ class ThermoSource:
         self.layout = layout
         self.ng = ng
 
-    def __call__(self, sim, u, q, qaux, t, dt):
+    def __call__(self, sim, u, q, qaux, t, dt, ctx=None):
         L = self.layout
         div = jnp.zeros_like(u[L.URHO])
         for d in range(L.dim):

@@ -16,7 +16,6 @@ import threading
 
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO, "cpp", "castro_io.cpp")
-_SO = os.path.join(_REPO, "cpp", "_castro_io.so")
 
 _lib = None
 _lock = threading.Lock()
@@ -25,10 +24,24 @@ _atexit_registered = False
 MAGIC = b"CIO1\x00\x00\x00\x00"
 
 
-def _build():
+def _so_path():
+    """Cache path keyed by the source hash: binaries are never committed
+    and a stale cache never shadows edited source."""
+    import hashlib
+
+    with open(_SRC, "rb") as f:
+        h = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache = os.environ.get("CASTRO_TPU_CACHE",
+                           os.path.join(os.path.expanduser("~"), ".cache",
+                                        "castro_tpu"))
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, f"_castro_io_{h}.so")
+
+
+def _build(so):
     subprocess.run(
         ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-pthread",
-         _SRC, "-o", _SO],
+         _SRC, "-o", so],
         check=True, capture_output=True)
 
 
@@ -39,10 +52,10 @@ def get_lib():
         if _lib is not None:
             return _lib
         try:
-            if (not os.path.exists(_SO)
-                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-                _build()
-            lib = ctypes.CDLL(_SO)
+            so = _so_path()
+            if not os.path.exists(so):
+                _build(so)
+            lib = ctypes.CDLL(so)
             lib.cio_start.argtypes = [ctypes.c_int]
             lib.cio_submit.argtypes = [ctypes.c_char_p, ctypes.c_void_p,
                                        ctypes.c_uint64]

@@ -1,4 +1,11 @@
-"""Stage-by-stage timing of the 3D CTU step on the current backend."""
+"""Stage-by-stage timing of the 3D CTU step on the current backend.
+
+Methodology: each stage runs K times inside one jitted `lax.fori_loop`
+with a data dependency threaded through the carry, and the result is
+fetched to host — single-dispatch wall-clock, immune to async-dispatch
+pipelining (the axon tunnel otherwise reports impossible speeds for
+dispatch-per-iteration loops).
+"""
 
 import os
 import sys
@@ -10,67 +17,79 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from castro_tpu.driver.sim import Simulation
 from castro_tpu.problems import sedov
-from castro_tpu.ops.advection_util import ctoprim, divu_node, shock
+from castro_tpu.ops.advection_util import ctoprim
 from castro_tpu.ops.ctu import ctu_hydro
-from castro_tpu.ops.flatten import uflatten
-from castro_tpu.ops.trace_ppm import trace_ppm
-from castro_tpu.ops.riemann import cmpflx
 
 
-def timeit(name, fn, *args, n=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def timeloop(name, stage, u0, k=20):
+    """stage: u -> pytree. Chains a scalar of the output back into u."""
+
+    @jax.jit
+    def loop(u):
+        def body(i, u):
+            out = stage(u)
+            s = sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(out))
+            return u * (1.0 + 0.0 * s)
+
+        return lax.fori_loop(0, k, body, u)
+
+    r = loop(u0)
+    np.asarray(r[0, 0, 0, 0])  # force
     t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n
-    print(f"{name:24s} {dt*1e3:9.2f} ms")
-    return out
+    r = loop(u0)
+    np.asarray(r[0, 0, 0, 0])
+    dt = (time.perf_counter() - t0) / k
+    print(f"{name:30s} {dt*1e3:9.2f} ms")
 
 
-def main(n=128):
+def main(n=120):
     params = sedov.make_params(n=n, dim=3, stop_time=1.0, r_init=0.1,
                                exp_energy=0.5, dtype="float32")
     sim = Simulation(params, problem_init=sedov.problem_init)
     sim.init_data()
     L = sim.layout
     dt = np.float32(1e-5)
+    print(f"grid {n}^3, NVAR={L.NVAR}, NQ={L.NQ}, backend={jax.default_backend()}")
 
-    print(f"grid {n}^3, NVAR={L.NVAR}, backend={jax.default_backend()}")
+    u = sim._jit_clean_fill(sim.u)
+    q, qaux = jax.jit(lambda uu: ctoprim(uu, L, sim.eos, sim.cfg.small_dens,
+                                         1e-12))(u)
 
-    u = sim.u
-    fill = jax.jit(sim._fill)
-    u = timeit("fill_ghosts", fill, u)
+    timeloop("clean_fill", lambda uu: sim._clean_fill_impl(uu), u)
+    timeloop("ctoprim", lambda uu: ctoprim(uu, L, sim.eos,
+                                           sim.cfg.small_dens, 1e-12), u)
 
-    c2p = jax.jit(lambda uu: ctoprim(uu, L, sim.eos, sim.cfg.small_dens, 1e-12))
-    q, qaux = timeit("ctoprim", c2p, u)
+    from castro_tpu.ops.flatten import uflatten
 
-    flat_fn = jax.jit(lambda qq: uflatten(qq, L))
-    flat = timeit("flatten", flat_fn, q)
+    timeloop("flatten", lambda uu: uflatten(
+        ctoprim(uu, L, sim.eos, sim.cfg.small_dens, 1e-12)[0], L), u)
 
-    tr = jax.jit(lambda qq, qa, fl: trace_ppm(qq, qa, None, fl, 0, dt,
-                                              sim.geom.dx[0], L, 1e-12, 1e-20))
-    qm, qp = timeit("trace_ppm (1 dir)", tr, q, qaux, flat)
+    from castro_tpu.ops import pallas_kernels as pk
+    from castro_tpu.ops.trace_ppm import trace_ppm
 
-    rs = jax.jit(lambda a, b, qa: cmpflx(a, b, qa, 0, L, sim.geom.coord, 0,
-                                         1e-12, 1e-20))
-    timeit("cmpflx (1 dir)", rs, qm, qp, qaux)
+    flatn = jax.jit(lambda qq: uflatten(qq, L))(q)
+    if sim.cfg.use_pallas:
+        for d in range(3):
+            timeloop(f"trace pallas d={d}",
+                     lambda uu, d=d: pk.trace_ppm_pallas(
+                         q * (1 + 0 * uu[0, 0, 0, 0]), qaux, None, flatn, d,
+                         dt, sim.geom.dx[d], L, 1e-12, 1e-12, 1e-12), u)
+    from castro_tpu.ops.riemann import cmpflx
 
-    hyd = jax.jit(lambda uu, qq, qa: ctu_hydro(uu, qq, qa, None, dt, sim.geom,
-                                               L, sim.cfg))
-    timeit("ctu_hydro (full)", hyd, u, q, qaux, n=3)
+    timeloop("cmpflx (1 dir)",
+             lambda uu: cmpflx(q * (1 + 0 * uu[0, 0, 0, 0]), q, qaux, 2, L,
+                               sim.geom.coord, use_pallas=sim.cfg.use_pallas,
+                               small_dens=1e-12, small_pres=1e-12), u)
 
-    step = jax.jit(lambda uu: sim._step_impl(uu, dt, 0.0))
-    timeit("full step", step, sim.u, n=3)
-
-    zups = n**3 / (timeit("full step again", step, sim.u, n=5) if False else 1)
+    timeloop("ctu_hydro (full)",
+             lambda uu: ctu_hydro(uu, q * (1 + 0 * uu[0, 0, 0, 0]), qaux,
+                                  None, dt, sim.geom, L, sim.cfg), u)
+    timeloop("full step", lambda uu: sim._step_impl(uu, dt, 0.0)[0], u)
 
 
 if __name__ == "__main__":
-    import sys
-
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 128)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 120)

@@ -95,3 +95,52 @@ def test_constant_gravity_hse():
     # mismatch (the reference fixes that with its hse_fill BC, TODO)
     assert vel[2:-2].max() < 5e-3 * cs, vel[2:-2].max()
     assert vel.max() < 0.05 * cs, vel.max()
+
+
+def test_multipole_boundary_conditions_offset_blob():
+    """Isolated Poisson BCs via the full multipole expansion (reference
+    fill_multipole_BCs, Gravity.cpp:1579-1743): an off-center compact blob
+    must recover the point-mass field far away much more accurately with
+    l<=6 moments than with the monopole alone."""
+    import jax.numpy as jnp
+    from castro_tpu.config import Params
+    from castro_tpu.geometry import geometry_from_params
+    from castro_tpu.gravity import Gravity
+    from castro_tpu.state import layout_from_params
+    from castro_tpu.utils import constants as C
+
+    n = 32
+
+    def solve(lnum):
+        p = Params()
+        p = p.with_ns("amr", n_cell=(n, n, n))
+        p = p.with_ns("geometry", prob_lo=(-1.0,) * 3, prob_hi=(1.0,) * 3)
+        p = p.with_ns("castro", lo_bc=(2, 2, 2), hi_bc=(2, 2, 2))
+        p = p.with_ns("gravity", gravity_type="PoissonGrav",
+                      max_multipole_order=lnum)
+        geom = geometry_from_params(p, jnp.float64)
+        grav = Gravity(p, geom, layout_from_params(p), 4)
+
+        x = np.asarray(geom.cell_centers_1d(0, 0))
+        X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+        x0 = (0.35, 0.2, -0.15)
+        r2 = (X - x0[0])**2 + (Y - x0[1])**2 + (Z - x0[2])**2
+        sig = 0.08
+        rho = np.exp(-r2 / (2 * sig**2))
+        g3, phi = grav.grav_vector(jnp.asarray(rho))
+        g3 = np.asarray(g3)
+
+        # compare |g| against the point-mass value in far-field cells
+        dx3 = float(np.prod(geom.dx))
+        M = rho.sum() * dx3
+        rr = np.sqrt(r2)
+        far = rr > 0.7
+        gmag = np.sqrt((g3[:3] ** 2).sum(axis=0))
+        gref = C.Gconst * M / rr**2
+        rel = np.abs(gmag - gref) / gref
+        return rel[far].max()
+
+    err0 = solve(0)
+    err6 = solve(6)
+    assert err6 < err0 / 3.0, (err0, err6)
+    assert err6 < 0.02, err6

@@ -131,8 +131,11 @@ def test_radhydro_step_runs_and_conserves():
     p = Params()
     p = p.with_ns("amr", n_cell=(n,))
     p = p.with_ns("geometry", prob_lo=(0.0,), prob_hi=(1.0,))
+    # uniform advection: stable at any dt, so disable the CFL-violation
+    # retry flag and pick dt from the radiation coupling timescale
     p = p.with_ns("castro", lo_bc=(0,), hi_bc=(0,), do_radiation=1,
-                  small_dens=1e-12, small_temp=1e-12, small_pres=1e-15)
+                  small_dens=1e-12, small_temp=1e-12, small_pres=1e-15,
+                  check_cfl_violation=0)
     p = p.with_ns("radiation", const_kappa_p=1e-4, const_kappa_r=1e-2)
     p = p.with_ns("tpu", dtype="float64")
 

@@ -77,3 +77,141 @@ def test_sharded_periodic_wrap():
     x = np.asarray(sim.geom.cell_centers_1d(0, 0))
     peak = x[np.argmax(got[L.URHO])]
     assert abs(peak - 0.9) < 0.05
+
+
+def _run_pair(params, problem_init, mesh_shape, names, nsteps, dt,
+              rtol=1e-8, atol=1e-10):
+    """Run single-device vs sharded and compare interiors."""
+    sim = Simulation(params, problem_init=problem_init)
+    sim.init_data()
+    u_ref = sim.u
+    for _ in range(nsteps):
+        u_ref, _, _ = sim._jit_step(u_ref, dt, 0.0)
+    ref = np.asarray(sim.interior(u_ref))
+
+    sim2 = Simulation(params, problem_init=problem_init)
+    sim2.init_data()
+    mesh = _get_mesh(mesh_shape, names)
+    step = make_sharded_step(sim2, mesh)
+    u = jax.device_put(np.asarray(sim2.interior()), state_sharding(sim2, mesh))
+    for _ in range(nsteps):
+        u, min_rho, bad = step(u, dt, 0.0)
+    got = np.asarray(u)
+    assert not bool(bad)
+    assert np.allclose(got, ref, rtol=rtol, atol=atol), \
+        np.abs(got - ref).max()
+    return got, ref
+
+
+def test_sharded_full_physics_burning():
+    """Decomposition invariance with Strang reactions (powerlaw network) —
+    the sharded step runs the SAME _step_impl incl. both burn halves."""
+    from castro_tpu.problems import detonation
+
+    params = detonation.make_params(n=64)
+    params = params.with_ns("tpu", mesh_axes=("mx",))
+    # CFL-stable dt for this configuration (estdt ~ 2e-6)
+    _run_pair(params, detonation.problem_init, (4,), ("mx",),
+              nsteps=4, dt=1e-6)
+
+
+def test_sharded_poisson_gravity_and_sponge():
+    """Decomposition invariance with the distributed Poisson multigrid
+    (isolated multipole BCs) + position-dependent sponge: 2D, 2x2 mesh."""
+    import jax.numpy as jnp
+    from castro_tpu.problems.util import fill_from_prim
+    from castro_tpu.config import Params
+
+    p = Params()
+    n = 32
+    p = p.with_ns("amr", n_cell=(n, n))
+    p = p.with_ns("geometry", prob_lo=(-1.0,) * 3, prob_hi=(1.0,) * 3)
+    p = p.with_ns("castro", lo_bc=(2, 2), hi_bc=(2, 2), do_grav=1,
+                  do_sponge=1, sponge_lower_radius=0.6,
+                  sponge_upper_radius=0.9, sponge_timescale=1e-2)
+    p = p.with_ns("gravity", gravity_type="PoissonGrav")
+    p = p.with_ns("tpu", mesh_axes=("mx", "my"))
+
+    def init(sim, u):
+        r = sim.geom.radius(sim.ng)
+        rho = 1.0 + 2.0 * jnp.exp(-(r / 0.3) ** 2)
+        return fill_from_prim(sim, u, rho, (0.0, 0.0, 0.0), p=1.0)
+
+    _run_pair(p, init, (2, 2), ("mx", "my"), nsteps=3, dt=1e-3,
+              rtol=1e-6, atol=1e-8)
+
+
+def test_sharded_monopole_gravity():
+    """Decomposition invariance for MonopoleGrav (radial binning with
+    cross-shard psum): 2D, 4x2 mesh."""
+    import jax.numpy as jnp
+    from castro_tpu.problems.util import fill_from_prim
+    from castro_tpu.config import Params
+
+    p = Params()
+    n = 32
+    p = p.with_ns("amr", n_cell=(n, n))
+    p = p.with_ns("geometry", prob_lo=(-1.0,) * 3, prob_hi=(1.0,) * 3)
+    p = p.with_ns("castro", lo_bc=(2, 2), hi_bc=(2, 2), do_grav=1)
+    p = p.with_ns("gravity", gravity_type="MonopoleGrav")
+    p = p.with_ns("tpu", mesh_axes=("mx", "my"))
+
+    def init(sim, u):
+        r = sim.geom.radius(sim.ng)
+        rho = 1.0 + 2.0 * jnp.exp(-(r / 0.3) ** 2)
+        return fill_from_prim(sim, u, rho, (0.0, 0.0, 0.0), p=1.0)
+
+    _run_pair(p, init, (4, 2), ("mx", "my"), nsteps=3, dt=1e-3,
+              rtol=1e-10, atol=1e-12)
+
+
+def test_sharded_gray_fld_update():
+    """Distributed gray FLD implicit solve under shard_map matches the
+    single-device answer (VERDICT r1 #3: the ABec multigrid must run
+    multi-chip)."""
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from castro_tpu.config import Params
+    from castro_tpu.radiation.fld import FLDRadiation
+    from castro_tpu.state import layout_from_params
+
+    n = 32
+    p = Params()
+    p = p.with_ns("amr", n_cell=(n, n))
+    p = p.with_ns("geometry", prob_lo=(0.0,) * 3, prob_hi=(1.0,) * 3)
+    p = p.with_ns("castro", lo_bc=(2, 2), hi_bc=(2, 2), do_radiation=1)
+    p = p.with_ns("radiation", const_kappa_p=5.0, const_kappa_r=5.0)
+    from castro_tpu.geometry import geometry_from_params
+
+    geom = geometry_from_params(p, jnp.float64)
+    rad = FLDRadiation(p, geom, layout_from_params(p))
+
+    key = np.random.default_rng(0)
+    x = np.linspace(0, 1, n)
+    X, Y = np.meshgrid(x, x, indexing="ij")
+    Er = jnp.asarray(1e8 * (1.0 + np.exp(-((X - 0.5) ** 2 +
+                                           (Y - 0.5) ** 2) / 0.02)))
+    rho = jnp.asarray(1.0 + 0.1 * np.sin(2 * np.pi * X))
+    T = jnp.asarray(100.0 + 10.0 * np.cos(2 * np.pi * Y))
+    cv = jnp.full_like(rho, 1e8)
+    e = cv * T
+    dt = 1e-10
+
+    Er1, e1, T1 = jax.jit(rad.gray_update)(Er, rho, e, T, cv, dt)
+
+    mesh = _get_mesh((2, 2), ("mx", "my"))
+    names = ("mx", "my")
+
+    def local(Er, rho, e, T, cv):
+        return rad.gray_update(Er, rho, e, T, cv, dt, axis_names=names)
+
+    spec = P(*names)
+    f = jax.jit(shard_map(local, mesh=mesh, in_specs=(spec,) * 5,
+                          out_specs=(spec,) * 3))
+    sh = NamedSharding(mesh, spec)
+    Er2, e2, T2 = f(*(jax.device_put(a, sh) for a in (Er, rho, e, T, cv)))
+
+    assert np.allclose(np.asarray(Er2), np.asarray(Er1), rtol=1e-7), \
+        np.abs(np.asarray(Er2) - np.asarray(Er1)).max()
+    assert np.allclose(np.asarray(e2), np.asarray(e1), rtol=1e-9)
