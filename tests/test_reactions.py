@@ -141,3 +141,49 @@ def test_sdc_burning_box(tim):
     assert ui[L.UFS].sum() < x_fuel0          # fuel burned
     assert np.allclose(ui[L.URHO], 1.0, rtol=1e-10)  # still static/uniform
     assert np.abs(ui[L.UMX]).max() < 1e-8
+
+
+def test_aprox13_3alpha_rate_value():
+    """The triple-alpha energy generation matches the classic analytic
+    form eps = 5.09e11 rho^2 X^3 T8^-3 exp(-44.027/T8) erg/g/s
+    (Kippenhahn & Weigert eq. 18.68) once the screening factor is
+    divided out."""
+    net = Aprox13Network()
+    rho, T = 1e5, 2e8
+    xn = jnp.zeros((13, 1)).at[0].set(1.0)
+    xd, ed = net.rhs(jnp.asarray([rho]), jnp.asarray([T]), xn)
+    T8 = T / 1e8
+    eps_expected = 5.09e11 * rho**2 / T8**3 * np.exp(-44.027 / T8)
+    scr = float(ed[0]) / eps_expected
+    # weak-screening enhancement: > 1 and modest at this density
+    assert 1.0 < scr < 2.0, scr
+    # and the C12 production wires the same rate through Q = 7.275 MeV
+    q = 7.275 * 1.602176634e-6 * 6.02214076e23 / 12.0  # erg/g per X_C12
+    assert np.isclose(float(ed[0]) / float(xd[1, 0]), q, rtol=1e-3)
+
+
+def test_aprox13_photodisintegration_direction():
+    """Reverse (detailed-balance) rates: at NSE-ward temperatures a pure
+    Si28 composition photodisintegrates back down the alpha chain —
+    dX_He4 > 0, dX_Si28 < 0, and the binding-energy budget absorbs energy
+    (edot < 0)."""
+    net = Aprox13Network()
+    xn = jnp.zeros((13, 1)).at[5].set(1.0)  # pure Si28
+    xd, ed = net.rhs(jnp.asarray([1e7]), jnp.asarray([9e9]), xn)
+    assert float(xd[0, 0]) > 0.0    # alphas liberated
+    assert float(xd[5, 0]) < 0.0    # Si28 destroyed
+    assert float(ed[0]) < 0.0       # endothermic
+    # mass conservation
+    assert abs(float(xd.sum())) < 1e-10 * float(jnp.abs(xd).max())
+
+
+def test_aprox13_screening_monotonic():
+    net = Aprox13Network()
+    T = 3e8
+    xn = jnp.zeros((13, 2)).at[0].set(1.0)
+    rho = jnp.asarray([1e4, 1e6])
+    xd, ed = net.rhs(rho, jnp.full((2,), T), xn)
+    # per rho^2 normalized rate grows with density only through screening
+    r0 = float(ed[0]) / 1e4**2
+    r1 = float(ed[1]) / 1e6**2
+    assert r1 > r0
