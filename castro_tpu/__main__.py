@@ -23,6 +23,10 @@ def _register_problems():
         "dust_collapse": (dust_collapse.make_params, dust_collapse.problem_init),
         "detonation": (detonation.make_params, detonation.problem_init),
     })
+    # problems with custom construction (BC closures etc.)
+    from castro_tpu.problems import double_mach
+
+    PROBLEMS["double_mach"] = ("builder", double_mach.build)
 
 
 def main(argv=None):
@@ -56,7 +60,16 @@ def main(argv=None):
         print(f"unknown problem (have: {sorted(PROBLEMS)})")
         return 1
 
-    make_params, init = PROBLEMS[problem]
+    entry = PROBLEMS[problem]
+    if entry[0] == "builder":
+        sim = entry[1]()
+        for ov in overrides:
+            ns_key, val = ov.split(" = ")
+            print(f"note: override {ns_key} ignored for builder problems")
+        sim.init_data()
+        sim.run(verbose=True)
+        return 0
+    make_params, init = entry
     params = make_params()
     if inputs_path:
         params = load_inputs(inputs_path, base=params)
