@@ -4,24 +4,26 @@ refluxing and averaging-down.
 Reference semantics: AMReX `Amr::coarseTimeStep` recursion + Castro's
 subcycling (`Castro_advance_ctu.cpp:504`), FillPatch space-time
 interpolation at coarse-fine boundaries, `FluxRegister` refluxing
-(`Source/driver/Castro.cpp:2549-2700`), `avgDown`, and `errorEst` tagging.
+(`Source/driver/Castro.cpp:2549-2700`), `avgDown`, `errorEst` tagging, and
+hierarchy-wide retry (`retry_advance_ctu`).
 
-TPU-first representation (round 1): each level is a DENSE full-domain array
-at its resolution plus a boolean refinement mask, so fillpatch/reflux/
-avgDown are pure dense XLA ops (where / strided reshape / pad) with zero
-host gather-scatter — the XLA-friendly extreme of the patch-batch design in
-SURVEY.md §7. Unmasked fine cells always carry time-interpolated coarse
-data, which doubles as the coarse-fine ghost region for the stencil.
-Compute on unmasked cells is wasted (masked out) — patch-batch compaction
-is the planned optimization; the semantics here are the contract.
+TPU-first representation (round 2): each fine level is a DENSE **window**
+— the bucketed bounding box of the tagged region plus margin — at that
+level's resolution, with a boolean refinement mask inside the window.
+Fillpatch/reflux/avgDown stay pure dense XLA ops, but fine-level FLOPs now
+scale with the refined region instead of the whole domain. Window shapes
+are bucketed (multiples of 16 fine cells) so XLA recompiles only when the
+refined region outgrows its bucket; the window ORIGIN is a traced argument
+(`Geometry.local_view`) so window motion never recompiles. The unmasked
+window ring always carries time-interpolated coarse data, doubling as the
+coarse-fine ghost region for the stencil (FillPatch).
 
 Refinement ratio: 2 (per level), matching amr.ref_ratio defaults.
 """
 
 from __future__ import annotations
 
-import dataclasses
-import time
+
 from typing import Callable, Dict, List, Optional
 
 import jax
@@ -29,47 +31,102 @@ import jax.numpy as jnp
 import numpy as np
 
 from castro_tpu.config import Params
-from castro_tpu.driver.sim import Simulation, StepStatus
+from castro_tpu.driver.sim import Simulation, StepCtx
 from castro_tpu.driver.tagging import tag_cells
+from castro_tpu.geometry import geometry_from_params
 from castro_tpu.ops.interlevel import (coarsen_flux, prolong, prolong_mask,
                                        restrict, restrict_mask)
 from castro_tpu.ops.stencil import interior_slice
 
+BUCKET = 16   # window extents rounded up to multiples of this (fine cells)
+MARGIN = 8    # unmasked fine-cell ring kept around tags (>= ng + stencil)
 
-def _refined_params(params: Params, level: int) -> Params:
+
+def _level_params(params: Params, level: int,
+                  n_cell: Optional[tuple] = None) -> Params:
     r = 2**level
-    n_cell = tuple(n * r for n in params.amr.n_cell)
-    p = params.with_ns("amr", n_cell=n_cell)
+    nc = n_cell if n_cell is not None else tuple(
+        n * r for n in params.amr.n_cell)
+    p = params.with_ns("amr", n_cell=nc)
     if level > 0:
-        # dense masked fine levels carry fill values outside the refined
-        # region; the whole-grid CFL scan would see them (the patch-batch
-        # redesign restores the per-level check)
+        # windows carry coarse fill values outside the mask; the whole-grid
+        # CFL scan would see them
         p = p.with_ns("castro", check_cfl_violation=0)
     return p
 
 
+class _GeomShim:
+    """Duck-typed sim view with a position-correct window geometry, for
+    problem_init / problem_tagging hooks on fine windows."""
+
+    def __init__(self, sim, geom):
+        self._sim = sim
+        self.geom = geom
+
+    def __getattr__(self, name):
+        return getattr(self._sim, name)
+
+
+class _Level:
+    """One fine level's compiled programs for a fixed window SHAPE."""
+
+    def __init__(self, params, level, shape_f, geom_full, **sim_kw):
+        self.shape = tuple(shape_f)
+        sim_kw = dict(sim_kw)
+        sim_kw.pop("problem_init", None)
+        self.sim = Simulation(_level_params(params, level, self.shape),
+                              **sim_kw)
+        self.sim.keep_fluxes = True
+        self.geom_full = geom_full
+        sim = self.sim
+
+        def step(u, dt, t, ilo):
+            geom = geom_full.local_view(self.shape, tuple(ilo))
+            ctx = StepCtx(fill=sim._fill, pmin=jnp.min, pany=lambda b: b,
+                          psum=lambda x: x, geom=geom, axis_names=())
+            return sim._step_impl(u, dt, t, ctx=ctx)
+
+        self.jit_step = jax.jit(step)
+        self.jit_estdt = jax.jit(sim._estdt_impl)
+        self.jit_clean_fill = jax.jit(sim._clean_fill_impl)
+
+
 class AmrSimulation:
-    """Owns the level hierarchy; each level wraps a Simulation (its own
-    geometry + jitted step at that resolution)."""
+    """Owns the level hierarchy; level 0 is a whole-domain Simulation,
+    finer levels are dense windows with per-shape compiled programs."""
 
     def __init__(self, params: Params, problem_init: Optional[Callable] = None,
                  problem_tagging: Optional[Callable] = None, **sim_kw):
         self.params = params
         self.max_level = params.amr.max_level
         self.ref_ratio = 2
+        self.problem_init = problem_init
         self.problem_tagging = problem_tagging
         self.indicators = self._parse_indicators(params)
+        self._sim_kw = sim_kw
 
-        self.sims: List[Simulation] = []
-        for l in range(self.max_level + 1):
-            sim = Simulation(_refined_params(params, l),
-                             problem_init=problem_init, **sim_kw)
-            sim.keep_fluxes = l > 0 or self.max_level > 0
-            self.sims.append(sim)
+        self.sim0 = Simulation(_level_params(params, 0),
+                               problem_init=problem_init, **sim_kw)
+        self.sim0.keep_fluxes = self.max_level > 0
+        self.dim = self.sim0.layout.dim
+        self.ng = self.sim0.ng
+        self.dtype = self.sim0.dtype
 
-        self.u: List[jnp.ndarray] = [None] * (self.max_level + 1)
-        self.u_old: List[jnp.ndarray] = [None] * (self.max_level + 1)
-        self.masks: List[jnp.ndarray] = [None] * (self.max_level + 1)
+        # full-domain geometry per level (window views hang off these)
+        self.geom_full = [geometry_from_params(
+            _level_params(params, l), self.dtype)
+            for l in range(self.max_level + 1)]
+
+        # per-level window: (ilo_f ndarray[dim], shape_f tuple) in LEVEL-l
+        # global fine cells; level 0 = whole domain
+        n0 = tuple(params.amr.n_cell[: self.dim])
+        self.window: List = [((np.zeros(self.dim, int)), n0)] + \
+            [None] * self.max_level
+        self._levels: List[Dict] = [dict() for _ in range(self.max_level + 1)]
+
+        self.u: List = [None] * (self.max_level + 1)
+        self.u_old: List = [None] * (self.max_level + 1)
+        self.masks: List = [None] * (self.max_level + 1)
         self.t = 0.0
         self.step_count = 0
         self.dt = None
@@ -100,58 +157,172 @@ class AmrSimulation:
                 inds.append(ind)
         return inds
 
-    def _mask_grown(self, l):
-        """Mask broadcast over the grown array (ghosts = False)."""
-        sim = self.sims[l]
-        m = self.masks[l]
-        pads = [(sim.ng, sim.ng)] * sim.layout.dim
-        return jnp.pad(m, pads)
+    def _get_level(self, l, shape_f) -> _Level:
+        """Compiled programs for (level, window shape) — cached."""
+        key = tuple(shape_f)
+        cache = self._levels[l]
+        if key not in cache:
+            cache[key] = _Level(self.params, l, key, self.geom_full[l],
+                                **self._sim_kw)
+        return cache[key]
 
+    def _sims_at(self, l) -> Simulation:
+        if l == 0:
+            return self.sim0
+        return self._get_level(l, self.window[l][1]).sim
+
+    @property
+    def sims(self):
+        """Per-level Simulation list (window sims for fine levels)."""
+        return [self._sims_at(l) for l in range(self.max_level + 1)]
+
+    # ------------------------------------------------------------------ window
+    def _compute_window(self, l_fine, tags_global_c):
+        """Bucketed bounding box (+margin) of tagged level-(l_fine - 1)
+        cells, as a level-l_fine window (ilo_f, shape_f). tags_global_c is
+        a dense bool over the COARSE level's full grid."""
+        n_f = tuple(self.params.amr.n_cell[k] * 2**l_fine
+                    for k in range(self.dim))
+        t = np.asarray(tags_global_c)
+        if not t.any():
+            # minimal window (keeps shapes static when nothing is tagged)
+            shape = tuple(min(BUCKET, n_f[k]) for k in range(self.dim))
+            return np.zeros(self.dim, int), shape
+        ilo = []
+        shape = []
+        for k in range(self.dim):
+            axes = tuple(a for a in range(self.dim) if a != k)
+            proj = t.any(axis=axes) if self.dim > 1 else t
+            idx = np.nonzero(proj)[0]
+            lo_f = 2 * idx[0] - MARGIN
+            hi_f = 2 * (idx[-1] + 1) + MARGIN
+            lo_f = max(0, lo_f)
+            hi_f = min(n_f[k], hi_f)
+            ext = int(np.ceil((hi_f - lo_f) / BUCKET)) * BUCKET
+            ext = min(ext, n_f[k])
+            lo_f = max(0, min(lo_f - (ext - (hi_f - lo_f)) // 2,
+                              n_f[k] - ext))
+            lo_f -= lo_f % 2  # even alignment for restriction
+            ilo.append(int(lo_f))
+            shape.append(int(ext))
+        return np.asarray(ilo, int), tuple(shape)
+
+    def _win_geom(self, l):
+        ilo, shape = self.window[l]
+        return self.geom_full[l].local_view(shape, tuple(int(v) for v in ilo))
+
+    def _coarse_slice(self, l, grow=0):
+        """Slice of the level-(l-1) full interior covered by level l's
+        window (coarse cells), optionally grown (clamped)."""
+        ilo, shape = self.window[l]
+        sl = []
+        for k in range(self.dim):
+            lo = int(ilo[k]) // 2 - grow
+            hi = (int(ilo[k]) + shape[k]) // 2 + grow
+            sl.append(slice(max(0, lo), hi))
+        return tuple(sl)
+
+    # ------------------------------------------------------------------ init
     def init_data(self):
         """Initial hierarchy generation (reference Amr::init loop: init
-        level 0, tag, create level 1, init from problem data, repeat)."""
-        for l in range(self.max_level + 1):
-            self.sims[l].init_data()
-            self.u[l] = self.sims[l].u
-        self.masks[0] = jnp.ones(self.sims[0].geom.n_cell, bool)
-        for l in range(self.max_level):
-            self.masks[l + 1] = jnp.zeros(self.sims[l + 1].geom.n_cell, bool)
-        # problem data is exact everywhere at t=0: tag, but do not replace
-        # fine data with prolonged coarse data (reference Amr::init does the
-        # same — initData per level, then grids)
-        self.regrid(fill_new=False)
+        level 0, tag, create level 1 from problem data, repeat)."""
+        self.sim0.init_data()
+        self.u[0] = self.sim0.u
+        self.masks[0] = jnp.ones(self.sim0.geom.n_cell, bool)
+        for l in range(1, self.max_level + 1):
+            tags = self._tags_for(l - 1)
+            ilo, shape = self._compute_window(l, tags)
+            self.window[l] = (ilo, shape)
+            lev = self._get_level(l, shape)
+            # exact problem data on the window (position-correct shim)
+            u = jnp.zeros((self.sim0.layout.NVAR,) +
+                          tuple(s + 2 * self.ng for s in shape), self.dtype)
+            if self.problem_init is not None:
+                shim = _GeomShim(lev.sim, self._win_geom(l))
+                u = self.problem_init(shim, u)
+            self.u[l] = lev.jit_clean_fill(u)
+            self.masks[l] = self._window_mask(l, tags)
         return self
+
+    def _tags_for(self, l):
+        """Dense tags over level l's FULL grid (window tags scattered)."""
+        sim = self._sims_at(l)
+        u_int = self.u[l][interior_slice(self.ng, self.dim)]
+        shim = _GeomShim(sim, self._win_geom(l) if l > 0 else sim.geom)
+        tags_win = tag_cells(shim, u_int, self.indicators, l,
+                             self.params.amr.n_error_buf,
+                             self.problem_tagging)
+        tags_win = tags_win & self.masks[l]  # proper nesting
+        if l == 0:
+            return tags_win
+        full = jnp.zeros(self.geom_full[l].n_cell, bool)
+        ilo, shape = self.window[l]
+        return jax.lax.dynamic_update_slice(full, tags_win,
+                                            tuple(int(v) for v in ilo))
+
+    def _window_mask(self, l, tags_global_c):
+        """Level-l window mask from coarse-level tags."""
+        ilo, shape = self.window[l]
+        csl = self._coarse_slice(l)
+        mask = prolong_mask(tags_global_c[csl], self.dim)
+        # mask is over the window (coarse slice x2 == window by construction)
+        return mask
 
     # ------------------------------------------------------------------ regrid
     def regrid(self, fill_new=True):
-        """Re-tag every level (reference Amr regrid; ratio-2 dense masks)."""
+        """Re-tag every level; move/resize windows, migrating data
+        (reference Amr regrid + FillCoarsePatch for new regions)."""
         for l in range(self.max_level):
-            sim = self.sims[l]
-            u_int = self.u[l][interior_slice(sim.ng, sim.layout.dim)]
-            tags = tag_cells(sim, u_int, self.indicators, l,
-                             self.params.amr.n_error_buf, self.problem_tagging)
-            tags = tags & self.masks[l]  # proper nesting
-            new_mask = prolong_mask(tags, sim.layout.dim)
-            fsim = self.sims[l + 1]
-            newly = new_mask & ~self.masks[l + 1]
+            tags = self._tags_for(l)
+            new_ilo, new_shape = self._compute_window(l + 1, tags)
+            old = self.window[l + 1]
+            lev = self._get_level(l + 1, new_shape)
+
+            # build the new window state: prolonged coarse everywhere,
+            # then copy the overlap from the old window
+            csim = self._sims_at(l)
+            c_int = self.u[l][interior_slice(self.ng, self.dim)]
+            csl = tuple(slice(int(new_ilo[k]) // 2,
+                              (int(new_ilo[k]) + new_shape[k]) // 2)
+                        for k in range(self.dim))
+            new_int = prolong(c_int[(slice(None),) + csl], self.dim)
             if self.u[l + 1] is not None and fill_new:
-                # fill newly-refined cells from the coarse level
-                coarse_int = self.u[l][interior_slice(sim.ng, sim.layout.dim)]
-                fine_from_coarse = prolong(coarse_int, sim.layout.dim)
-                u_int_f = self.u[l + 1][interior_slice(fsim.ng, fsim.layout.dim)]
-                u_int_f = jnp.where(newly[None], fine_from_coarse, u_int_f)
-                idx = interior_slice(fsim.ng, fsim.layout.dim)
-                self.u[l + 1] = self.u[l + 1].at[idx].set(u_int_f)
-            self.masks[l + 1] = new_mask
+                old_ilo, old_shape = old
+                old_int = self.u[l + 1][interior_slice(self.ng, self.dim)]
+                # overlap region in global fine coords
+                lo = np.maximum(new_ilo, old_ilo)
+                hi = np.minimum(new_ilo + np.asarray(new_shape),
+                                old_ilo + np.asarray(old_shape))
+                if np.all(hi > lo):
+                    src = (slice(None),) + tuple(
+                        slice(int(lo[k] - old_ilo[k]), int(hi[k] - old_ilo[k]))
+                        for k in range(self.dim))
+                    dst = (slice(None),) + tuple(
+                        slice(int(lo[k] - new_ilo[k]), int(hi[k] - new_ilo[k]))
+                        for k in range(self.dim))
+                    # only where the OLD mask was valid fine data
+                    old_mask = self.masks[l + 1]
+                    m_src = old_mask[src[1:]]
+                    new_int = new_int.at[dst].set(
+                        jnp.where(m_src[None], old_int[src], new_int[dst]))
+            elif self.u[l + 1] is not None and not fill_new:
+                # keep existing data where windows overlap (init path)
+                pass
+
+            self.window[l + 1] = (new_ilo, new_shape)
+            pads = [(0, 0)] + [(self.ng, self.ng)] * self.dim
+            self.u[l + 1] = lev.jit_clean_fill(jnp.pad(new_int, pads))
+            self.masks[l + 1] = self._window_mask(l + 1, tags)
 
     # ------------------------------------------------------------------ dt
     def estimate_dt(self) -> float:
         """Level-0 dt respecting all levels (reference computeNewDt with
         subcycling: dt_0 = min_l dt_l * prod(ref_ratio))."""
         c = self.params.castro
-        dt = np.inf
-        for l in range(self.max_level + 1):
-            dt_l = float(self.sims[l]._jit_estdt(self.u[l]))
+        dt = float(self.sim0._jit_estdt(self.u[0]))
+        for l in range(1, self.max_level + 1):
+            lev = self._get_level(l, self.window[l][1])
+            dt_l = float(lev.jit_estdt(self.u[l]))
             dt = min(dt, dt_l * self.ref_ratio**l)
         if self.step_count == 0:
             dt *= c.init_shrink
@@ -161,26 +332,42 @@ class AmrSimulation:
 
     # ------------------------------------------------------------------ advance
     def _set_unmasked_from_coarse(self, l, frac):
-        """Fine unmasked cells := prolonged coarse data time-interpolated
-        between the coarse old/new states (FillPatch time interp)."""
-        csim, fsim = self.sims[l - 1], self.sims[l]
-        dim = csim.layout.dim
+        """Fine unmasked window cells := prolonged coarse data
+        time-interpolated between the coarse old/new states (FillPatch)."""
         c_interp = (1.0 - frac) * self.u_old[l - 1] + frac * self.u[l - 1]
-        c_int = c_interp[interior_slice(csim.ng, dim)]
-        fine = prolong(c_int, dim)
-        idx = interior_slice(fsim.ng, dim)
+        c_int = c_interp[interior_slice(self.ng, self.dim)]
+        csl = self._parent_rel_slice(l)  # parent-window (or global) coords
+        fine = prolong(c_int[(slice(None),) + csl], self.dim)
+        idx = interior_slice(self.ng, self.dim)
         mg = self.masks[l][None]
         u_int = self.u[l][idx]
         self.u[l] = self.u[l].at[idx].set(jnp.where(mg, u_int, fine))
 
+    def _parent_rel_slice(self, l):
+        """Level-l window's footprint inside the PARENT's stored interior
+        (parent window coords for l-1>0, global for l-1==0)."""
+        ilo, shape = self.window[l]
+        if l - 1 == 0:
+            base = np.zeros(self.dim, int)
+        else:
+            base = 2 * np.asarray(self.window[l - 1][0], int)
+        return tuple(slice((int(ilo[k]) - int(base[k])) // 2,
+                           (int(ilo[k]) - int(base[k]) + shape[k]) // 2)
+                     for k in range(self.dim))
+
     def _advance_level(self, l, dt, t_level):
         """Advance level l by dt; recursively subcycle finer levels
         (reference Amr::timeStep recursion)."""
-        sim = self.sims[l]
-        dim = sim.layout.dim
         self.u_old[l] = self.u[l]
 
-        out = sim._jit_step(self.u[l], dt, t_level)
+        if l == 0:
+            sim = self.sim0
+            out = sim._jit_step(self.u[l], dt, t_level)
+        else:
+            lev = self._get_level(l, self.window[l][1])
+            sim = lev.sim
+            ilo = jnp.asarray(self.window[l][0])
+            out = lev.jit_step(self.u[l], dt, t_level, ilo)
         u_new, min_rho, bad, fluxes = (out if sim.keep_fluxes
                                        else (*out, None))
         if bool(bad) or float(min_rho) <= 0.0:
@@ -190,14 +377,14 @@ class AmrSimulation:
         if l == 0:
             self.u[l] = u_new
         else:
-            idx = interior_slice(sim.ng, dim)
+            idx = interior_slice(self.ng, self.dim)
             keep = jnp.where(self.masks[l][None], u_new[idx], self.u[l][idx])
             self.u[l] = self.u[l].at[idx].set(keep)
 
         if l < self.max_level:
             # flux register: coarse side contribution (CrseInit)
             f_coarse = [f * dt for f in fluxes]
-            fine_acc = [jnp.zeros_like(f) for f in f_coarse]
+            fine_acc = None
 
             r = self.ref_ratio
             for i in range(r):
@@ -205,9 +392,12 @@ class AmrSimulation:
                 self._set_unmasked_from_coarse(l + 1, frac0 + 0.0)
                 fine_fluxes = self._advance_level(l + 1, dt / r,
                                                   t_level + i * dt / r)
-                for d in range(dim):
+                if fine_acc is None:
+                    fine_acc = [jnp.zeros_like(coarsen_flux(
+                        fine_fluxes[d], d, self.dim)) for d in range(self.dim)]
+                for d in range(self.dim):
                     fine_acc[d] = fine_acc[d] + coarsen_flux(
-                        fine_fluxes[d], d, dim) * (dt / r)
+                        fine_fluxes[d], d, self.dim) * (dt / r)
             self._set_unmasked_from_coarse(l + 1, 1.0)
 
             # reflux (FluxRegister::Reflux): correct unrefined-side coarse
@@ -219,56 +409,110 @@ class AmrSimulation:
         return fluxes
 
     def _reflux(self, l, f_coarse, fine_acc):
-        sim = self.sims[l]
-        dim = sim.layout.dim
+        """fine_acc: window-coarsened fine-flux sums (over the level-(l+1)
+        window's coarse footprint); f_coarse: full (or parent-window)
+        coarse fluxes. All corrections live inside the window footprint."""
+        sim = self._sims_at(l)
+        dim = self.dim
+        csl = self._parent_rel_slice(l + 1)
         cmask = restrict_mask(self.masks[l + 1], dim)
-        idx = interior_slice(sim.ng, dim)
+        idx = interior_slice(self.ng, dim)
         u_int = self.u[l][idx]
+        win = u_int[(slice(None),) + csl]
         for d in range(dim):
-            delta = fine_acc[d] - f_coarse[d]  # [NVAR, faces...] (n+1 along d)
-            # face i between cells i-1, i (face array index i in [0..n])
+            # coarse flux faces covering the window footprint (n_win+1
+            # along d)
+            fsl = [slice(None)]
+            for k in range(dim):
+                s = csl[k]
+                fsl.append(slice(s.start, s.stop + 1) if k == d else s)
+            delta = fine_acc[d] - f_coarse[d][tuple(fsl)]
             pad_lo = [(0, 0)] * cmask.ndim
             pad_lo[d] = (1, 0)
             pad_hi = [(0, 0)] * cmask.ndim
             pad_hi[d] = (0, 1)
-            m_left = jnp.pad(cmask, pad_lo)  # mask of cell i-1 at face i
-            m_right = jnp.pad(cmask, pad_hi)  # mask of cell i at face i
+            m_left = jnp.pad(cmask, pad_lo)
+            m_right = jnp.pad(cmask, pad_hi)
             inv_dx = 1.0 / sim.geom.dx[d]
 
-            # refined on the left, unrefined right cell i gains +delta
             gain_r = jnp.where((m_left & ~m_right)[None], delta, 0.0)
-            # refined on the right, unrefined left cell i-1 loses delta
             lose_l = jnp.where((~m_left & m_right)[None], delta, 0.0)
 
             sl_hi = [slice(None)] * delta.ndim
             sl_hi[1 + d] = slice(1, None)
             sl_lo = [slice(None)] * delta.ndim
             sl_lo[1 + d] = slice(0, -1)
-            u_int = u_int + inv_dx * gain_r[tuple(sl_lo)]
-            u_int = u_int - inv_dx * lose_l[tuple(sl_hi)]
+            win = win + inv_dx * gain_r[tuple(sl_lo)]
+            win = win - inv_dx * lose_l[tuple(sl_hi)]
+        u_int = u_int.at[(slice(None),) + csl].set(win)
         self.u[l] = self.u[l].at[idx].set(u_int)
 
     def _avg_down(self, l):
-        sim, fsim = self.sims[l], self.sims[l + 1]
-        dim = sim.layout.dim
+        dim = self.dim
+        csl = self._parent_rel_slice(l + 1)
         cmask = restrict_mask(self.masks[l + 1], dim)
-        f_int = self.u[l + 1][interior_slice(fsim.ng, dim)]
+        f_int = self.u[l + 1][interior_slice(self.ng, dim)]
         c_from_f = restrict(f_int, dim)
-        idx = interior_slice(sim.ng, dim)
-        u_int = jnp.where(cmask[None], c_from_f, self.u[l][idx])
+        idx = interior_slice(self.ng, dim)
+        u_int = self.u[l][idx]
+        blk = jnp.where(cmask[None], c_from_f, u_int[(slice(None),) + csl])
+        u_int = u_int.at[(slice(None),) + csl].set(blk)
         self.u[l] = self.u[l].at[idx].set(u_int)
-        self.u[l] = self.sims[l]._jit_clean_fill(self.u[l])
+        if l == 0:
+            self.u[l] = self.sim0._jit_clean_fill(self.u[l])
+        else:
+            lev = self._get_level(l, self.window[l][1])
+            self.u[l] = lev.jit_clean_fill(self.u[l])
 
     def advance(self, dt):
-        self._advance_level(0, dt, self.t)
-        self.t += dt
-        zones = 0
-        for l in range(self.max_level + 1):
-            mult = self.ref_ratio**l if l > 0 else 1
-            n_act = int(np.prod(self.sims[l].geom.n_cell)) if l == 0 else None
-            zones += int(np.prod(self.sims[l].geom.n_cell)) * (1 if l == 0 else mult)
-        self.num_zones_advanced += zones
-        return dt
+        """Advance the whole hierarchy by dt with retry (reference
+        retry_advance_ctu lifted to the hierarchy: on any level failure,
+        restore the pre-step hierarchy and re-run subcycled)."""
+        c = self.params.castro
+        snap_u = list(self.u)
+        snap_masks = list(self.masks)
+
+        def restore():
+            self.u = list(snap_u)
+            self.masks = list(snap_masks)
+
+        try:
+            self._advance_level(0, dt, self.t)
+            self.t += dt
+            self._count_zones(1)
+            return dt
+        except RuntimeError:
+            if not c.use_retry:
+                raise
+
+        dt_sub = dt * c.retry_subcycle_factor
+        for _ in range(c.max_subcycles):
+            restore()
+            t_adv = 0.0
+            nsub = 0
+            try:
+                while t_adv < dt * (1 - 1e-12):
+                    step = min(dt_sub, dt - t_adv)
+                    self._advance_level(0, step, self.t + t_adv)
+                    t_adv += step
+                    nsub += 1
+                self.t += dt
+                self._count_zones(nsub)
+                return dt
+            except RuntimeError:
+                dt_sub *= c.retry_subcycle_factor
+                if dt_sub < c.dt_cutoff:
+                    break
+        restore()
+        raise RuntimeError(
+            f"AMR advance failed at t={self.t}: dt_sub={dt_sub} below cutoff")
+
+    def _count_zones(self, nsub):
+        zones = int(np.prod(self.sim0.geom.n_cell))
+        for l in range(1, self.max_level + 1):
+            zones += int(np.prod(self.window[l][1])) * self.ref_ratio**l
+        self.num_zones_advanced += zones * nsub
+        return zones
 
     # ------------------------------------------------------------------ loop
     def run(self, max_step=None, stop_time=None, verbose=None):
@@ -282,6 +526,14 @@ class AmrSimulation:
         if self.u[0] is None:
             self.init_data()
 
+        from castro_tpu.driver import io as io_mod
+
+        def maybe_io():
+            if a.plot_int > 0 and self.step_count % a.plot_int == 0:
+                io_mod.write_plotfile_amr(self)
+            if a.check_int > 0 and self.step_count % a.check_int == 0:
+                io_mod.write_checkpoint_amr(self)
+
         while self.step_count < max_step and self.t < stop_time * (1 - 1e-12):
             if (self.params.amr.regrid_int > 0 and self.step_count > 0
                     and self.step_count % self.params.amr.regrid_int == 0):
@@ -294,21 +546,26 @@ class AmrSimulation:
             self.step_count += 1
             if verbose:
                 nref = int(self.masks[1].sum()) if self.max_level > 0 else 0
+                win = self.window[1][1] if self.max_level > 0 else ()
                 print(f"STEP {self.step_count} t={self.t:.6e} dt={dt:.6e} "
-                      f"refined_cells_l1={nref}")
+                      f"refined_cells_l1={nref} window_l1={win}")
+            maybe_io()
         return self
 
     # ------------------------------------------------------------------ views
     def interior(self, l=0):
-        sim = self.sims[l]
-        return self.u[l][interior_slice(sim.ng, sim.layout.dim)]
+        return self.u[l][interior_slice(self.ng, self.dim)]
 
     def composite_interior(self):
         """Finest-available data represented on the finest grid."""
-        dim = self.sims[0].layout.dim
         out = self.interior(0)
         for l in range(1, self.max_level + 1):
-            out = prolong(out, dim, conservative=False)
+            out = prolong(out, self.dim, conservative=False)
+            ilo, shape = self.window[l]
             fine = self.interior(l)
-            out = jnp.where(self.masks[l][None], fine, out)
+            blk_sl = (slice(None),) + tuple(
+                slice(int(ilo[k]), int(ilo[k]) + shape[k])
+                for k in range(self.dim))
+            blk = jnp.where(self.masks[l][None], fine, out[blk_sl])
+            out = out.at[blk_sl].set(blk)
         return out

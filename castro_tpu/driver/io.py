@@ -180,3 +180,81 @@ def read_plotfile(path):
         meta = json.load(f)
     data = dict(np.load(os.path.join(path, "fields.npz")))
     return meta, data
+
+
+def write_checkpoint_amr(asim, path: Optional[str] = None):
+    """Whole-hierarchy checkpoint (reference AmrLevel::checkPoint over
+    levels): per-level states + refinement masks + time metadata."""
+    sim0 = asim.sims[0]
+    if path is None:
+        path = f"{sim0.params.amr.check_file}{asim.step_count:05d}"
+    os.makedirs(path, exist_ok=True)
+    arrays = {}
+    for l in range(asim.max_level + 1):
+        arrays[f"u_{l}"] = np.asarray(asim.u[l])
+        arrays[f"mask_{l}"] = np.asarray(asim.masks[l])
+    np.savez_compressed(os.path.join(path, "hierarchy.npz"), **arrays)
+    meta = {
+        "version": CHECKPOINT_VERSION,
+        "time": asim.t,
+        "step": asim.step_count,
+        "dt": asim.dt,
+        "max_level": asim.max_level,
+        "num_zones_advanced": asim.num_zones_advanced,
+        "n_cell": list(sim0.geom.n_cell),
+        "state_variables": list(sim0.layout.cons_names),
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    write_job_info(os.path.join(path, "job_info"), sim0)
+    return path
+
+
+def restart_amr(asim, path: str):
+    """Restore an AmrSimulation hierarchy from a checkpoint."""
+    import jax.numpy as jnp
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta["version"] > CHECKPOINT_VERSION:
+        raise ValueError(f"checkpoint version {meta['version']} too new")
+    if meta["max_level"] != asim.max_level:
+        raise ValueError("checkpoint max_level does not match")
+    if meta["state_variables"] != list(asim.sims[0].layout.cons_names):
+        raise ValueError("checkpoint state variables do not match this build")
+    data = np.load(os.path.join(path, "hierarchy.npz"))
+    for l in range(asim.max_level + 1):
+        asim.u[l] = jnp.asarray(data[f"u_{l}"], dtype=asim.sims[l].dtype)
+        asim.masks[l] = jnp.asarray(data[f"mask_{l}"], dtype=bool)
+    asim.t = meta["time"]
+    asim.step_count = meta["step"]
+    asim.dt = meta["dt"]
+    asim.num_zones_advanced = meta.get("num_zones_advanced", 0)
+    return asim
+
+
+def write_plotfile_amr(asim, path: Optional[str] = None):
+    """Hierarchy plotfile: per-level interiors + masks + the composited
+    finest-grid view (reference writePlotFile writes all levels)."""
+    sim0 = asim.sims[0]
+    if path is None:
+        path = f"{sim0.params.amr.plot_file}{asim.step_count:05d}"
+    os.makedirs(path, exist_ok=True)
+    arrays = {"composite": np.asarray(asim.composite_interior())}
+    for l in range(asim.max_level + 1):
+        arrays[f"level_{l}"] = np.asarray(asim.interior(l))
+        arrays[f"mask_{l}"] = np.asarray(asim.masks[l])
+    np.savez_compressed(os.path.join(path, "fields.npz"), **arrays)
+    meta = {
+        "time": asim.t,
+        "step": asim.step_count,
+        "max_level": asim.max_level,
+        "n_cell": list(sim0.geom.n_cell),
+        "prob_lo": list(sim0.geom.prob_lo),
+        "prob_hi": list(sim0.geom.prob_hi),
+        "state_variables": list(sim0.layout.cons_names),
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    write_job_info(os.path.join(path, "job_info"), sim0)
+    return path
