@@ -245,6 +245,7 @@ class RadiationParams:
     kappa_floor: float = 0.0
     do_real_eos: int = 1
     c_light_scale: float = 1.0  # reference radiation.c -> fudge factors
+    outer_iters: int = 8  # matter-coupling outer iterations (maxiter analog)
     lo_bc: Tuple[int, ...] = (0, 0, 0)
     hi_bc: Tuple[int, ...] = (0, 0, 0)
     lo_bcflag: Tuple[int, ...] = (0, 0, 0)

@@ -407,8 +407,12 @@ class Simulation:
         e = ui[L.UEINT] * rhoinv
         xn = ui[L.UFS : L.UFS + L.nspec] * rhoinv[None]
         es = self.eos.re(rho=rho, e=e, xn=xn)
+
+        def eos_re(e_k):
+            return self.eos.re(rho=rho, e=jnp.maximum(e_k, 1e-300), xn=xn)
+
         Er_new, e_new, T_new = self.rad.gray_update(
-            Er_adv, rho, e, es.T, es.cv, dt)
+            Er_adv, rho, e, es.T, es.cv, dt, eos_re=eos_re)
         de = rho * (e_new - e)
         u_new = u_new.at[(L.UEINT,) + inner[1:]].add(de)
         u_new = u_new.at[(L.UEDEN,) + inner[1:]].add(de)

@@ -44,23 +44,33 @@ class FLDRadiation:
         self.limiter = rp.limiter
         self.c = C.c_light * rp.c_light_scale
         self.arad = C.a_rad
-        self.outer_iters = 8
+        self.outer_iters = rp.outer_iters
 
-    # -- opacities (power-law models) ---------------------------------------
-    def kappa_p(self, rho, T):
+    # -- opacities (power-law models, reference Radiation.cpp kappa
+    #    parsing: kappa = const * rho^m * T^(-n) * nu^p) -------------------
+    def kappa_p(self, rho, T, nu=None):
         rp = self.params.radiation
         k = rp.const_kappa_p
         if k < 0:  # fall back to Rosseland
-            return self.kappa_r(rho, T)
-        return jnp.maximum(
-            k * rho**rp.kappa_p_exp_m * T ** (-rp.kappa_p_exp_n), rp.kappa_floor)
+            return self.kappa_r(rho, T, nu)
+        kp = k * rho**rp.kappa_p_exp_m * T ** (-rp.kappa_p_exp_n)
+        if nu is not None and rp.kappa_p_exp_p != 0.0:
+            kp = kp * nu ** rp.kappa_p_exp_p
+        return jnp.maximum(kp, rp.kappa_floor)
 
-    def kappa_r(self, rho, T):
+    def kappa_r(self, rho, T, nu=None):
         rp = self.params.radiation
         k = rp.const_kappa_r
-        kr = k * rho**rp.kappa_r_exp_m * T ** (-rp.kappa_r_exp_n) if k >= 0 else 0.0
-        ks = (rp.const_scattering * rho**rp.scattering_exp_m *
-              T ** (-rp.scattering_exp_n)) if rp.const_scattering > 0 else 0.0
+        kr = k * rho**rp.kappa_r_exp_m * T ** (-rp.kappa_r_exp_n) if k > 0 else 0.0
+        if nu is not None and k > 0 and rp.kappa_r_exp_p != 0.0:
+            kr = kr * nu ** rp.kappa_r_exp_p
+        if rp.const_scattering > 0:
+            ks = (rp.const_scattering * rho**rp.scattering_exp_m *
+                  T ** (-rp.scattering_exp_n))
+            if nu is not None and rp.scattering_exp_p != 0.0:
+                ks = ks * nu ** rp.scattering_exp_p
+        else:
+            ks = 0.0
         return jnp.maximum(kr + ks, max(rp.kappa_floor, 1e-30))
 
     # -- the implicit update -------------------------------------------------
@@ -97,9 +107,10 @@ class FLDRadiation:
             g2 = g2 + ((hi - lo) / (2 * self.geom.dx[d])) ** 2
         return jnp.sqrt(g2)
 
-    def diffusion_coeffs(self, Er, rho, T, axis_names=None):
+    def diffusion_coeffs(self, Er, rho, T, axis_names=None, kr=None):
         """Face-registered D = c*lambda/kappa_R per dim + cell lambda."""
-        kr = self.kappa_r(rho, T)
+        if kr is None:
+            kr = self.kappa_r(rho, T)
         Eg = self._grown1(Er, axis_names)
         R = self._grad_mag_grown(Eg) / jnp.maximum(
             kr * jnp.maximum(Er, 1e-30), 1e-30)
@@ -110,35 +121,88 @@ class FLDRadiation:
         return bcoefs, lam
 
     def _bc(self):
+        """Radiation boundary conditions (reference Radiation.cpp BC
+        parsing + RadBndry): explicit `radiation.lo_bc/hi_bc` codes
+        101=Dirichlet / 102=Neumann(inward flux) / 104=Marshak(incident
+        flux) / 105=Sanchez-Pomraning(treated as Marshak); with no
+        explicit codes, derived from the hydro BCs. Returns
+        (codes_lo, codes_hi, spec_lo, spec_hi) where spec entries are
+        ("value", v) | ("flux", v) | ("marshak", Finc) | None — the
+        flux/Marshak entries become Robin ghost relations once the face
+        diffusion coefficients are known (see `_bc_vals`)."""
         dim = self.geom.dim
         rp = self.params.radiation
-        # Marshak/Dirichlet-value BCs when bcflag set; default Neumann
-        # (zero-flux) at symmetry and Dirichlet(bcval) elsewhere
         lo, hi, vlo, vhi = [], [], [], []
         for d in range(dim):
-            lo_code = self.params.castro.lo_bc[d]
-            hi_code = self.params.castro.hi_bc[d]
-            if lo_code == 0:
-                lo.append("periodic")
-                vlo.append(None)
-            elif lo_code in (3, 4, 5):
-                lo.append("neumann")
-                vlo.append(None)
-            else:
-                lo.append("dirichlet")
-                vlo.append(rp.lo_bcval[d] if rp.lo_bcflag[d] else 0.0)
-            if hi_code == 0:
-                hi.append("periodic")
-                vhi.append(None)
-            elif hi_code in (3, 4, 5):
-                hi.append("neumann")
-                vhi.append(None)
-            else:
-                hi.append("dirichlet")
-                vhi.append(rp.hi_bcval[d] if rp.hi_bcflag[d] else 0.0)
+            for side, rcode, hcode, codes, vals in (
+                ("lo", rp.lo_bc[d], self.params.castro.lo_bc[d], lo, vlo),
+                ("hi", rp.hi_bc[d], self.params.castro.hi_bc[d], hi, vhi),
+            ):
+                bcval = (rp.lo_bcval if side == "lo" else rp.hi_bcval)[d]
+                if rcode == 101:
+                    codes.append("dirichlet")
+                    gv = getattr(self, "bc_group_vals_" + side, None)
+                    vals.append(("value_groups", None) if gv is not None
+                                else ("value", bcval))
+                elif rcode == 102:
+                    if bcval == 0.0:
+                        codes.append("neumann")
+                        vals.append(None)
+                    else:
+                        codes.append("robin")
+                        vals.append(("flux", bcval))
+                elif rcode in (104, 105):
+                    codes.append("robin")
+                    vals.append(("marshak", bcval))
+                elif hcode == 0:
+                    codes.append("periodic")
+                    vals.append(None)
+                elif hcode in (3, 4, 5):
+                    codes.append("neumann")
+                    vals.append(None)
+                else:
+                    codes.append("dirichlet")
+                    vals.append(("value",
+                                 bcval if (rp.lo_bcflag if side == "lo"
+                                           else rp.hi_bcflag)[d] else 0.0))
         return tuple(lo), tuple(hi), vlo, vhi
 
-    def gray_update(self, Er, rho, e, T_guess, cv, dt, axis_names=None):
+    def _bc_vals(self, spec_lo, spec_hi, bcoefs, vlo_g=None, vhi_g=None):
+        """Concrete BC values from the specs + current face diffusion
+        coefficients. Marshak (vacuum, incident flux F_inc): the net
+        outward face flux is c*E/2 - 2*F_inc (two-stream closure; HABEC
+        bfm=0.5*beta*c, bfv=2*beta), giving the ghost relation
+        E_g = (1 - h c / (2 D)) E_i + 2 F_inc h / D."""
+        dim = self.geom.dim
+        vlo, vhi = [], []
+        for d in range(dim):
+            h = self.geom.dx[d]
+            b = bcoefs[d]
+            n = b.shape[d] - 1
+            D_lo = b[mg._take(b, d, 0, 1)]
+            D_hi = b[mg._take(b, d, n, n + 1)]
+            for spec, vals, D, gv in ((spec_lo[d], vlo, D_lo, vlo_g),
+                                      (spec_hi[d], vhi, D_hi, vhi_g)):
+                if spec is None:
+                    vals.append(None)
+                elif spec[0] == "value_groups":
+                    vals.append(gv)
+                elif spec[0] == "value":
+                    vals.append(spec[1])
+                elif spec[0] == "flux":
+                    # fixed inward flux F: D (E_i - E_g)/h = -F_in
+                    A = jnp.ones_like(D)
+                    G = spec[1] * h / jnp.maximum(D, 1e-300)
+                    vals.append((A, G))
+                else:  # marshak
+                    Dm = jnp.maximum(D, 1e-300)
+                    A = 1.0 - h * self.c / (2.0 * Dm)
+                    G = 2.0 * spec[1] * h / Dm
+                    vals.append((A, G))
+        return vlo, vhi
+
+    def gray_update(self, Er, rho, e, T_guess, cv, dt, axis_names=None,
+                    eos_re=None):
         """One backward-Euler gray FLD solve with eta-linearized matter
         coupling (reference single_group_update). Returns (Er', e', T').
 
@@ -147,17 +211,26 @@ class FLDRadiation:
         Hypre-over-MPI analog)."""
         cl = self.c
         a_r = self.arad
-        bc_lo, bc_hi, bvl, bvh = self._bc()
+        bc_lo, bc_hi, spec_lo, spec_hi = self._bc()
         rtol = 1e-10 if Er.dtype == jnp.float64 else 1e-6
 
         def outer(carry, _):
             Er_k, e_k = carry
-            T_k = T_guess + (e_k - e) / cv  # local linearization of T(e)
-            T_k = jnp.maximum(T_k, 1e-10)
+            if eos_re is not None:
+                # exact T(e) through the EOS (reference internal_energy_
+                # update Newton); essential for strongly nonlinear cv(T)
+                es_k = eos_re(e_k)
+                T_k = jnp.maximum(es_k.T, 1e-10)
+                cv_k = jnp.maximum(es_k.cv, 1e-300)
+            else:
+                T_k = T_guess + (e_k - e) / cv  # local linearization
+                T_k = jnp.maximum(T_k, 1e-10)
+                cv_k = cv
             kp = self.kappa_p(rho, T_k)
             bcoefs, lam = self.diffusion_coeffs(Er_k, rho, T_k, axis_names)
+            bvl, bvh = self._bc_vals(spec_lo, spec_hi, bcoefs)
 
-            beta = 4.0 * a_r * T_k**3 / (rho * cv)
+            beta = 4.0 * a_r * T_k**3 / (rho * cv_k)
             eta = beta * kp * cl * dt / (1.0 + beta * kp * cl * dt)
 
             # (1 + (1-eta) kp c dt) Er - dt div(D grad Er) =
@@ -177,56 +250,93 @@ class FLDRadiation:
 
         (Er_f, e_f), _ = jax.lax.scan(outer, (Er, e), None,
                                       length=self.outer_iters)
-        T_f = jnp.maximum(T_guess + (e_f - e) / cv, 1e-10)
+        if eos_re is not None:
+            T_f = jnp.maximum(eos_re(e_f).T, 1e-10)
+        else:
+            T_f = jnp.maximum(T_guess + (e_f - e) / cv, 1e-10)
         return Er_f, e_f, T_f
 
     def multigroup_update(self, Er_g, rho, e, T_guess, cv, dt, nu_centers,
-                          dnu, axis_names=None):
-        """MGFLD-style update: groups couple through the matter temperature
-        (reference MGFLD_implicit_update outer iteration over groups;
-        Doppler f-space advection TODO). Er_g: [ngroups, ...]."""
+                          dnu, axis_names=None, eos_re=None, metric=None):
+        """MGFLD-style update (reference MGFLD_implicit_update): outer
+        matter-coupling iteration; all group diffusion solves vmapped into
+        one batched multigrid program. Frequency-dependent opacities,
+        per-group Dirichlet boundary values (self.bc_group_vals_lo/hi set
+        by the problem, e.g. the hot-sphere Planck spectrum in RadSphere),
+        and a curvilinear metric are supported. Er_g: [ngroups, ...]."""
         cl = self.c
         a_r = self.arad
-        bc_lo, bc_hi, bvl, bvh = self._bc()
+        bc_lo, bc_hi, spec_lo, spec_hi = self._bc()
         ng = Er_g.shape[0]
         rtol = 1e-10 if Er_g.dtype == jnp.float64 else 1e-6
+        dim = Er_g.ndim - 1
+
+        shape_nu = (ng,) + (1,) * dim
+        nu_c = nu_centers.reshape(shape_nu)
+        # per-group boundary Dirichlet values (scalars), when registered
+        gv_lo = getattr(self, "bc_group_vals_lo", None)
+        gv_hi = getattr(self, "bc_group_vals_hi", None)
 
         def planck_frac(T):
             """Fraction of a T^4 in each group (normalized Planck weights)."""
-            x = nu_centers.reshape((ng,) + (1,) * T.ndim) / jnp.maximum(T, 1e-10)
+            x = (C.hplanck / C.k_B) * nu_c / jnp.maximum(T, 1e-10)
             w = x**3 / jnp.expm1(jnp.clip(x, 1e-6, 80.0))
-            w = w * dnu.reshape((ng,) + (1,) * T.ndim)
+            w = w * dnu.reshape(shape_nu)
             return w / jnp.maximum(jnp.sum(w, axis=0), 1e-300)
+
+        def solve_group(rhs, acoef, bcoefs, val_lo, val_hi):
+            """One group's diffusion solve; vmapped over groups."""
+            bvl, bvh = self._bc_vals(spec_lo, spec_hi, bcoefs,
+                                     vlo_g=val_lo, vhi_g=val_hi)
+            out, _ = mg.solve(
+                rhs, self.geom.dx, acoef=acoef, bcoefs=bcoefs,
+                alpha=1.0, beta=dt, bc_lo=bc_lo, bc_hi=bc_hi,
+                bc_vals_lo=bvl, bc_vals_hi=bvh, n_vcycles=15, rtol=rtol,
+                axis_names=axis_names, metric=metric)
+            return out
+
+        vsolve = jax.vmap(solve_group, in_axes=(0, 0, 0, 0, 0))
 
         def outer(carry, _):
             Er_k, e_k = carry
-            T_k = jnp.maximum(T_guess + (e_k - e) / cv, 1e-10)
-            kp = self.kappa_p(rho, T_k)
+            if eos_re is not None:
+                es_k = eos_re(e_k)
+                T_k = jnp.maximum(es_k.T, 1e-10)
+                cv_k = jnp.maximum(es_k.cv, 1e-300)
+            else:
+                T_k = jnp.maximum(T_guess + (e_k - e) / cv, 1e-10)
+                cv_k = cv
             frac = planck_frac(T_k)
-            beta = 4.0 * a_r * T_k**3 / (rho * cv)
-            eta = beta * kp * cl * dt / (1.0 + beta * kp * cl * dt)
+            kp_g = jax.vmap(lambda nu: self.kappa_p(rho, T_k, nu))(nu_centers)
+            kr_gg = jax.vmap(lambda nu: self.kappa_r(rho, T_k, nu))(nu_centers)
+            kp_bar = jnp.sum(frac * kp_g, axis=0)
+            beta = 4.0 * a_r * T_k**3 / (rho * cv_k)
+            eta = beta * kp_bar * cl * dt / (1.0 + beta * kp_bar * cl * dt)
 
-            Er_out = []
-            for g in range(ng):
-                bcoefs, lam = self.diffusion_coeffs(Er_k[g], rho, T_k,
-                                                    axis_names)
-                acoef = 1.0 + (1.0 - eta) * kp * cl * dt
-                rhs = Er_k[g] * 0 + Er_g[g] + (1.0 - eta) * kp * cl * dt * \
-                    a_r * T_k**4 * frac[g]
-                Er_new, _ = mg.solve(
-                    rhs, self.geom.dx, acoef=acoef, bcoefs=bcoefs,
-                    alpha=1.0, beta=dt, bc_lo=bc_lo, bc_hi=bc_hi,
-                    bc_vals_lo=bvl, bc_vals_hi=bvh, n_vcycles=15, rtol=rtol,
-                    axis_names=axis_names)
-                Er_out.append(Er_new)
-            Er_new = jnp.stack(Er_out)
-            de = -dt * kp * cl * (a_r * T_k**4 - jnp.sum(Er_new, axis=0)) / rho
-            e_new = e + de / (1.0 + beta * kp * cl * dt)
+            bcoefs_g = jax.vmap(
+                lambda E1, kr1: tuple(self.diffusion_coeffs(
+                    E1, rho, T_k, axis_names, kr=kr1)[0]),
+                in_axes=(0, 0))(Er_k, kr_gg)
+
+            acoef_g = 1.0 + (1.0 - eta)[None] * kp_g * cl * dt
+            rhs_g = Er_g + (1.0 - eta)[None] * kp_g * cl * dt * \
+                (a_r * T_k**4)[None] * frac
+            zval = jnp.zeros((ng,), Er_g.dtype)
+            vlo = gv_lo if gv_lo is not None else zval
+            vhi = gv_hi if gv_hi is not None else zval
+            Er_new = vsolve(rhs_g, acoef_g, bcoefs_g, vlo, vhi)
+
+            de = -dt * cl * jnp.sum(
+                kp_g * ((a_r * T_k**4)[None] * frac - Er_new), axis=0) / rho
+            e_new = e + de / (1.0 + beta * kp_bar * cl * dt)
             return (Er_new, e_new), 0.0
 
         (Er_f, e_f), _ = jax.lax.scan(outer, (Er_g, e), None,
                                       length=self.outer_iters)
-        T_f = jnp.maximum(T_guess + (e_f - e) / cv, 1e-10)
+        if eos_re is not None:
+            T_f = jnp.maximum(eos_re(e_f).T, 1e-10)
+        else:
+            T_f = jnp.maximum(T_guess + (e_f - e) / cv, 1e-10)
         return Er_f, e_f, T_f
 
     def estdt(self, Er, rho, e, cv, T):

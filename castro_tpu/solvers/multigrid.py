@@ -39,9 +39,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-PERIODIC, DIRICHLET, NEUMANN = 0, 1, 2
+PERIODIC, DIRICHLET, NEUMANN, ROBIN = 0, 1, 2, 3
 
-_BC_CODE = {"periodic": PERIODIC, "dirichlet": DIRICHLET, "neumann": NEUMANN}
+_BC_CODE = {"periodic": PERIODIC, "dirichlet": DIRICHLET,
+            "neumann": NEUMANN, "robin": ROBIN}
 
 
 def _take(u, axis, lo, hi):
@@ -78,6 +79,18 @@ def fill_bc(u, bc_lo, bc_hi, bc_vals_lo=None, bc_vals_hi=None):
                 u = u.at[ghost].set(u[wrap])
             elif code == NEUMANN:
                 u = u.at[ghost].set(u[interior])
+            elif code == ROBIN:
+                # ghost = A*interior + G (mixed/Marshak radiation BCs);
+                # homogeneous correction levels (vals None) degrade to
+                # Neumann — exact in the diffusive (A -> 1) regime
+                src = bc_vals_lo if side == "lo" else bc_vals_hi
+                vals = src[d] if src is not None else None
+                if vals is None:
+                    u = u.at[ghost].set(u[interior])
+                else:
+                    A = _pad_face_vals(vals[0], d, dim)
+                    G = _pad_face_vals(vals[1], d, dim)
+                    u = u.at[ghost].set(A * u[interior] + G)
             else:  # DIRICHLET
                 src = bc_vals_lo if side == "lo" else bc_vals_hi
                 vals = _pad_face_vals(src[d] if src is not None else None,
@@ -126,24 +139,28 @@ def sharded_fill_bc(u_loc, bl, bh, axis_names, bc_vals_lo=None,
         u = u.at[_take(u, d, 0, 1)].set(from_left)
         u = u.at[_take(u, d, n + 1, n + 2)].set(from_right)
 
+        def phys_ghost(code, interior, src):
+            if code == NEUMANN:
+                return interior
+            if code == ROBIN:
+                vals = src[d] if src is not None else None
+                if vals is None:
+                    return interior
+                A = _pad_face_vals(vals[0], d, dim)
+                G = _pad_face_vals(vals[1], d, dim)
+                return A * interior + G
+            vals = _pad_face_vals(src[d] if src is not None else None,
+                                  d, dim)
+            return 2.0 * vals - interior
+
         if bl[d] != PERIODIC:
             interior = u[_take(u, d, 1, 2)]
-            if bl[d] == NEUMANN:
-                phys = interior
-            else:
-                vals = _pad_face_vals(
-                    bc_vals_lo[d] if bc_vals_lo is not None else None, d, dim)
-                phys = 2.0 * vals - interior
+            phys = phys_ghost(bl[d], interior, bc_vals_lo)
             cur = u[_take(u, d, 0, 1)]
             u = u.at[_take(u, d, 0, 1)].set(jnp.where(idx == 0, phys, cur))
         if bh[d] != PERIODIC:
             interior = u[_take(u, d, n, n + 1)]
-            if bh[d] == NEUMANN:
-                phys = interior
-            else:
-                vals = _pad_face_vals(
-                    bc_vals_hi[d] if bc_vals_hi is not None else None, d, dim)
-                phys = 2.0 * vals - interior
+            phys = phys_ghost(bh[d], interior, bc_vals_hi)
             cur = u[_take(u, d, n + 1, n + 2)]
             u = u.at[_take(u, d, n + 1, n + 2)].set(
                 jnp.where(idx == m - 1, phys, cur))
@@ -158,15 +175,20 @@ def _shrink(u):
     return u[(slice(1, -1),) * u.ndim]
 
 
-def apply_op(u_g, acoef, bcoefs, alpha, beta, dx):
+def apply_op(u_g, acoef, bcoefs, alpha, beta, dx, metric=None):
     """L(u) on the interior given a grown (ghost-filled) u_g.
 
     bcoefs[d]: face-registered coefficient (interior faces only; array of
     shape like the interior along other dims, n+1 along d) or scalar 1.0.
+    metric (curvilinear coords): {"areas": [face-registered area per dim],
+    "vol": cell volumes} — the divergence becomes
+    (1/V) sum_d (A_hi b_hi du_hi - A_lo b_lo du_lo)/dx_d (the MLABec
+    operator in general geometry; reference HABEC stencils).
     """
     dim = u_g.ndim
     u = _shrink(u_g)
     out = alpha * acoef * u if acoef is not None else alpha * u
+    vinv = 1.0 / metric["vol"] if metric is not None else None
     for d in range(dim):
         # interior along every dim except d
         v = u_g
@@ -178,29 +200,65 @@ def apply_op(u_g, acoef, bcoefs, alpha, beta, dx):
         lo = v[_take(v, d, 0, n)]
         hi = v[_take(v, d, 2, n + 2)]
         b = bcoefs[d] if bcoefs is not None else None
+        if metric is not None:
+            A = metric["areas"][d]
+            A_lo = A[_take(A, d, 0, n)]
+            A_hi = A[_take(A, d, 1, n + 1)]
+        else:
+            A_lo = A_hi = None
         if b is None:
-            flux_div = (hi - c) - (c - lo)
+            f_lo, f_hi = (c - lo), (hi - c)
         else:
             b_lo = b[_take(b, d, 0, n)]
             b_hi = b[_take(b, d, 1, n + 1)]
-            flux_div = b_hi * (hi - c) - b_lo * (c - lo)
-        out = out - beta * flux_div / (dx[d] * dx[d])
+            f_lo, f_hi = b_lo * (c - lo), b_hi * (hi - c)
+        if A_lo is not None:
+            flux_div = (A_hi * f_hi - A_lo * f_lo) * vinv / dx[d]
+        else:
+            flux_div = (f_hi - f_lo) / (dx[d] * dx[d])
+        out = out - beta * flux_div
     return out
 
 
-def _diag(acoef, bcoefs, alpha, beta, dx, shape, dtype):
+def _diag(acoef, bcoefs, alpha, beta, dx, shape, dtype, metric=None):
     diag = alpha * (acoef if acoef is not None else jnp.ones(shape, dtype))
+    vinv = 1.0 / metric["vol"] if metric is not None else None
     for d in range(len(dx)):
-        if bcoefs is None or bcoefs[d] is None:
-            s = 2.0
-            diag = diag + beta * s / (dx[d] * dx[d])
+        b = bcoefs[d] if bcoefs is not None else None
+        n = shape[d]
+        if b is None:
+            b_lo = b_hi = 1.0
         else:
-            b = bcoefs[d]
-            n = shape[d]
             b_lo = b[_take(b, d, 0, n)]
             b_hi = b[_take(b, d, 1, n + 1)]
+        if metric is not None:
+            A = metric["areas"][d]
+            A_lo = A[_take(A, d, 0, n)]
+            A_hi = A[_take(A, d, 1, n + 1)]
+            diag = diag + beta * (A_lo * b_lo + A_hi * b_hi) * vinv / dx[d]
+        else:
             diag = diag + beta * (b_lo + b_hi) / (dx[d] * dx[d])
     return diag
+
+
+def _coarsen_metric(metric, dim):
+    if metric is None:
+        return None
+    vol = metric["vol"]
+    vol_c = _restrict(vol) * (2 ** dim)
+    areas = []
+    for d in range(dim):
+        A = metric["areas"][d]
+        out = A
+        for k in range(dim):
+            if k == d:
+                out = out[_take_every2(out.ndim, k, 0)]
+            else:
+                n = out.shape[k]
+                ns = out.shape[:k] + (n // 2, 2) + out.shape[k + 1:]
+                out = out.reshape(ns).sum(axis=k + 1)
+        areas.append(out)
+    return {"areas": areas, "vol": vol_c}
 
 
 def _checkerboards(shape):
@@ -228,13 +286,13 @@ def _sharded_checkerboards(shape, axis_names):
 def _smooth(u, rhs, lv, alpha, beta, n_sweeps):
     """Red-black Gauss-Seidel using the level's fill closure."""
     diag = _diag(lv["acoef"], lv["bcoefs"], alpha, beta, lv["dx"],
-                 rhs.shape, rhs.dtype)
+                 rhs.shape, rhs.dtype, lv.get("metric"))
     inv_diag = 1.0 / diag
 
     def one_color(u, mask):
         u_g = lv["fill"](u)
         res = rhs - apply_op(u_g, lv["acoef"], lv["bcoefs"], alpha, beta,
-                             lv["dx"])
+                             lv["dx"], lv.get("metric"))
         return u + jnp.where(mask, res * inv_diag, 0.0)
 
     for _ in range(n_sweeps):
@@ -341,7 +399,7 @@ def solve(rhs, dx, *, acoef=None, bcoefs=None, alpha=0.0, beta=1.0,
           bc_vals_lo=None, bc_vals_hi=None,
           n_vcycles=30, nu1=2, nu2=2, coarse_sweeps=40,
           min_size=4, u0=None, rtol=None, atol=0.0,
-          axis_names=None, gather_min=8):
+          axis_names=None, gather_min=8, metric=None):
     """Solve alpha*a*u - beta*div(b grad u) = rhs. Returns (u, residual_norm).
 
     Fully jit-compatible. With `rtol` set, V-cycles run in a
@@ -362,6 +420,8 @@ def solve(rhs, dx, *, acoef=None, bcoefs=None, alpha=0.0, beta=1.0,
 
     names = tuple(axis_names[:dim]) if axis_names else (None,) * dim
     sharded = any(n is not None for n in names)
+    assert not (sharded and metric is not None), \
+        "curvilinear metric not supported in distributed solves yet"
     spatial = tuple(n for n in names if n is not None)
 
     if sharded:
@@ -378,7 +438,8 @@ def solve(rhs, dx, *, acoef=None, bcoefs=None, alpha=0.0, beta=1.0,
         gsum, gmax = jnp.sum, jnp.max
         n_global = int(np.prod(rhs.shape))
 
-    singular = all(c != DIRICHLET for c in bl + bh) and alpha == 0.0
+    singular = all(c not in (DIRICHLET, ROBIN) for c in bl + bh) \
+        and alpha == 0.0
 
     # ---- build the level hierarchy (static plan) -------------------------
     levels = []
@@ -446,6 +507,7 @@ def solve(rhs, dx, *, acoef=None, bcoefs=None, alpha=0.0, beta=1.0,
 
     # local (serial or gathered-redundant) levels
     first_local = len(levels)
+    lmetric = metric
     while True:
         _bvl, _bvh = lvl_bvl, lvl_bvh
 
@@ -454,7 +516,8 @@ def solve(rhs, dx, *, acoef=None, bcoefs=None, alpha=0.0, beta=1.0,
 
         red, black = _checkerboards(shape)
         levels.append(dict(kind="local", shape=shape, dx=ldx, acoef=la,
-                           bcoefs=lb, red=red, black=black, fill=mk_fill()))
+                           bcoefs=lb, red=red, black=black, fill=mk_fill(),
+                           metric=lmetric))
         if min(shape) <= min_size or any(n % 2 for n in shape):
             break
         shape = tuple(n // 2 for n in shape)
@@ -462,13 +525,14 @@ def solve(rhs, dx, *, acoef=None, bcoefs=None, alpha=0.0, beta=1.0,
         la = None if la is None else _restrict(la)
         lb = None if lb is None else [
             _coarsen_face_coef(lb[d], d) for d in range(dim)]
+        lmetric = _coarsen_metric(lmetric, dim)
         lvl_bvl = [None] * dim
         lvl_bvh = [None] * dim
 
     def residual(u, rhs, lv):
         u_g = lv["fill"](u)
         return rhs - apply_op(u_g, lv["acoef"], lv["bcoefs"], alpha, beta,
-                              lv["dx"])
+                              lv["dx"], lv.get("metric"))
 
     def _coarse_direct(rhs_c, lv):
         """Exact coarsest solve: materialize the (tiny) dense operator by
@@ -481,7 +545,7 @@ def solve(rhs, dx, *, acoef=None, bcoefs=None, alpha=0.0, beta=1.0,
             ei = jnp.zeros((N,), rhs_c.dtype).at[i].set(1.0).reshape(shape)
             e_g = fill_bc(_grow(ei), bl, bh)  # homogeneous coarse BCs
             return apply_op(e_g, lv["acoef"], lv["bcoefs"], alpha, beta,
-                            lv["dx"]).reshape(-1)
+                            lv["dx"], lv.get("metric")).reshape(-1)
 
         A = jax.vmap(col)(jnp.arange(N)).T  # A[:, i] = L(e_i)
         if singular:
