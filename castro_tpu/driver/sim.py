@@ -380,13 +380,107 @@ class Simulation:
             return u_new, min_rho, nan_flag | burn_fail, fint
         return u_new, min_rho, nan_flag | burn_fail
 
+    def _fill_rad(self, Er):
+        """Grow interior Er [ng, n...] by ghost cells: periodic wrap or
+        edge clamp following the hydro BCs."""
+        L = self.layout
+        ng = self.ng
+        out = Er
+        for d in range(L.dim):
+            mode = "wrap" if self.params.castro.lo_bc[d] == 0 else "edge"
+            pads = [(0, 0)] * out.ndim
+            pads[1 + d] = (ng, ng)
+            out = jnp.pad(out, pads, mode=mode)
+        return out
+
+    def _rad_lambda_grown(self, u_g, Er_g):
+        """Flux limiter lambda on the grown grid from the grown state."""
+        from castro_tpu.radiation.fld import fld_lambda
+
+        L = self.layout
+        rho = u_g[L.URHO]
+        T = u_g[L.UTEMP]
+        lam = []
+        for g in range(L.ngroups):
+            kr = self.rad.kappa_r(rho, jnp.maximum(T, 1e-10))
+            g2 = 0.0
+            for d in range(L.dim):
+                from castro_tpu.ops.stencil import shifted as _sh
+
+                g2 = g2 + ((_sh(Er_g[g], 1, d) - _sh(Er_g[g], -1, d)) /
+                           (2 * self.geom.dx[d])) ** 2
+            R = jnp.sqrt(g2) / jnp.maximum(
+                kr * jnp.maximum(Er_g[g], 1e-30), 1e-30)
+            lam.append(fld_lambda(R, self.rad.limiter))
+        return jnp.stack(lam)
+
+    def _rad_ctu_step_impl(self, u, Er, dt, t):
+        """1D gray characteristic rad-hydro step: radiation in the CTU
+        eigensystem (reference trace_ppm_rad + ctu_rad_consup) followed by
+        the implicit FLD matter coupling (final_radiation_call)."""
+        from castro_tpu.ops.advection_util import ctoprim as _ctoprim
+        from castro_tpu.ops.rad_hydro import ctu_rad_hydro_1d
+
+        L = self.layout
+        c = self.params.castro
+        ctx = self._default_ctx
+        u = ctx.fill(u, t)
+        Er_g2 = self._fill_rad(Er[None] if Er.ndim == L.dim else Er)
+        lam_g = self._rad_lambda_grown(u, Er_g2)
+
+        q, qaux = _ctoprim(u, L, self.eos, self.cfg.small_dens,
+                           max(c.small_temp, 1e-200), Er=Er_g2, lam=lam_g,
+                           rad_limiter=self.rad.limiter)
+        src_old = None
+        if self.source_fns:
+            src_old = jnp.zeros_like(u)
+            for fn in self.source_fns:
+                src_old = src_old + fn(self, u, q, qaux, t, dt, ctx=ctx)
+        srcQ = None if src_old is None else src_to_prim(q, qaux, src_old, L)
+
+        Er_int = Er[None] if Er.ndim == L.dim else Er  # already interior
+        u_new, Er_new = ctu_rad_hydro_1d(u, Er_int, q, qaux, srcQ, dt,
+                                         self.geom, L, self.cfg,
+                                         self.rad.limiter, 3)
+        if src_old is not None:
+            u_new = u_new + dt * src_old
+
+        inner = interior_slice(self.ng, L.dim)
+        min_rho = jnp.min(u_new[inner][L.URHO])
+        nan_flag = ~jnp.isfinite(jnp.sum(u_new[inner])) | \
+            ~jnp.isfinite(jnp.sum(Er_new))
+        u_new = self._clean_fill_impl(u_new, ctx, t + dt)
+
+        # implicit FLD matter coupling on the advected field
+        ui = u_new[inner]
+        rho = ui[L.URHO]
+        rhoinv = 1.0 / rho
+        e = ui[L.UEINT] * rhoinv
+        xn = ui[L.UFS: L.UFS + L.nspec] * rhoinv[None]
+        es = self.eos.re(rho=rho, e=e, xn=xn)
+
+        def eos_re(e_k):
+            return self.eos.re(rho=rho, e=jnp.maximum(e_k, 1e-300), xn=xn)
+
+        Er_new2, e_new, T_new = self.rad.gray_update(
+            Er_new[0], rho, e, es.T, es.cv, dt, eos_re=eos_re)
+        de = rho * (e_new - e)
+        u_new = u_new.at[(L.UEINT,) + inner[1:]].add(de)
+        u_new = u_new.at[(L.UEDEN,) + inner[1:]].add(de)
+        u_new = self._clean_fill_impl(u_new, ctx, t + dt)
+        return u_new, Er_new2, min_rho, nan_flag
+
     def _rad_step_impl(self, u, Er, dt, t):
         """Hydro step + Er advection + implicit FLD update (reference
-        do_advance_ctu then final_radiation_call; the full rad-CTU
-        characteristic coupling of trace_ppm_rad is TODO)."""
+        do_advance_ctu then final_radiation_call). 1D gray runs use the
+        full characteristic coupling; multi-D falls back to the
+        operator-split advection."""
         from castro_tpu.ops.stencil import shifted
 
         L = self.layout
+        if (L.dim == 1 and L.ngroups == 1 and self.params.castro.do_hydro
+                and self.geom.coord.value == 0):
+            return self._rad_ctu_step_impl(u, Er, dt, t)
         u_new, min_rho, bad = self._step_impl(u, dt, t)
 
         inner = interior_slice(self.ng, L.dim)

@@ -13,13 +13,15 @@ import jax.numpy as jnp
 from castro_tpu.ops.stencil import shifted
 
 
-def ctoprim(u, layout, eos, small_dens=1e-200, small_temp=1e-200):
+def ctoprim(u, layout, eos, small_dens=1e-200, small_temp=1e-200,
+            Er=None, lam=None, rad_limiter=2, rad_closure=3):
     """Conserved -> primitive (+ aux thermodynamics).
 
     Returns (q[NQ,...], qaux[NQAUX,...]). Assumes `u` has been cleaned
     (positive rho, consistent UEINT) — reference `ctoprim`,
-    `advection_util.cpp:27`.
-    """
+    `advection_util.cpp:27`. With radiation (layout.radiation and Er/lam
+    grown arrays [ngroups, grid] given), fills QPTOT/QREITOT/QRAD and the
+    total sound speed / gamc in qaux (advection_util.cpp:163-192)."""
     L = layout
     rho = jnp.maximum(u[L.URHO], small_dens)
     rhoinv = 1.0 / rho
@@ -45,10 +47,27 @@ def ctoprim(u, layout, eos, small_dens=1e-200, small_temp=1e-200):
         q = q.at[L.QFX : L.QFX + L.naux].set(u[L.UFX : L.UFX + L.naux] * rhoinv[None])
 
     qaux = jnp.empty((L.NQAUX,) + rho.shape, dtype=u.dtype)
-    qaux = qaux.at[L.QGAMC].set(es.gam1)
-    qaux = qaux.at[L.QC].set(es.cs)
     qaux = qaux.at[L.QDPDR].set(es.dpdr_e)
     qaux = qaux.at[L.QDPDE].set(es.dpde)
+    if L.radiation and Er is not None:
+        from castro_tpu.ops.rad_hydro import compute_ptot_ctot
+
+        q = q.at[L.QRAD:L.QRAD + L.ngroups].set(Er)
+        qaux = qaux.at[L.QGAMCG].set(es.gam1)
+        qaux = qaux.at[L.QCG].set(es.cs)
+        qaux = qaux.at[L.QLAMS:L.QLAMS + L.ngroups].set(lam)
+        lam_list = [lam[g] for g in range(L.ngroups)]
+        ptot, ctot, gamc_tot = compute_ptot_ctot(
+            lam_list, q, es.cs, L, comoving=True, limiter=rad_limiter,
+            closure=rad_closure)
+        q = q.at[L.QPTOT].set(ptot)
+        q = q.at[L.QREITOT].set(
+            q[L.QREINT] + jnp.sum(Er, axis=0))
+        qaux = qaux.at[L.QC].set(ctot)
+        qaux = qaux.at[L.QGAMC].set(gamc_tot)
+    else:
+        qaux = qaux.at[L.QGAMC].set(es.gam1)
+        qaux = qaux.at[L.QC].set(es.cs)
     return q, qaux
 
 

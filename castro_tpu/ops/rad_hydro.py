@@ -1,0 +1,513 @@
+"""Gray radiation-hydrodynamics characteristic coupling for the CTU scheme.
+
+Reference: `Source/radiation/trace_ppm_rad.cpp` (radiation in the PPM
+characteristic eigensystem: total pressure/sound speed, per-group Er
+riding the contact family), the RADIATION branches of `riemannus`
+(`Source/hydro/riemann_solvers.H:599+`: star states for both the total
+and gas subsystems, upwinded flux limiters), `compute_flux_q`
+(`Source/hydro/riemann.H`: gas-only momentum/energy fluxes + the
+Eddington-weighted radiation advective flux), and `Castro::ctu_rad_consup`
+(`Source/hydro/Castro_ctu_rad.cpp`: Er flux divergence, radiation pressure
+gradient on the momenta with kinetic-energy bookkeeping, and the comoving
+-frame work terms -(f1 div u + f2 nn:Gradu) Er).
+
+Scope (round 2): gray (1 group), 1D drivers (the Rad2Tshock-class
+benchmarks); multi-D radiation remains operator-split in the main driver.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from castro_tpu.geometry import CoordSys, Geometry
+from castro_tpu.ops.ppm import ppm_int_profile, ppm_int_profile_single, ppm_reconstruct
+from castro_tpu.ops.riemann import SMALL, SMALLU
+from castro_tpu.ops.stencil import shifted
+
+
+def edd_factor(lam, limiter=2, closure=3):
+    """Eddington factor f(lambda) (reference fluxlimiter.H Edd_factor)."""
+    if closure == 0:
+        return lam
+    if closure == 1:
+        return jnp.full_like(lam, 1.0 / 3.0)
+    if closure == 2:
+        return 1.0 - 2.0 * lam
+    # closure 3 (default): lambda + (lambda R)^2
+    if limiter == 0:
+        return jnp.full_like(lam, 1.0 / 3.0)
+    # approximate LP family
+    x = jnp.maximum(0.0, 1.0 - 3.0 * lam)
+    f = 0.5 * x + jnp.sqrt(x * (1.0 + 5.0 * lam))
+    return lam + f * f
+
+
+def compute_ptot_ctot(lam_g, q, cg, layout, comoving=True, limiter=2,
+                      closure=3):
+    """(ptot, ctot, gamc_tot) from gas state + per-group (lam, Er)
+    (reference rad_util.H compute_ptot_ctot)."""
+    L = layout
+    prad = 0.0
+    csrad2 = 0.0
+    for g in range(L.ngroups):
+        er = q[L.QRAD + g]
+        lam = lam_g[g]
+        if comoving:
+            gamr = (3.0 - edd_factor(lam, limiter, closure)) / 2.0
+        else:
+            gamr = lam + 1.0
+        prad = prad + lam * er
+        csrad2 = csrad2 + gamr * (lam * er) / q[L.QRHO]
+    ptot = q[L.QPRES] + prad
+    ctot2 = cg * cg + csrad2
+    gamc_tot = ctot2 * q[L.QRHO] / ptot
+    return ptot, jnp.sqrt(ctot2), gamc_tot
+
+
+def trace_ppm_rad(q, qaux, srcQ, flatn, d, dt, dx_d, layout, small_dens,
+                  small_pres):
+    """Radiation PPM characteristic tracing (trace_ppm_rad.cpp:16-691).
+
+    Same structure as `trace_ppm` but: the acoustic eigensystem acts on
+    the TOTAL pressure with the total sound speed; the gas pressure
+    evolves with cgas^2 minus the lambda-weighted radiation jumps; each
+    group's Er rides the contact with enthalpy weight
+    h_r = (lam+1) Er / rho."""
+    L = layout
+    ax = d
+    ng = L.ngroups
+
+    if d == 0:
+        QUN, QUT, QUTT = L.QU, L.QV, L.QW
+    elif d == 1:
+        QUN, QUT, QUTT = L.QV, L.QW, L.QU
+    else:
+        QUN, QUT, QUTT = L.QW, L.QU, L.QV
+
+    un = q[QUN]
+    cc = qaux[L.QC]        # total sound speed
+    csq = cc * cc
+    cgassq = qaux[L.QCG] ** 2
+    rho = q[L.QRHO]
+    p = q[L.QPRES]
+    rhoe_g = q[L.QREINT]
+    h_g = ((p + rhoe_g) / rho) / csq
+    lam0 = [qaux[L.QLAMS + g] for g in range(ng)]
+    hr = [(lam0[g] + 1.0) * q[L.QRAD + g] / rho for g in range(ng)]
+
+    dtdx = dt / dx_d
+    hdt = 0.5 * dt
+
+    def ppm3(s):
+        sm, sp = ppm_reconstruct(s, flatn, ax)
+        return ppm_int_profile(sm, sp, s, un, cc, dtdx)
+
+    def ppm1(s):
+        sm, sp = ppm_reconstruct(s, flatn, ax)
+        return ppm_int_profile_single(sm, sp, s, un, dtdx)
+
+    Ip = {}
+    Im = {}
+    for comp in [L.QRHO, QUN, L.QPRES, L.QREINT, L.QPTOT] + \
+            [L.QRAD + g for g in range(ng)]:
+        Ip[comp], Im[comp] = ppm3(q[comp])
+    Ip_ut, Im_ut = ppm1(q[QUT])
+    Ip_utt, Im_utt = ppm1(q[QUTT])
+
+    if srcQ is not None:
+        Ip_s, Im_s = {}, {}
+        for comp in (L.QRHO, QUN, L.QPRES, L.QREINT):
+            Ip_s[comp], Im_s[comp] = ppm3(srcQ[comp])
+        Ip_sut, Im_sut = ppm1(srcQ[QUT])
+        Ip_sutt, Im_sutt = ppm1(srcQ[QUTT])
+    else:
+        z = jnp.zeros_like(un)
+        z3 = (z, z, z)
+        Ip_s = Im_s = {c: z3 for c in (L.QRHO, QUN, L.QPRES, L.QREINT)}
+        Ip_sut = Im_sut = Ip_sutt = Im_sutt = z
+
+    def build(I, I_ut, I_utt, Isrc, s_ut, s_utt, is_plus):
+
+        def S(comp, r):
+            return Isrc[comp][r]
+
+        r = 0 if is_plus else 2
+        rho_ref = jnp.maximum(I[L.QRHO][r], small_dens)
+        un_ref = I[QUN][r]
+        p_ref = jnp.maximum(I[L.QPRES][r], small_pres)
+        rhoe_g_ref = I[L.QREINT][r]
+        ptot_ref = I[L.QPTOT][r]
+        er_ref = [I[L.QRAD + g][r] for g in range(ng)]
+
+        dum = un_ref - I[QUN][0] - hdt * S(QUN, 0)
+        dptotm = ptot_ref - I[L.QPTOT][0] - hdt * S(L.QPRES, 0)
+        drho = rho_ref - I[L.QRHO][1] - hdt * S(L.QRHO, 1)
+        dptot = ptot_ref - I[L.QPTOT][1] - hdt * S(L.QPRES, 1)
+        drhoe_g = rhoe_g_ref - I[L.QREINT][1] - hdt * S(L.QREINT, 1)
+        der = [er_ref[g] - I[L.QRAD + g][1] for g in range(ng)]
+        dup = un_ref - I[QUN][2] - hdt * S(QUN, 2)
+        dptotp = ptot_ref - I[L.QPTOT][2] - hdt * S(L.QPRES, 2)
+
+        alpham = 0.5 * (dptotm / (rho * cc) - dum) * rho / cc
+        alphap = 0.5 * (dptotp / (rho * cc) + dup) * rho / cc
+        alpha0r = drho - dptot / csq
+        alpha0e_g = drhoe_g - dptot * h_g
+        alphar = [der[g] - dptot / csq * hr[g] for g in range(ng)]
+
+        def wside(speed):
+            w_minus = 0.5 * (1.0 - jnp.sign(speed))
+            return w_minus if is_plus else (1.0 - w_minus)
+
+        alpham = -alpham * wside(un - cc)
+        alphap = -alphap * wside(un + cc)
+        w0 = wside(un)
+        alpha0r = -alpha0r * w0
+        alpha0e_g = -alpha0e_g * w0
+        alphar = [-a * w0 for a in alphar]
+
+        out_rho = jnp.maximum(small_dens,
+                              rho_ref + alphap + alpham + alpha0r)
+        out_un = un_ref + (alphap - alpham) * cc / rho
+        out_re = rhoe_g_ref + (alphap + alpham) * h_g * csq + alpha0e_g
+        out_p = p_ref + (alphap + alpham) * cgassq
+        for g in range(ng):
+            out_p = out_p - lam0[g] * alphar[g]
+        out_p = jnp.maximum(small_pres, out_p)
+        out_ptot = ptot_ref + (alphap + alpham) * csq
+        out_er = [er_ref[g] + (alphap + alpham) * hr[g] + alphar[g]
+                  for g in range(ng)]
+        # negative-group reset (trace_ppm_rad.cpp:432-440)
+        out_reitot = out_re
+        for g in range(ng):
+            neg = out_er[g] < 0.0
+            out_ptot = out_ptot + jnp.where(neg, -lam0[g] * out_er[g], 0.0)
+            out_er[g] = jnp.maximum(out_er[g], 0.0)
+            out_reitot = out_reitot + out_er[g]
+
+        out_ut = I_ut + hdt * s_ut
+        out_utt = I_utt + hdt * s_utt
+        return (out_rho, out_un, out_p, out_re, out_ptot, out_reitot,
+                out_er, out_ut, out_utt)
+
+    # plus state (left edge of cell i): uses Im
+    qp_vals = build(Im, Im_ut, Im_utt, Im_s, Im_sut, Im_sutt, True)
+    qm_vals = build(Ip, Ip_ut, Ip_utt, Ip_s, Ip_sut, Ip_sutt, False)
+
+    def assemble(vals, is_plus):
+        (rho_v, un_v, p_v, re_v, ptot_v, reitot_v, er_v, ut_v, utt_v) = vals
+        comps = [q[i] for i in range(L.NQ)]
+        comps[L.QRHO] = rho_v
+        comps[QUN] = un_v
+        comps[QUT] = ut_v
+        comps[QUTT] = utt_v
+        comps[L.QPRES] = p_v
+        comps[L.QREINT] = re_v
+        comps[L.QPTOT] = ptot_v
+        comps[L.QREITOT] = reitot_v
+        for g in range(ng):
+            comps[L.QRAD + g] = er_v[g]
+        # passives ride the contact (same as pure hydro)
+        for comp in list(range(L.QFS, L.QFS + L.nspec)) + (
+                list(range(L.QFX, L.QFX + L.naux)) if L.naux > 0 else []):
+            Ipp, Imp = ppm1(q[comp])
+            comps[comp] = Imp if is_plus else Ipp
+        return jnp.stack(comps)
+
+    qp_cell = assemble(qp_vals, True)
+    qm_cell = assemble(qm_vals, False)
+    qm_face = shifted(qm_cell, -1, 1 + ax)
+    return qm_face, qp_cell
+
+
+def riemannus_rad(qm, qp, qaux, d, layout, small_dens, small_pres):
+    """CGF solver with radiation (riemann_solvers.H RADIATION branches).
+    Returns the Godunov interface dict with gas and total quantities."""
+    L = layout
+    ng = L.ngroups
+    ax = d
+    if d == 0:
+        QUN, QUT, QUTT = L.QU, L.QV, L.QW
+    elif d == 1:
+        QUN, QUT, QUTT = L.QV, L.QW, L.QU
+    else:
+        QUN, QUT, QUTT = L.QW, L.QU, L.QV
+
+    c = qaux[L.QC]
+    c_m = shifted(c, -1, ax)
+    csmall = jnp.maximum(SMALL, SMALL * jnp.maximum(c, c_m))
+
+    rho_l = jnp.maximum(qm[L.QRHO], small_dens)
+    rho_r = jnp.maximum(qp[L.QRHO], small_dens)
+    un_l, un_r = qm[QUN], qp[QUN]
+    # total/gas states
+    pt_l, pt_r = qm[L.QPTOT], qp[L.QPTOT]
+    ret_l, ret_r = qm[L.QREITOT], qp[L.QREITOT]
+    pg_l, pg_r = qm[L.QPRES], qp[L.QPRES]
+    reg_l, reg_r = qm[L.QREINT], qp[L.QREINT]
+    gamc_l = shifted(qaux[L.QGAMC], -1, ax)
+    gamc_r = qaux[L.QGAMC]
+    gamcg_l = shifted(qaux[L.QGAMCG], -1, ax)
+    gamcg_r = qaux[L.QGAMCG]
+    lam_l = [shifted(qaux[L.QLAMS + g], -1, ax) for g in range(ng)]
+    lam_r = [qaux[L.QLAMS + g] for g in range(ng)]
+    er_l = [qm[L.QRAD + g] for g in range(ng)]
+    er_r = [qp[L.QRAD + g] for g in range(ng)]
+
+    wsmall = small_dens * csmall
+    wl = jnp.maximum(wsmall, jnp.sqrt(jnp.abs(gamc_l * pt_l * rho_l)))
+    wr = jnp.maximum(wsmall, jnp.sqrt(jnp.abs(gamc_r * pt_r * rho_r)))
+    wwinv = 1.0 / (wl + wr)
+    pstar = jnp.maximum(small_pres,
+                        ((wr * pt_l + wl * pt_r) +
+                         wl * wr * (un_l - un_r)) * wwinv)
+    ustar = ((wl * un_l + wr * un_r) + (pt_l - pt_r)) * wwinv
+    ustar = jnp.where(
+        jnp.abs(ustar) < SMALLU * 0.5 * (jnp.abs(un_l) + jnp.abs(un_r)),
+        0.0, ustar)
+    sgnm = jnp.sign(ustar)
+    fp = 0.5 * (1.0 + sgnm)
+    fm = 0.5 * (1.0 - sgnm)
+
+    ro = jnp.maximum(small_dens, fp * rho_l + fm * rho_r)
+    uo = fp * un_l + fm * un_r
+    po = fp * pt_l + fm * pt_r
+    reo = fp * ret_l + fm * ret_r
+    gamco = fp * gamc_l + fm * gamc_r
+    lam_int = [jnp.where(
+        ustar == 0.0,
+        2.0 * lam_l[g] * lam_r[g] / (lam_l[g] + lam_r[g] + 1e-50),
+        fp * lam_l[g] + fm * lam_r[g]) for g in range(ng)]
+    po_g = fp * pg_l + fm * pg_r
+    reo_r = [fp * er_l[g] + fm * er_r[g] for g in range(ng)]
+    po_r = [lam_int[g] * reo_r[g] for g in range(ng)]
+    reo_g = fp * reg_l + fm * reg_r
+    gamco_g = fp * gamcg_l + fm * gamcg_r
+
+    roinv = 1.0 / ro
+    co = jnp.maximum(csmall, jnp.sqrt(jnp.abs(gamco * po * roinv)))
+    co2inv = 1.0 / (co * co)
+    ut = fp * qm[QUT] + fm * qp[QUT]
+    utt = fp * qm[QUTT] + fm * qp[QUTT]
+
+    drho = (pstar - po) * co2inv
+    rstar = jnp.maximum(small_dens, ro + drho)
+    estar_g = reo_g + drho * (reo_g + po_g) * roinv
+    co_g = jnp.maximum(csmall, jnp.sqrt(jnp.abs(gamco_g * po_g * roinv)))
+    pstar_g = jnp.maximum(small_pres, po_g + drho * co_g * co_g)
+    estar_r = [reo_r[g] + drho * (reo_r[g] + po_r[g]) * roinv
+               for g in range(ng)]
+    cstar = jnp.maximum(csmall, jnp.sqrt(jnp.abs(gamco * pstar / rstar)))
+
+    spout = co - sgnm * uo
+    spin = cstar - sgnm * ustar
+    ushock = 0.5 * (spin + spout)
+    is_shock = pstar - po > 0.0
+    spin = jnp.where(is_shock, ushock, spin)
+    spout = jnp.where(is_shock, ushock, spout)
+    cavg = 0.5 * (c + c_m)
+    scr = jnp.where(spout - spin == 0.0, SMALL * cavg, spout - spin)
+    frac = jnp.clip(0.5 * (1.0 + (spout + spin) / scr), 0.0, 1.0)
+
+    def pick(star, o):
+        v = frac * star + (1.0 - frac) * o
+        v = jnp.where(spout < 0.0, o, v)
+        v = jnp.where(spin >= 0.0, star, v)
+        return v
+
+    rho_g_ = pick(rstar, ro)
+    un_g_ = pick(ustar, uo)
+    p_t = pick(pstar, po)
+    p_gdn = pick(pstar_g, po_g)
+    re_gdn = pick(estar_g, reo_g)
+    er_gdn = [jnp.maximum(pick(estar_r[g], reo_r[g]), 0.0)
+              for g in range(ng)]
+
+    return dict(rho=rho_g_, un=un_g_, ut=ut, utt=utt, p_g=p_gdn,
+                rhoe_g=re_gdn, ptot=jnp.maximum(p_t, small_pres),
+                er=er_gdn, lam=lam_int, ustar=ustar)
+
+
+def rad_flux_and_qe(gd, qm, qp, d, layout, coord, limiter, closure,
+                    fspace_type=1):
+    """Gas conserved flux + radiation advective flux + Godunov state
+    (reference compute_flux_q RADIATION branch)."""
+    from castro_tpu.ops.riemann import mom_flux_has_p
+
+    L = layout
+    ng = L.ngroups
+    un = gd["un"]
+    frho = gd["rho"] * un
+    zero = jnp.zeros_like(frho)
+
+    comps = [None] * L.NVAR
+    comps[L.URHO] = frho
+    im1 = L.momentum_index(d)
+    if d == 0:
+        im2, im3 = L.UMY, L.UMZ
+    elif d == 1:
+        im2, im3 = L.UMX, L.UMZ
+    else:
+        im2, im3 = L.UMX, L.UMY
+    fm1 = frho * un
+    if mom_flux_has_p(d, coord):
+        fm1 = fm1 + gd["p_g"]
+    comps[im1] = fm1
+    comps[im2] = frho * gd["ut"]
+    comps[im3] = frho * gd["utt"]
+    rhoetot = gd["rhoe_g"] + 0.5 * gd["rho"] * (
+        un * un + gd["ut"] ** 2 + gd["utt"] ** 2)
+    comps[L.UEDEN] = un * (rhoetot + gd["p_g"])
+    comps[L.UEINT] = un * gd["rhoe_g"]
+    comps[L.UTEMP] = zero
+    if L.shock_var:
+        comps[L.USHK] = zero
+    sgnm = jnp.sign(un)
+    fp = 0.5 * (1.0 + sgnm)
+    fm = 0.5 * (1.0 - sgnm)
+    for qc, uc in zip(
+        list(range(L.QFS, L.QFS + L.nspec)) +
+        (list(range(L.QFX, L.QFX + L.naux)) if L.naux > 0 else []),
+        list(range(L.UFS, L.UFS + L.nspec)) +
+        (list(range(L.UFX, L.UFX + L.naux)) if L.naux > 0 else []),
+    ):
+        comps[uc] = frho * (fp * qm[qc] + fm * qp[qc])
+    for i, cpn in enumerate(comps):
+        if cpn is None:
+            comps[i] = zero
+    flux = jnp.stack(comps)
+
+    # radiation advective flux (fspace_type 1: (1 + f1) Er u)
+    rf = []
+    for g in range(ng):
+        if fspace_type == 1:
+            eddf = edd_factor(gd["lam"][g], limiter, closure)
+            f1 = 0.5 * (1.0 - eddf)
+            rf.append((1.0 + f1) * gd["er"][g] * un)
+        else:
+            rf.append(gd["er"][g] * un)
+    rad_flux = jnp.stack(rf)
+
+    gcomps = [None] * L.NGDNV
+    gcomps[L.GDRHO] = gd["rho"]
+    gd_comp = {0: (L.GDU, L.GDV, L.GDW), 1: (L.GDV, L.GDU, L.GDW),
+               2: (L.GDW, L.GDU, L.GDV)}[d]
+    gcomps[gd_comp[0]] = un
+    gcomps[gd_comp[1]] = gd["ut"]
+    gcomps[gd_comp[2]] = gd["utt"]
+    gcomps[L.GDPRES] = gd["p_g"]
+    gcomps[L.GDGAME] = gd["p_g"] / jnp.maximum(
+        gd["rhoe_g"], jnp.finfo(un.dtype).tiny) + 1.0
+    for g in range(ng):
+        gcomps[L.GDLAMS + g] = gd["lam"][g]
+        gcomps[L.GDERADS + g] = gd["er"][g]
+    for i, cpn in enumerate(gcomps):
+        if cpn is None:
+            gcomps[i] = zero
+    qgdnv = jnp.stack(gcomps)
+    return flux, rad_flux, qgdnv
+
+
+def ctu_rad_hydro_1d(u, Er, q, qaux, srcQ, dt, geom: Geometry, layout, cfg,
+                     limiter, closure):
+    """One 1D CTU radiation-hydro advance: characteristic tracing with the
+    rad eigensystem, rad Riemann solve, gas conservative update + the
+    ctu_rad_consup radiation terms. Returns (u_new, Er_new) with Er the
+    INTERIOR per-group array [ng, n]."""
+    from castro_tpu.ops.flatten import uflatten
+    from castro_tpu.ops.stencil import interior_slice
+
+    L = layout
+    ng_ghost = cfg.ng
+    dx = geom.dx[0]
+    grid_shape = q.shape[1:]
+    dtype = q.dtype
+
+    flatn = uflatten(q, L) if cfg.use_flattening else \
+        jnp.ones(grid_shape, dtype)
+
+    qm, qp = trace_ppm_rad(q, qaux, srcQ, flatn, 0, dt, dx, L,
+                           cfg.small_dens, cfg.small_pres)
+    gd = riemannus_rad(qm, qp, qaux, 0, L, cfg.small_dens, cfg.small_pres)
+    flux, rad_flux, qe = rad_flux_and_qe(gd, qm, qp, 0, L, geom.coord,
+                                         limiter, closure)
+
+    # artificial viscosity on the gas flux (same as pure hydro)
+    from castro_tpu.ops import advection_util as au
+
+    div_node = au.divu_node(q, geom.dx, L)
+    flux = au.apply_av(flux, 0, div_node, u, L, cfg.difmag, geom.dx)
+    flux = au.normalize_species_fluxes(flux, L)
+
+    # gas conservative update (Cartesian/spherical areas)
+    vol = geom.volume(ng_ghost)
+    volinv = 1.0 / vol
+    area = geom.face_area(0, ng_ghost)
+    aF = area * flux
+    aF_hi = shifted(aF, 1, 1)
+    if geom.coord != CoordSys.CARTESIAN:
+        aF_hi = shifted(area, 1, 0) * shifted(flux, 1, 1)
+    hsrc = (aF - aF_hi) * volinv
+    gdu = qe[L.GDU]
+    gdp = qe[L.GDPRES]
+    if geom.coord != CoordSys.CARTESIAN:
+        a_lo, a_hi = area, shifted(area, 1, 0)
+    else:
+        a_lo = a_hi = area
+    pdivu = 0.5 * (shifted(gdp, 1, 0) + gdp) * (
+        shifted(gdu, 1, 0) * a_hi - gdu * a_lo) * volinv
+    hsrc = hsrc.at[L.UEINT].add(-pdivu)
+    hsrc = hsrc.at[L.UTEMP].set(0.0)
+    from castro_tpu.ops.riemann import mom_flux_has_p
+
+    if not mom_flux_has_p(0, geom.coord):
+        hsrc = hsrc.at[L.UMX].add(-(shifted(gdp, 1, 0) - gdp) / dx)
+    u_new = u + dt * hsrc
+
+    inner = interior_slice(ng_ghost, 1)
+    sl = inner[1]
+
+    # --- radiation terms (ctu_rad_consup) on the interior -----------------
+    a_int = jnp.broadcast_to(area, grid_shape)
+    v_int = jnp.broadcast_to(vol, grid_shape)
+    rf_lo = rad_flux[:, sl]
+    rf_hi = shifted(rad_flux, 1, 1)[:, sl]
+    A_lo = a_int[sl]
+    A_hi = jnp.broadcast_to(shifted(area, 1, 0), grid_shape)[sl]
+    Er_out = Er + dt * (rf_lo * A_lo - rf_hi * A_hi) / v_int[sl]
+
+    lam_lo = qe[L.GDLAMS:L.GDLAMS + L.ngroups, sl]
+    lam_hi = shifted(qe, 1, 1)[L.GDLAMS:L.GDLAMS + L.ngroups, sl]
+    er_lo = qe[L.GDERADS:L.GDERADS + L.ngroups, sl]
+    er_hi = shifted(qe, 1, 1)[L.GDERADS:L.GDERADS + L.ngroups, sl]
+    lamc = 0.5 * (lam_lo + lam_hi)
+    dprdx = jnp.sum(lamc * (er_hi - er_lo), axis=0) / dx
+
+    # momentum + kinetic-energy bookkeeping
+    umx1 = u_new[(L.UMX,) + (sl,)]
+    urho = u_new[(L.URHO,) + (sl,)]
+    ek1 = (umx1**2 + u_new[(L.UMY,) + (sl,)]**2 +
+           u_new[(L.UMZ,) + (sl,)]**2) / (2.0 * urho)
+    umx2 = umx1 - dt * dprdx
+    u_new = u_new.at[(L.UMX,) + (sl,)].set(umx2)
+    ek2 = (umx2**2 + u_new[(L.UMY,) + (sl,)]**2 +
+           u_new[(L.UMZ,) + (sl,)]**2) / (2.0 * urho)
+    dek = ek2 - ek1
+    u_new = u_new.at[(L.UEDEN,) + (sl,)].add(dek)
+
+    # comoving-frame work terms: -(f1 div u + f2 nn:grad u) Er  +
+    # fspace type-1 u . grad(f1 Er) (gray)
+    ux_lo = qe[L.GDU, sl]
+    ux_hi = shifted(qe, 1, 1)[L.GDU, sl]
+    ux = 0.5 * (ux_lo + ux_hi)
+    divu = (ux_hi - ux_lo) / dx
+    for g in range(L.ngroups):
+        eddf = edd_factor(lamc[g], limiter, closure)
+        f2 = 0.5 * (3.0 * eddf - 1.0)
+        # comoving work terms (gray, fspace type 1): + u d(f1 Er)/dx
+        # - f2 <Er> du/dx   (1D: nn:grad u = du/dx)
+        f1_lo = 0.5 * (1.0 - edd_factor(lam_lo[g], limiter, closure))
+        f1_hi = 0.5 * (1.0 - edd_factor(lam_hi[g], limiter, closure))
+        Gf1E = (f1_hi * er_hi[g] - f1_lo * er_lo[g]) / dx
+        Egdc = 0.5 * (er_lo[g] + er_hi[g])
+        Er_out = Er_out.at[g].add(dt * ux * Gf1E - dt * f2 * Egdc * divu)
+    return u_new, jnp.maximum(Er_out, 0.0)
