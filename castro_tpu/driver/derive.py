@@ -140,6 +140,152 @@ def derive_angular_momentum(d):
     return fn
 
 
+def derive_logden(sim, u):
+    return jnp.log10(u[sim.layout.URHO])
+
+
+def derive_gamma1(sim, u):
+    return _prim(sim, u)[4].gam1
+
+
+def derive_abar(sim, u):
+    return _prim(sim, u)[4].abar
+
+
+def derive_temp_from_eos(sim, u):
+    return _prim(sim, u)[4].T
+
+
+def derive_uplusc(sim, u):
+    rho, vel, e, xn, es = _prim(sim, u)
+    return vel[0] + es.cs
+
+
+def derive_uminusc(sim, u):
+    rho, vel, e, xn, es = _prim(sim, u)
+    return vel[0] - es.cs
+
+
+def derive_circvel(sim, u):
+    """Tangential (circular) velocity about the domain center
+    (reference dercircvel)."""
+    L = sim.layout
+    geom = sim.geom
+    rho = u[L.URHO]
+    center = [0.5 * (geom.prob_lo[d] + geom.prob_hi[d])
+              for d in range(geom.dim)]
+    xs = []
+    for d in range(3):
+        if d < geom.dim:
+            xs.append(jnp.broadcast_to(
+                geom.cell_centers(d, 0) - center[d], rho.shape))
+        else:
+            xs.append(jnp.zeros_like(rho))
+    v = [u[c] / rho for c in (L.UMX, L.UMY, L.UMZ)]
+    r = jnp.sqrt(sum(x * x for x in xs))
+    rinv = 1.0 / jnp.maximum(r, 1e-300)
+    vr = sum(x * vv for x, vv in zip(xs, v)) * rinv
+    v2 = sum(vv * vv for vv in v)
+    return jnp.sqrt(jnp.maximum(v2 - vr * vr, 0.0))
+
+
+def derive_magvort(sim, u):
+    """|curl v| (reference dermagvort); 2D gives the z component."""
+    from castro_tpu.ops.stencil import shifted
+
+    L = sim.layout
+    dim = L.dim
+    rho = u[L.URHO]
+    v = [u[c] / rho for c in (L.UMX, L.UMY, L.UMZ)]
+
+    def ddx(f, d):
+        if d >= dim:
+            return jnp.zeros_like(f)
+        return (shifted(f, 1, d) - shifted(f, -1, d)) / (2 * sim.geom.dx[d])
+
+    wx = ddx(v[2], 1) - ddx(v[1], 2)
+    wy = ddx(v[0], 2) - ddx(v[2], 0)
+    wz = ddx(v[1], 0) - ddx(v[0], 1)
+    return jnp.sqrt(wx * wx + wy * wy + wz * wz)
+
+
+def derive_rhog(sim, u):
+    """rho * |g| when gravity is active (reference derrhog)."""
+    L = sim.layout
+    grav = next((s for s in sim.source_fns
+                 if getattr(s, "name", "") == "grav"), None)
+    if grav is None:
+        return jnp.zeros_like(u[L.URHO])
+    g3, _ = grav.gravity.grav_vector(u[L.URHO])
+    return u[L.URHO] * jnp.sqrt(sum(gc * gc for gc in g3))
+
+
+def derive_maggrav(sim, u):
+    L = sim.layout
+    grav = next((s for s in sim.source_fns
+                 if getattr(s, "name", "") == "grav"), None)
+    if grav is None:
+        return jnp.zeros_like(u[L.URHO])
+    g3, _ = grav.gravity.grav_vector(u[L.URHO])
+    return jnp.sqrt(sum(gc * gc for gc in g3))
+
+
+def derive_thermal_cond(sim, u):
+    L = sim.layout
+    diff = next((s for s in sim.source_fns
+                 if getattr(s, "name", "") == "diff"), None)
+    if diff is None:
+        return jnp.zeros_like(u[L.URHO])
+    return diff.conductivity(u[L.URHO], u[L.UTEMP])
+
+
+def derive_diff_coeff(sim, u):
+    """k / (rho c_v) (reference derdiffcoeff)."""
+    L = sim.layout
+    k = derive_thermal_cond(sim, u)
+    es = _prim(sim, u)[4]
+    return k / (u[L.URHO] * es.cv)
+
+
+def derive_diff_term(sim, u):
+    """div(k grad T) (reference derdiffterm)."""
+    from castro_tpu.ops.stencil import shifted
+
+    L = sim.layout
+    diff = next((s for s in sim.source_fns
+                 if getattr(s, "name", "") == "diff"), None)
+    if diff is None:
+        return jnp.zeros_like(u[L.URHO])
+    T = u[L.UTEMP]
+    k = diff.conductivity(u[L.URHO], T)
+    out = jnp.zeros_like(T)
+    for d in range(L.dim):
+        dxd = sim.geom.dx[d]
+        k_lo = 0.5 * (k + shifted(k, -1, d))
+        flo = k_lo * (T - shifted(T, -1, d)) / dxd
+        out = out + (shifted(flo, 1, d) - flo) / dxd
+    return out
+
+
+def derive_t_sound_t_enuc(sim, u):
+    """Sound-crossing time / nuclear energy-injection timescale
+    (reference dert_sound_t_enuc)."""
+    L = sim.layout
+    rho, vel, e, xn, es = _prim(sim, u)
+    enuc = derive_enuc(sim, u)
+    t_e = e / jnp.maximum(jnp.abs(enuc), 1e-300)
+    t_s = min(sim.geom.dx) / es.cs
+    return t_s / t_e
+
+
+def derive_Ertot(sim, u):
+    L = sim.layout
+    if getattr(sim, "u_rad", None) is None:
+        return jnp.zeros_like(u[L.URHO])
+    Er = sim.u_rad
+    return jnp.sum(Er, axis=0) if Er.ndim > L.dim else Er
+
+
 def registry(sim):
     """Name -> derive fn, built for a sim's layout (reference derive_lst)."""
     reg = {
@@ -161,6 +307,21 @@ def registry(sim):
         "angular_momentum_x": derive_angular_momentum(0),
         "angular_momentum_y": derive_angular_momentum(1),
         "angular_momentum_z": derive_angular_momentum(2),
+        "logden": derive_logden,
+        "Gamma_1": derive_gamma1,
+        "abar": derive_abar,
+        "Temp_eos": derive_temp_from_eos,
+        "uplusc": derive_uplusc,
+        "uminusc": derive_uminusc,
+        "circvel": derive_circvel,
+        "magvort": derive_magvort,
+        "rhog": derive_rhog,
+        "maggrav": derive_maggrav,
+        "thermal_cond": derive_thermal_cond,
+        "diff_coeff": derive_diff_coeff,
+        "diff_term": derive_diff_term,
+        "t_sound_t_enuc": derive_t_sound_t_enuc,
+        "Ertot": derive_Ertot,
     }
     for i, name in enumerate(sim.network.spec_names):
         reg[f"X({name})"] = derive_spec(i)

@@ -52,7 +52,6 @@ class MhdSolver:
         self.sim = sim
         self.L = sim.layout
         self.geom = sim.geom
-        self.gamma = sim.eos.gamma
 
     # -- primitive extraction ------------------------------------------------
     def cell_b(self, b):
@@ -67,15 +66,16 @@ class MhdSolver:
         return out
 
     def prim(self, u, b):
+        """EOS-general primitives (reference mhd_util ConsToPrim):
+        pressure and Gamma_1 from the EOS, not a hardcoded gamma law."""
         L = self.L
         rho = jnp.maximum(u[L.URHO], 1e-30)
         vel = [u[c] / rho for c in (L.UMX, L.UMY, L.UMZ)]
         bc = self.cell_b(b)
-        ke = 0.5 * rho * sum(v * v for v in vel)
-        pb = 0.5 * sum(bb * bb for bb in bc)
         rhoe = jnp.maximum(u[L.UEINT], 1e-30 * rho)
-        p = rhoe / rho * rho * (self.gamma - 1.0)
-        return rho, vel, p, rhoe / rho, bc
+        xn = u[L.UFS:L.UFS + L.nspec] / rho[None]
+        es = self.sim.eos.re(rho=rho, e=rhoe / rho, xn=xn)
+        return rho, vel, es.p, rhoe / rho, bc, es.gam1
 
     # -- single-direction face fluxes ----------------------------------------
     def face_flux(self, u, b, d):
@@ -83,7 +83,7 @@ class MhdSolver:
         transverse dir dict)."""
         L = self.L
         dim = L.dim
-        rho, vel, p, e, bc = self.prim(u, b)
+        rho, vel, p, e, bc, gam1 = self.prim(u, b)
         t1, t2 = [k for k in range(3) if k != d]
 
         def faces(a):
@@ -98,13 +98,14 @@ class MhdSolver:
         Bt2L, Bt2R = faces(bc[t2])
         Bn = b[d] if d < dim else bc[d]  # exact face value
 
-        g = self.gamma
+        gL, gR = faces(gam1)
+        g = 0.5 * (gL + gR)  # face-effective Gamma_1
         sl = MhdFaceState(rho=jnp.maximum(rhoL, 1e-30), un=unL, ut1=ut1L,
                           ut2=ut2L, p=jnp.maximum(pL, 1e-30), Bt1=Bt1L,
-                          Bt2=Bt2L, e=jnp.maximum(pL, 1e-30) / (jnp.maximum(rhoL, 1e-30) * (g - 1)))
+                          Bt2=Bt2L, e=jnp.maximum(pL, 1e-30) / (jnp.maximum(rhoL, 1e-30) * (gL - 1)))
         sr = MhdFaceState(rho=jnp.maximum(rhoR, 1e-30), un=unR, ut1=ut1R,
                           ut2=ut2R, p=jnp.maximum(pR, 1e-30), Bt1=Bt1R,
-                          Bt2=Bt2R, e=jnp.maximum(pR, 1e-30) / (jnp.maximum(rhoR, 1e-30) * (g - 1)))
+                          Bt2=Bt2R, e=jnp.maximum(pR, 1e-30) / (jnp.maximum(rhoR, 1e-30) * (gR - 1)))
         F, SM = hlld(sl, sr, Bn, g)
 
         # scatter rotated flux into the conserved layout
@@ -278,14 +279,14 @@ class MhdSolver:
 
     def estdt(self, u, b, cfl):
         L = self.L
-        rho, vel, p, e, bc = self.prim(u, b)
+        rho, vel, p, e, bc, gam1 = self.prim(u, b)
         from castro_tpu.mhd.hlld import fast_speed
 
         inner = interior_slice(self.sim.ng, L.dim, 0)
         dt = jnp.inf
         for d in range(L.dim):
             cf = fast_speed(rho, p, bc[d], bc[(d + 1) % 3], bc[(d + 2) % 3],
-                            self.gamma)
+                            gam1)
             sp = (jnp.abs(vel[d]) + cf)[inner]
             dt = jnp.minimum(dt, jnp.min(self.geom.dx[d] / sp))
         return cfl * dt

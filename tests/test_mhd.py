@@ -131,3 +131,64 @@ def test_zero_field_matches_hydro_sod():
     rho_ex, _, _ = solution(x, 0.2, 0.5, 1.0, 0.0, 1.0, 0.125, 0.0, 0.1, 1.4)
     err = np.abs(rho - rho_ex).mean() / rho_ex.mean()
     assert err < 0.02, err
+
+
+def test_alfven_wave_3d():
+    """3D circularly-polarized Alfven wave (reference Exec/mhd_tests/Alfven):
+    propagates at v_A = B/sqrt(rho) and returns to its initial state after
+    one period; also checks div B stays at round-off in 3D."""
+    n = 32
+    params = mhd_params(n, dim=3, gamma=5.0 / 3.0, lo=0, hi=0)  # periodic
+
+    rho0, p0, B0 = 1.0, 0.1, 1.0
+    amp = 1e-3
+    vA = B0 / np.sqrt(rho0)
+
+    def init(sim, u, b):
+        x = sim.base.geom.cell_centers(0, sim.base.ng)
+        shape = u.shape[1:]
+        X = jnp.broadcast_to(x, shape)
+        # transverse circular polarization, k along x
+        vy = amp * jnp.sin(2 * jnp.pi * X)
+        vz = amp * jnp.cos(2 * jnp.pi * X)
+        u = fill_from_prim(sim.base, u, rho0, (0.0, vy, vz), p=p0)
+        bx = jnp.full(shape, B0)
+        by = -amp * B0 * jnp.sin(2 * jnp.pi * X) / vA
+        bz = -amp * B0 * jnp.cos(2 * jnp.pi * X) / vA
+        return u, (bx, by, bz)
+
+    sim = MhdSimulation(params, problem_init=init)
+    sim.init_data()
+    L = sim.base.layout
+    vy0 = np.asarray(sim.interior())[L.UMY].copy()
+
+    period = 1.0 / vA
+    sim.run(stop_time=period)
+    ui = np.asarray(sim.interior())
+    vy1 = ui[L.UMY] / ui[L.URHO]
+
+    # wave returns near its initial phase (dissipation shrinks amplitude)
+    corr = np.corrcoef(vy0.ravel(), vy1.ravel())[0, 1]
+    assert corr > 0.9, corr
+    assert 0.3 * amp < np.abs(vy1).max() < 1.5 * amp
+
+    divb = np.asarray(sim.solver.div_b(sim.state.b))
+    inner = divb[4:-4, 4:-4, 4:-4]
+    assert np.abs(inner).max() < 1e-10, np.abs(inner).max()
+
+
+def test_mhd_estdt_used_by_run():
+    """The MHD run loop derives dt from the fast magnetosonic CFL."""
+    params = mhd_params(32, dim=2, gamma=5.0 / 3.0, lo=0, hi=0)
+
+    def init(sim, u, b):
+        shape = u.shape[1:]
+        u = fill_from_prim(sim.base, u, 1.0, (0.0, 0.0, 0.0), p=0.1)
+        return u, (jnp.full(shape, 2.0), jnp.zeros(shape), jnp.zeros(shape))
+
+    sim = MhdSimulation(params, problem_init=init)
+    sim.init_data()
+    dt = float(sim.solver.estdt(sim.state.u, sim.state.b, 0.4))
+    # fast speed with B=2, rho=1, gamma p = 1/6: cf ~ sqrt(4 + 1/6) ~ 2.04
+    dx = 1.0 / 32
+    assert abs(dt - 0.4 * dx / np.sqrt(4.0 + 5.0 / 3.0 * 0.1)) / dt < 0.05
