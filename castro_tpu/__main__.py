@@ -24,9 +24,11 @@ def _register_problems():
         "detonation": (detonation.make_params, detonation.problem_init),
     })
     # problems with custom construction (BC closures etc.)
-    from castro_tpu.problems import double_mach
+    from castro_tpu.problems import double_mach, flame_wave, hse_convergence
 
     PROBLEMS["double_mach"] = ("builder", double_mach.build)
+    PROBLEMS["flame_wave"] = ("builder", flame_wave.build)
+    PROBLEMS["hse_convergence"] = ("builder", hse_convergence.build)
 
 
 def main(argv=None):
