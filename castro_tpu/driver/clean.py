@@ -106,15 +106,79 @@ def enforce_speed_limit(u, layout, speed_limit):
 def clean_state(u, layout, eos, small_dens=1e-200, small_temp=1e-200,
                 dual_energy_eta2=1e-4, do_normalize_species=True,
                 speed_limit=0.0):
-    """Full ladder (reference `Castro::clean_state`, Castro.cpp:4238)."""
-    u = enforce_min_density(u, layout, small_dens, small_temp, eos)
+    """Full ladder (reference `Castro::clean_state`, Castro.cpp:4238).
+
+    Fused single-pass form of the enforce_min_density -> speed_limit ->
+    normalize_species -> reset_internal_energy -> computeTemp ladder: all
+    components are computed then stacked ONCE, instead of ~15 whole-array
+    `.at[].set` updates (each a full HBM copy on TPU). Math is identical
+    to the step-by-step functions above (parity-tested)."""
+    L = layout
+    rho0 = u[L.URHO]
+    bad = rho0 < small_dens
+    rho = jnp.where(bad, small_dens, rho0)
+    mom = [jnp.where(bad, 0.0, u[c]) for c in (L.UMX, L.UMY, L.UMZ)]
+
+    # species after the density reset (mass fractions kept, bad zones even)
+    if L.nspec > 0:
+        xn = u[L.UFS: L.UFS + L.nspec] / jnp.where(bad, rho0, rho)[None]
+        xn = jnp.where(bad[None], 1.0 / L.nspec, xn)
+        es_floor = eos.rt(rho=rho, T=jnp.full(rho.shape, small_temp, u.dtype),
+                          xn=xn)
+    else:
+        xn = jnp.zeros((0,) + rho.shape, u.dtype)
+        es_floor = eos.rt(rho=rho, T=jnp.full(rho.shape, small_temp, u.dtype),
+                          xn=xn)
+    ueint = jnp.where(bad, rho * es_floor.e, u[L.UEINT])
+    ueden = jnp.where(bad, rho * es_floor.e, u[L.UEDEN])
+
     if speed_limit > 0.0:
-        u = enforce_speed_limit(u, layout, speed_limit)
-    if do_normalize_species and layout.nspec > 0:
-        u = normalize_species(u, layout)
-    u = reset_internal_energy(u, layout, eos, dual_energy_eta2, small_temp)
-    u = compute_temp(u, layout, eos, small_temp)
-    return u
+        rhoinv = 1.0 / rho
+        v2 = sum((m * rhoinv) ** 2 for m in mom)
+        v = jnp.sqrt(v2)
+        fac = jnp.where(v > speed_limit,
+                        speed_limit / jnp.maximum(v, 1e-300), 1.0)
+        ke_old = 0.5 * rho * v2
+        mom = [m * fac for m in mom]
+        ueden = ueden - (ke_old - ke_old * fac * fac)
+
+    if do_normalize_species and L.nspec > 0:
+        rx = jnp.clip(xn * rho[None], 1e-30 * rho[None], rho[None])
+        s = jnp.sum(rx, axis=0)
+        rxn = rx * (rho / s)[None]
+        xn2 = rxn / rho[None]
+    else:
+        rxn = xn * rho[None]
+        xn2 = xn
+
+    # dual-energy reset (reference reset_internal_energy)
+    ke = 0.5 * (mom[0] ** 2 + mom[1] ** 2 + mom[2] ** 2) / rho
+    rho_eint = ueden - ke
+    eint = jnp.where(
+        (rho_eint > 0.0)
+        & (rho_eint / jnp.maximum(ueden, 1e-300) > dual_energy_eta2),
+        rho_eint, ueint)
+    es_small = eos.rt(rho=rho, T=jnp.full(rho.shape, small_temp, u.dtype),
+                      xn=xn2)
+    rescue = eint <= 0.0
+    eint = jnp.where(rescue, rho * es_small.e, eint)
+    ueden = jnp.where(rescue, eint + ke, ueden)
+
+    es = eos.re(rho=rho, e=eint / rho, xn=xn2)
+    T = jnp.maximum(es.T, small_temp)
+
+    comps = [None] * L.NVAR
+    comps[L.URHO] = rho
+    comps[L.UMX], comps[L.UMY], comps[L.UMZ] = mom
+    comps[L.UEINT] = eint
+    comps[L.UEDEN] = ueden
+    comps[L.UTEMP] = T
+    for i in range(L.nspec):
+        comps[L.UFS + i] = rxn[i]
+    for i, cval in enumerate(comps):
+        if cval is None:
+            comps[i] = u[i]
+    return jnp.stack(comps)
 
 
 def update_hybrid_momenta(u, layout, geom, ng):

@@ -297,6 +297,13 @@ class Simulation:
         time-centered corrector 0.5*dt*(S_new - S_old)
         (do_old_sources/do_new_sources, Castro_sources.cpp:123,185).
         Returns (u_new, min_rho_raw, nan_flag)."""
+        # invariant: on the default (single-device) path the state is always
+        # ghost-filled on entry — init_data and every step exit run
+        # clean+fill — and physical BC fills are t-independent unless a
+        # problem_fill hook exists, so the defensive head fill is redundant
+        # (saves a full-array gather pass per step). Sharded/AMR contexts
+        # pass ctx explicitly and always fill (halo/fillpatch data is stale).
+        skip_head_fill = ctx is None and self.problem_fill is None
         ctx = ctx or self._default_ctx
         L = self.layout
         c = self.params.castro
@@ -304,7 +311,8 @@ class Simulation:
         if any(n is not None for n in ctx.axis_names):
             # sharded: wall-face masks must know the shard's mesh position
             cfg = cfg._replace(mesh_axes=tuple(ctx.axis_names))
-        u = ctx.fill(u, t)
+        if not skip_head_fill:
+            u = ctx.fill(u, t)
 
         burn_fail = jnp.asarray(False)
         if self.reactor is not None:
@@ -345,7 +353,8 @@ class Simulation:
         if c.do_hydro and c.check_cfl_violation:
             from castro_tpu.ops.advection_util import max_courant
 
-            courant = max_courant(q, qaux, dt, ctx.geom, L, self.ng)
+            courant = max_courant(q, qaux, dt, ctx.geom, L, self.ng,
+                                  whole_grid=self.problem_fill is None)
             nan_flag = nan_flag | ctx.pany(courant > 1.0)
 
         u_new = self._clean_fill_impl(u_new, ctx, t + dt)

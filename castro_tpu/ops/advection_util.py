@@ -313,13 +313,26 @@ def limit_hydro_fluxes_on_large_vel(flux, d, u, q, geom, layout, dt, cfl,
     return out
 
 
-def max_courant(q, qaux, dt, geom, layout, ng):
+def max_courant(q, qaux, dt, geom, layout, ng, whole_grid=False):
     """Max interior Courant number over all directions (reference
     `check_for_cfl_violation`, Castro_hydro.cpp:234); > 1 means the CTU
-    characteristic tracing was invalid and the step should be retried."""
+    characteristic tracing was invalid and the step should be retried.
+
+    whole_grid=True skips the interior slicing and reduces over the grown
+    array — valid whenever ghost values are wrap/clamp/mirror images of
+    interior data (every BC except problem-supplied inflow), and one fused
+    reduction on TPU instead of strided-slice passes."""
     from castro_tpu.ops.stencil import interior_slice
 
     L = layout
+    if whole_grid:
+        c = qaux[L.QC]
+        courant = jnp.zeros_like(c)
+        for d in range(L.dim):
+            v = q[L.velocity_index(d)]
+            courant = jnp.maximum(courant,
+                                  (jnp.abs(v) + c) * (dt / geom.dx[d]))
+        return jnp.max(courant)
     inner = interior_slice(ng, L.dim)
     c = qaux[L.QC][inner[1:]]
     courant = jnp.zeros_like(c)

@@ -206,38 +206,31 @@ def ctu_hydro(u, q, qaux, srcQ, dt, geom: Geometry, layout, cfg: HydroConfig):
 
     else:
         # 3D full corner coupling (reference Castro_ctu_hydro.cpp:700-1150)
-        f1d = [solve(states[d][0], states[d][1], d) for d in range(3)]
-
         third = dt / 3.0
         hdt = 0.5 * dt
         use_fused = (cfg.use_pallas and not cfg.hybrid_riemann
                      and cfg.riemann_solver in (0, 2))
         if use_fused:
-            # fused transverse-correct + Riemann (one VMEM pass per stage):
-            # corner-coupled and final interface states never hit HBM
-            from castro_tpu.ops.pallas_kernels import trans_cmpflx_pallas
-            from castro_tpu.ops.trans import _term_bundle
-
-            c_arr = qaux[L.QC]
-            g_arr = qaux[L.QGAMC]
+            # every face stage (1D, corner-coupled, final) runs as ONE
+            # VMEM pass: transverse bundles, the m/p trans-apply ladder,
+            # and the Riemann solve never round-trip through HBM
+            from castro_tpu.ops.pallas_kernels import ctu_face_pallas
 
             def fused_solve(qm_s, qp_s, terms, n):
-                df_p, dre_p, dp_p = _term_bundle(terms, qaux, n, 0, L)
-                df_m, dre_m, dp_m = _term_bundle(terms, qaux, n, -1, L)
-                return trans_cmpflx_pallas(
-                    qm_s, qp_s, df_m, df_p, dre_m, dre_p, dp_m, dp_p,
-                    shifted(g_arr, -1, n), g_arr,
-                    shifted(c_arr, -1, n), c_arr, n, L, geom.coord,
+                return ctu_face_pallas(
+                    qm_s, qp_s, qaux, n, terms, L, geom.coord,
                     cfg.riemann_solver, cfg.small_dens, cfg.small_pres,
                     cfg.transverse_reset_density, cfg.transverse_reset_rhoe,
                     bnd_mask=masks[n])
 
+            f1d = [fused_solve(states[d][0], states[d][1], [], d)
+                   for d in range(3)]
             fint = {}
             for n in range(3):
                 for t in range(3):
                     if t == n:
                         continue
-                    term = {"flux": f1d[t][0], "qe": f1d[t][1], "t_ax": t,
+                    term = {"flux": f1d[t][0], "qe": f1d[t][1],
                             "t_dir": t, "cdtdx": third / dx[t]}
                     fint[(n, t)] = fused_solve(states[n][0], states[n][1],
                                                [term], n)
@@ -246,13 +239,14 @@ def ctu_hydro(u, q, qaux, srcQ, dt, geom: Geometry, layout, cfg: HydroConfig):
                 t1, t2 = [d for d in range(3) if d != n]
                 terms = [
                     {"flux": fint[(t1, t2)][0], "qe": fint[(t1, t2)][1],
-                     "t_ax": t1, "t_dir": t1, "cdtdx": hdt / dx[t1]},
+                     "t_dir": t1, "cdtdx": hdt / dx[t1]},
                     {"flux": fint[(t2, t1)][0], "qe": fint[(t2, t1)][1],
-                     "t_ax": t2, "t_dir": t2, "cdtdx": hdt / dx[t2]},
+                     "t_dir": t2, "cdtdx": hdt / dx[t2]},
                 ]
                 fluxes_qe.append(fused_solve(states[n][0], states[n][1],
                                              terms, n))
         else:
+            f1d = [solve(states[d][0], states[d][1], d) for d in range(3)]
             # corner-coupled states q{n}|{t}
             cc = {}
             for n in range(3):

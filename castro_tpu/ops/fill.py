@@ -73,6 +73,29 @@ def bc_fill_side(u, layout, d: int, side: str, bc: int, ng: int,
     return u.at[ghost].set(vals)
 
 
+def _axis_fill_index(N, ng, lo, hi):
+    """Ghost→source index map along one grown axis: one gather per axis
+    implements wrap (periodic), clamp (outflow/inflow baseline), and
+    reflect (symmetry/walls) at once."""
+    import numpy as np
+
+    n = N - 2 * ng
+    idx = np.arange(N)
+    if lo == INTERIOR:
+        idx[:ng] = np.arange(n, n + ng)
+    elif lo in (OUTFLOW, INFLOW):
+        idx[:ng] = ng
+    else:  # mirror
+        idx[:ng] = np.arange(2 * ng - 1, ng - 1, -1)
+    if hi == INTERIOR:
+        idx[n + ng:] = np.arange(ng, 2 * ng)
+    elif hi in (OUTFLOW, INFLOW):
+        idx[n + ng:] = n + ng - 1
+    else:
+        idx[n + ng:] = np.arange(n + ng - 1, n - 1, -1)
+    return idx
+
+
 def fill_ghosts(
     u: jnp.ndarray,
     layout,
@@ -92,10 +115,41 @@ def fill_ghosts(
     overwritten by `problem_fill` (the reference's problem_bc_fill hook,
     `Castro_bc_fill_nd.cpp:11-180`); problem_fill receives (u, t) so
     time-dependent inflow (double Mach reflection) works.
+
+    TPU note: implemented as ONE static gather per axis (wrap/clamp/reflect
+    index map) instead of per-face dynamic-update-slices — the slices force
+    whole-array copies per face (6 in 3D), ~2x slower end to end.
     """
-    for d in range(layout.dim):
-        u = bc_fill_side(u, layout, d, "lo", lo_bc[d], ng, odd_components)
-        u = bc_fill_side(u, layout, d, "hi", hi_bc[d], ng, odd_components)
+    import numpy as np
+
+    dim = layout.dim
+    if odd_components is None:
+        odd_components = {d: (layout.momentum_index(d),) for d in range(dim)}
+    wall = (SYMMETRY, SLIPWALL, NOSLIPWALL)
+    for d in range(dim):
+        axis = u.ndim - dim + d
+        N = u.shape[axis]
+        n = N - 2 * ng
+        lo, hi = lo_bc[d], hi_bc[d]
+        idx = _axis_fill_index(N, ng, lo, hi)
+        u = jnp.take(u, jnp.asarray(idx), axis=axis)
+        # reflection-odd components on wall faces (per side: NoSlipWall
+        # flips every velocity, Symmetry/SlipWall only the normal one)
+        if lo in wall or hi in wall:
+            base = set(odd_components.get(d, ()))
+            allv = base | {layout.momentum_index(k) for k in range(dim)}
+            flips_lo = (allv if lo == NOSLIPWALL else base) if lo in wall else set()
+            flips_hi = (allv if hi == NOSLIPWALL else base) if hi in wall else set()
+            shape = [1] * dim
+            shape[d] = N
+            for comp in sorted(c for c in (flips_lo | flips_hi) if c >= 0):
+                sv = np.ones(N)
+                if comp in flips_lo:
+                    sv[:ng] = -1.0
+                if comp in flips_hi:
+                    sv[n + ng:] = -1.0
+                svj = jnp.asarray(sv.reshape(shape), dtype=u.dtype)
+                u = u.at[comp].multiply(svj)
     return apply_problem_fill(u, problem_fill, t)
 
 

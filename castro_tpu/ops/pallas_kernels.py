@@ -343,6 +343,193 @@ def trans_apply_pallas(q_face, dflux, dreint_extra, dp, layout,
     )(q_face, dflux, dreint_extra[None], dp[None])
 
 
+def _inblock_shift(a, off, axis):
+    """Edge-clamped shift of a VMEM block along an axis the block fully
+    covers (block edge == array edge, so the clamp semantics match the
+    global `stencil.shifted`)."""
+    from castro_tpu.ops.stencil import shifted
+
+    return shifted(a, off, axis)
+
+
+def ctu_face_pallas(qm, qp, qaux, d, terms, layout, coord, riemann_solver,
+                    small_dens, small_pres, reset_density, reset_rhoe,
+                    dt_terms=None, bnd_mask=None, tile=None):
+    """One fused CTU face stage: [transverse bundle +] trans-apply +
+    Riemann + flux assembly in a single VMEM pass.
+
+    Replaces the separate XLA `_term_bundle` + `trans_cmpflx_pallas` and
+    the gamc/c `shifted` prep of `cmpflx_pallas`:
+
+      - f1d stage:    terms = []            (plain Riemann on traced states)
+      - corner stage: terms = [t]           (cdtdx = dt/3dx)
+      - final stage:  terms = [t1, t2]      (cdtdx = dt/2dx)
+
+    Each term is {'flux': [NVAR,...], 'qe': [NGDNV,...], 't_dir': t,
+    'cdtdx': traced scalar}. The block always spans the full minor (z)
+    axis and the full normal (d) axis, so the m-state cell shift and the
+    gamc/c neighbor gathers happen in VMEM; a term whose transverse axis
+    is also in-block computes its flux difference in VMEM, otherwise the
+    (+1 along t) shifted copies are passed as extra inputs (XLA prepares
+    them — the only HBM overhead of the whole stage).
+
+    Reference behavior: trans.cpp:15/442 + cmpflx_plus_godunov
+    (riemann.cpp:16) chained, as orchestrated by Castro_ctu_hydro.cpp.
+    """
+    L = layout
+    gshape = qm.shape[1:]
+    dim = L.dim
+    assert dim == 3, "fused face stage is the 3D path"
+    from castro_tpu.ops.stencil import shifted
+
+    # choose in-block axes: z (minor) + n; a term with t == 2 is in-block.
+    # tile axis: the remaining axis (or the pre-shifted term's axis).
+    in_block = {2, d}
+    tile_axis = next(a for a in (0, 1) if a not in in_block)
+
+    # prepare term inputs
+    term_arrays = []   # flat list of input arrays
+    term_specs = []    # matching ncomp list
+    term_meta = []     # (t_dir, inblock: bool)
+    cdtdx_vals = []
+    for t in terms:
+        tdir = t["t_dir"]
+        F = t["flux"]
+        qe = t["qe"]
+        gdu_comp = (L.GDU, L.GDV, L.GDW)[tdir]
+        pg = qe[L.GDPRES][None]
+        ug = qe[gdu_comp][None]
+        cdtdx_vals.append(t["cdtdx"])
+        if tdir in in_block:
+            term_arrays += [F, pg, ug]
+            term_specs += [L.NVAR, 1, 1]
+            term_meta.append((tdir, True))
+        else:
+            ax = 1 + tdir
+            term_arrays += [F, shifted(F, 1, ax), pg, shifted(pg, 1, ax),
+                            ug, shifted(ug, 1, ax)]
+            term_specs += [L.NVAR, L.NVAR, 1, 1, 1, 1]
+            term_meta.append((tdir, False))
+
+    if tile is None:
+        tile = 4 if terms else 8
+    nt = gshape[tile_axis]
+    bt = tile
+    if tile_axis == 1:
+        # y is the sublane axis: blocks must be a multiple of 8 (or whole)
+        bt = max(tile, 8)
+        while nt % bt != 0 and bt % 8 == 0:
+            bt -= 8 if bt > 8 else bt
+        if bt == 0 or nt % bt != 0:
+            bt = nt
+    else:
+        while nt % bt != 0:
+            bt //= 2
+        bt = max(bt, 1)
+    grid = (nt // bt,)
+
+    def bs(nc):
+        block = [nc] + list(gshape)
+        block[1 + tile_axis] = bt
+
+        def index(i, *_):
+            idx = [0, 0, 0, 0]
+            idx[1 + tile_axis] = i
+            return tuple(idx)
+
+        return pl.BlockSpec(tuple(block), index)
+
+    with_mask = bnd_mask is not None
+    n_ax = 1 + d  # block axis of the normal direction
+
+    def kernel(cdt_ref, *refs):
+        qm_b = refs[0][...]
+        qp_b = refs[1][...]
+        aux_b = refs[2]
+        g_b = aux_b[L.QGAMC]
+        c_b = aux_b[L.QC]
+        pos = 3
+        mask = None
+        if with_mask:
+            mask = refs[pos][0]
+            pos += 1
+        # transverse bundles at cell offset 0 (p-state); m-state = n-shift
+        if terms:
+            df = jnp.zeros((L.NVAR,) + qm_b.shape[1:], qm_b.dtype)
+            dre = jnp.zeros(qm_b.shape[1:], qm_b.dtype)
+            dp = jnp.zeros(qm_b.shape[1:], qm_b.dtype)
+            for k, (tdir, inb) in enumerate(term_meta):
+                cdtdx = cdt_ref[k]
+                if inb:
+                    F = refs[pos][...]
+                    pg = refs[pos + 1][0]
+                    ug = refs[pos + 2][0]
+                    pos += 3
+                    ax = 1 + tdir
+                    Fhi = _inblock_shift(F, 1, ax)
+                    pghi = _inblock_shift(pg, 1, ax - 1)
+                    ughi = _inblock_shift(ug, 1, ax - 1)
+                else:
+                    F = refs[pos][...]
+                    Fhi = refs[pos + 1][...]
+                    pg = refs[pos + 2][0]
+                    pghi = refs[pos + 3][0]
+                    ug = refs[pos + 4][0]
+                    ughi = refs[pos + 5][0]
+                    pos += 6
+                df = df + cdtdx * (Fhi - F)
+                du = ughi - ug
+                dup = pghi * ughi - pg * ug
+                pav = 0.5 * (pghi + pg)
+                dre = dre + cdtdx * pav * du
+                dp = dp + cdtdx * (dup + pav * du * (g_b - 1.0))
+            df_m = _inblock_shift(df, -1, n_ax)
+            dre_m = _inblock_shift(dre, -1, n_ax - 1)
+            dp_m = _inblock_shift(dp, -1, n_ax - 1)
+            qm_c = _trans_apply_block(qm_b, df_m, dre_m, dp_m, L,
+                                      small_pres, reset_density, reset_rhoe)
+            qp_c = _trans_apply_block(qp_b, df, dre, dp, L, small_pres,
+                                      reset_density, reset_rhoe)
+        else:
+            qm_c, qp_c = qm_b, qp_b
+        gl = _inblock_shift(g_b, -1, n_ax - 1)
+        cl = _inblock_shift(c_b, -1, n_ax - 1)
+        flux, qgdnv = _riemann_block(qm_c, qp_c, gl, g_b, cl, c_b, d, L,
+                                     coord, riemann_solver, small_dens,
+                                     small_pres, bnd_mask=mask)
+        refs[pos][...] = flux
+        refs[pos + 1][...] = qgdnv
+
+    in_specs = [bs(L.NQ), bs(L.NQ), bs(qaux.shape[0])]
+    args = [qm, qp, qaux]
+    if with_mask:
+        in_specs.append(bs(1))
+        args.append(jnp.broadcast_to(bnd_mask, gshape)[None])
+    in_specs += [bs(nc) for nc in term_specs]
+    args += term_arrays
+
+    out_shape = (
+        jax.ShapeDtypeStruct((L.NVAR,) + gshape, qm.dtype),
+        jax.ShapeDtypeStruct((L.NGDNV,) + gshape, qm.dtype),
+    )
+    cdt_arr = (jnp.stack([jnp.asarray(v, qm.dtype) for v in cdtdx_vals])
+               if cdtdx_vals else jnp.zeros((1,), qm.dtype))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[bs(L.NVAR), bs(L.NGDNV)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=INTERPRET,
+    )(cdt_arr, *args)
+
+
 def _pencil_spec(ncomp, d, gshape, bt):
     """BlockSpec covering the FULL axis d (the stencil direction) and the
     full minor axis, tiled by bt along the remaining major axis. The whole

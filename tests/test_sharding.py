@@ -161,8 +161,13 @@ def test_sharded_monopole_gravity():
         rho = 1.0 + 2.0 * jnp.exp(-(r / 0.3) ** 2)
         return fill_from_prim(sim, u, rho, (0.0, 0.0, 0.0), p=1.0)
 
+    # tolerance note: the radial-bin mass sums reduce in different orders
+    # on 1 vs 8 shards (psum reassociation), giving an inherent ~4e-11/step
+    # linear f64 drift; 1e-9 is ~10x headroom over that floor while still
+    # catching any real collective/decomposition error (those show up at
+    # ~1e-6+).
     _run_pair(p, init, (4, 2), ("mx", "my"), nsteps=3, dt=1e-3,
-              rtol=1e-10, atol=1e-12)
+              rtol=1e-9, atol=1e-9)
 
 
 def test_sharded_gray_fld_update():
