@@ -183,6 +183,11 @@ class Simulation:
             ng=self.ng,
         )
 
+        # fused ctoprim+divu kernel path: 3D, arithmetic EOS, no radiation
+        self._use_fused_prim = (self.cfg.use_pallas and self.layout.dim == 3
+                                and getattr(self.eos, "pallas_safe", False)
+                                and self.rad is None)
+
         self.t = 0.0
         self.step_count = 0
         self.dt = None
@@ -321,8 +326,16 @@ class Simulation:
             burn_fail = burn_fail | bf
             u = self._clean_fill_impl(u, ctx, t)
 
-        q, qaux = ctoprim(u, L, self.eos, self.cfg.small_dens,
-                          max(c.small_temp, 1e-200))
+        div_node = None
+        if self._use_fused_prim:
+            from castro_tpu.ops.pallas_kernels import prim_aux_pallas
+
+            q, qaux, div_node = prim_aux_pallas(
+                u, L, self.eos, self.cfg.small_dens,
+                max(c.small_temp, 1e-200), ctx.geom.dx)
+        else:
+            q, qaux = ctoprim(u, L, self.eos, self.cfg.small_dens,
+                              max(c.small_temp, 1e-200))
 
         # old-time sources S(U^n)
         src_old = None
@@ -334,7 +347,8 @@ class Simulation:
 
         if c.do_hydro:
             hsrc, fluxes, qes, shk = ctu_hydro(u, q, qaux, srcQ, dt,
-                                               ctx.geom, L, cfg)
+                                               ctx.geom, L, cfg,
+                                               div_node=div_node)
             u_new = u + dt * hsrc
         else:  # source-only evolution (reference castro.do_hydro=0)
             fluxes = [jnp.zeros_like(u) for _ in range(L.dim)]
@@ -361,8 +375,15 @@ class Simulation:
 
         # new-time source corrector
         if self.source_fns:
-            q2, qaux2 = ctoprim(u_new, L, self.eos, self.cfg.small_dens,
-                                max(c.small_temp, 1e-200))
+            if self._use_fused_prim:
+                from castro_tpu.ops.pallas_kernels import prim_aux_pallas
+
+                q2, qaux2 = prim_aux_pallas(
+                    u_new, L, self.eos, self.cfg.small_dens,
+                    max(c.small_temp, 1e-200), ctx.geom.dx, with_divu=False)
+            else:
+                q2, qaux2 = ctoprim(u_new, L, self.eos, self.cfg.small_dens,
+                                    max(c.small_temp, 1e-200))
             src_new = jnp.zeros_like(u)
             for fn in self.source_fns:
                 src_new = src_new + fn(self, u_new, q2, qaux2, t + dt, dt,

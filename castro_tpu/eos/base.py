@@ -46,6 +46,10 @@ class Eos:
     #: does this EOS depend on composition?
     uses_composition: bool = True
 
+    #: pure-arithmetic EOS (no table gathers/iteration) — safe to evaluate
+    #: inside a Pallas TPU kernel (the fused ctoprim path)
+    pallas_safe: bool = False
+
     def mu_from_xn(self, xn: Optional[jnp.ndarray]):
         raise NotImplementedError
 

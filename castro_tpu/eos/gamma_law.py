@@ -15,30 +15,47 @@ from castro_tpu.utils import constants as C
 
 
 class GammaLawEos(Eos):
+    pallas_safe = True
+
     def __init__(self, gamma: float = 5.0 / 3.0, network=None, assume_neutral: bool = True):
         self.gamma = float(gamma)
         self.network = network
         self.assume_neutral = bool(assume_neutral)
 
+    def _az(self):
+        """Species A/Z as host floats — the species sums below unroll with
+        scalar literals so this EOS stays evaluable inside Pallas kernels
+        (closing over array constants is disallowed there)."""
+        import numpy as np
+
+        a = [float(x) for x in np.asarray(self.network.aion)]
+        z = [float(x) for x in np.asarray(self.network.zion)]
+        return a, z
+
     def mu_from_xn(self, xn: Optional[jnp.ndarray]):
         if xn is None or self.network is None:
             return 1.0
-        aion = self.network.aion.reshape((-1,) + (1,) * (xn.ndim - 1))
-        zion = self.network.zion.reshape((-1,) + (1,) * (xn.ndim - 1))
-        if self.assume_neutral:
-            inv_mu = jnp.sum(xn / aion, axis=0)
-        else:
-            inv_mu = jnp.sum(xn * (1.0 + zion) / aion, axis=0)
+        a, z = self._az()
+        inv_mu = 0.0
+        for i in range(len(a)):
+            if self.assume_neutral:
+                inv_mu = inv_mu + xn[i] / a[i]
+            else:
+                inv_mu = inv_mu + xn[i] * (1.0 + z[i]) / a[i]
         return 1.0 / inv_mu
 
     def _abar_zbar(self, xn):
         if xn is None or self.network is None:
             one = jnp.asarray(1.0)
             return one, one
-        aion = self.network.aion.reshape((-1,) + (1,) * (xn.ndim - 1))
-        zion = self.network.zion.reshape((-1,) + (1,) * (xn.ndim - 1))
-        abar = 1.0 / jnp.sum(xn / aion, axis=0)
-        zbar = abar * jnp.sum(xn * zion / aion, axis=0)
+        a, z = self._az()
+        inv_abar = 0.0
+        zsum = 0.0
+        for i in range(len(a)):
+            inv_abar = inv_abar + xn[i] / a[i]
+            zsum = zsum + xn[i] * z[i] / a[i]
+        abar = 1.0 / inv_abar
+        zbar = abar * zsum
         return abar, zbar
 
     def _fill(self, rho, T, xn):

@@ -116,7 +116,8 @@ def _dloga(geom: Geometry, ng: int):
     return 2.0 / r  # spherical
 
 
-def ctu_hydro(u, q, qaux, srcQ, dt, geom: Geometry, layout, cfg: HydroConfig):
+def ctu_hydro(u, q, qaux, srcQ, dt, geom: Geometry, layout, cfg: HydroConfig,
+              div_node=None):
     """Compute the CTU hydro update.
 
     All inputs are grown arrays (ng ghost cells), ghost-filled.
@@ -131,10 +132,19 @@ def ctu_hydro(u, q, qaux, srcQ, dt, geom: Geometry, layout, cfg: HydroConfig):
     grid_shape = q.shape[1:]
     dtype = q.dtype
 
-    flatn = uflatten(q, L) if cfg.use_flattening else jnp.ones(grid_shape, dtype)
+    if cfg.use_flattening:
+        if cfg.use_pallas and dim == 3:
+            from castro_tpu.ops.pallas_kernels import flatten_pallas
+
+            flatn = flatten_pallas(q, L)
+        else:
+            flatn = uflatten(q, L)
+    else:
+        flatn = jnp.ones(grid_shape, dtype)
     need_shk = cfg.use_shock_var or cfg.hybrid_riemann
     shk = au.shock(q, dx, L, cfg.shock_threshold) if need_shk else None
-    div_node = au.divu_node(q, dx, L)
+    if div_node is None:
+        div_node = au.divu_node(q, dx, L)
     dloga = _dloga(geom, cfg.ng)
     masks = _bnd_masks(grid_shape, dim, cfg.ng, cfg.lo_bc, cfg.hi_bc, dtype,
                        cfg.mesh_axes)
@@ -280,6 +290,26 @@ def ctu_hydro(u, q, qaux, srcQ, dt, geom: Geometry, layout, cfg: HydroConfig):
 
     fluxes = [fq[0] for fq in fluxes_qe]
     qes = [fq[1] for fq in fluxes_qe]
+
+    use_fused_consup = (
+        dim == 3 and cfg.use_pallas and geom.coord == CoordSys.CARTESIAN
+        and not cfg.limit_fluxes_on_small_dens and cfg.speed_limit <= 0.0)
+    if use_fused_consup:
+        # av + species normalize + flux divergence + pdivu per direction,
+        # accumulated into hsrc via buffer aliasing (one VMEM pass per dim)
+        from castro_tpu.ops.pallas_kernels import consup_pallas
+
+        hsrc = jnp.zeros_like(u)
+        for d in range(dim):
+            gdu = qes[d][(L.GDU, L.GDV, L.GDW)[d]]
+            hsrc, fluxes[d] = consup_pallas(
+                hsrc, fluxes[d], qes[d][L.GDPRES], gdu, div_node, u, d, L,
+                cfg.difmag, dx)
+        hsrc = hsrc.at[L.UTEMP].set(0.0)
+        if cfg.use_shock_var and shk is not None:
+            hsrc = hsrc.at[L.USHK].set(
+                (shk - u[L.USHK]) / jnp.maximum(dt, 1e-300))
+        return hsrc, fluxes, qes, shk
 
     # artificial viscosity + positivity flux limiters + species flux
     # normalization (reference flux-clean block, Castro_ctu_hydro.cpp:1150)

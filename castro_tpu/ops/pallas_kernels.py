@@ -530,6 +530,306 @@ def ctu_face_pallas(qm, qp, qaux, d, terms, layout, coord, riemann_solver,
     )(cdt_arr, *args)
 
 
+def prim_aux_pallas(u, layout, eos, small_dens, small_temp, dx,
+                    with_divu=True, tile=8):
+    """Fused ctoprim (+ node-centered velocity divergence) — one VMEM pass.
+
+    The EOS runs inside the kernel (requires `eos.pallas_safe`: pure
+    arithmetic, e.g. gamma-law). divu needs {0,-1} shifts along every
+    axis; x and z are spanned by the block, the y (tiled) shift arrives as
+    a pre-shifted copy of (rho, mom) — 4 extra single-component reads.
+    Reference: advection_util.cpp:27 (ctoprim) + :367 (divu)."""
+    L = layout
+    gshape = u.shape[1:]
+    from castro_tpu.ops.stencil import shifted
+
+    tile_axis = 1
+    nt = gshape[tile_axis]
+    bt = max(tile, 8)
+    while nt % bt != 0 and bt > 8:
+        bt -= 8
+    if nt % bt != 0:
+        bt = nt
+    grid = (nt // bt,)
+
+    def bs(nc):
+        block = [nc] + list(gshape)
+        block[1 + tile_axis] = bt
+
+        def index(i):
+            idx = [0, 0, 0, 0]
+            idx[1 + tile_axis] = i
+            return tuple(idx)
+
+        return pl.BlockSpec(tuple(block), index)
+
+    mom_comps = [L.URHO, L.UMX, L.UMY, L.UMZ]
+    if with_divu:
+        u_s = shifted(u[jnp.array(mom_comps)], -1, 1 + tile_axis)
+        dxv = [float(x) for x in dx]
+
+    def _ctoprim_block(ub):
+        # stack-based ctoprim (advection_util.cpp:27) — the .at[].set form
+        # lowers to scatter, which Mosaic does not support
+        rho = jnp.maximum(ub[L.URHO], small_dens)
+        rhoinv = 1.0 / rho
+        vx = ub[L.UMX] * rhoinv
+        vy = ub[L.UMY] * rhoinv
+        vz = ub[L.UMZ] * rhoinv
+        e = jnp.maximum(ub[L.UEINT], 1e-200 * rho) * rhoinv
+        xn = ub[L.UFS: L.UFS + L.nspec] * rhoinv[None]
+        es = eos.re(rho=rho, e=e, xn=xn)
+        qc = [None] * L.NQ
+        qc[L.QRHO] = rho
+        qc[L.QU], qc[L.QV], qc[L.QW] = vx, vy, vz
+        qc[L.QPRES] = es.p
+        qc[L.QREINT] = rho * e
+        qc[L.QTEMP] = es.T
+        qc[L.QGAME] = es.p / (rho * e) + 1.0
+        for i in range(L.nspec):
+            qc[L.QFS + i] = xn[i]
+        for i in range(L.naux):
+            qc[L.QFX + i] = ub[L.UFX + i] * rhoinv
+        for i, cv in enumerate(qc):
+            if cv is None:
+                qc[i] = jnp.zeros_like(rho)
+        ac = [None] * L.NQAUX
+        ac[L.QDPDR] = es.dpdr_e
+        ac[L.QDPDE] = es.dpde
+        ac[L.QGAMC] = es.gam1
+        ac[L.QC] = es.cs
+        for i, cv in enumerate(ac):
+            if cv is None:
+                ac[i] = jnp.zeros_like(rho)
+        return jnp.stack(qc), jnp.stack(ac)
+
+    def kernel(*refs):
+        if with_divu:
+            u_ref, us_ref, q_ref, aux_ref, div_ref = refs
+        else:
+            u_ref, q_ref, aux_ref = refs
+        ub = u_ref[...]
+        q, qaux = _ctoprim_block(ub)
+        q_ref[...] = q
+        aux_ref[...] = qaux
+        if with_divu:
+            us = us_ref[...]
+            rsi = 1.0 / jnp.maximum(us[0], small_dens)
+            vel = [q[L.QU], q[L.QV], q[L.QW]]
+            vel_s = [us[1] * rsi, us[2] * rsi, us[3] * rsi]
+            out = 0.0
+            for d in range(3):
+                if d == tile_axis:
+                    dv = (vel[d] - vel_s[d]) / dxv[d]
+                    dv_t = None
+                else:
+                    dv = (vel[d] - _inblock_shift(vel[d], -1, d)) / dxv[d]
+                    # tile-shifted twin, carried through in-block averages
+                    # until the tile axis itself is averaged in
+                    dv_t = (vel_s[d] - _inblock_shift(vel_s[d], -1, d)) \
+                        / dxv[d]
+                for od in range(3):
+                    if od == d:
+                        continue
+                    if od == tile_axis:
+                        dv = 0.5 * (dv + dv_t)
+                        dv_t = None
+                    else:
+                        dv = 0.5 * (dv + _inblock_shift(dv, -1, od))
+                        if dv_t is not None:
+                            dv_t = 0.5 * (dv_t + _inblock_shift(dv_t, -1, od))
+                out = out + dv
+            div_ref[...] = out[None]
+
+    outs = [jax.ShapeDtypeStruct((L.NQ,) + gshape, u.dtype),
+            jax.ShapeDtypeStruct((L.NQAUX,) + gshape, u.dtype)]
+    out_specs = [bs(L.NQ), bs(L.NQAUX)]
+    in_specs = [bs(L.NVAR)]
+    args = [u]
+    if with_divu:
+        in_specs.append(bs(4))
+        args.append(u_s)
+        outs.append(jax.ShapeDtypeStruct((1,) + gshape, u.dtype))
+        out_specs.append(bs(1))
+    res = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(outs),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=INTERPRET,
+    )(*args)
+    if with_divu:
+        q, qaux, div = res
+        return q, qaux, div[0]
+    q, qaux = res
+    return q, qaux
+
+
+def flatten_pallas(q, layout, tile=8):
+    """Miller-Colella flattening via three per-direction pencil kernels
+    (each direction's +/-3 stencil lives fully in VMEM) + one XLA min.
+    Bitwise the same math as `flatten.uflatten` (flatten.cpp:13-167)."""
+    from castro_tpu.ops.flatten import (SHKTST, ZCUT1, DZCUT, SMALL_PRES)
+
+    L = layout
+    gshape = q.shape[1:]
+    small = max(SMALL_PRES, float(jnp.finfo(q.dtype).tiny))
+
+    def one_dir(d):
+        tile_axis = {0: 1, 1: 0, 2: 0}[d]
+        nt = gshape[tile_axis]
+        bt = max(tile, 8) if tile_axis == 1 else tile
+        while nt % bt != 0 and bt > 1:
+            bt = bt - 8 if (tile_axis == 1 and bt > 8) else bt // 2
+        if nt % bt != 0:
+            bt = nt
+        grid = (nt // bt,)
+
+        def bs(nc):
+            block = [nc] + list(gshape)
+            block[1 + tile_axis] = bt
+
+            def index(i):
+                idx = [0, 0, 0, 0]
+                idx[1 + tile_axis] = i
+                return tuple(idx)
+
+            return pl.BlockSpec(tuple(block), index)
+
+        def kernel(p_ref, v_ref, out_ref):
+            p = p_ref[0]
+            vel = v_ref[0]
+            sh = lambda a, o: _inblock_shift(a, o, d)  # noqa: E731
+            dp = sh(p, 1) - sh(p, -1)
+            denom = jnp.maximum(small, jnp.abs(sh(p, 2) - sh(p, -2)))
+            zeta = jnp.abs(dp) / denom
+            z = jnp.clip(DZCUT * (zeta - ZCUT1), 0.0, 1.0)
+            tst = jnp.where(sh(vel, -1) - sh(vel, 1) >= 0.0, 1.0, 0.0)
+            tmp = jnp.minimum(sh(p, 1), sh(p, -1))
+            chi = jnp.where(jnp.abs(dp) > SHKTST * tmp, tst, 0.0)
+            zchi = chi * z
+            zchi2 = jnp.where(dp > 0.0, sh(zchi, -1), sh(zchi, 1))
+            out_ref[...] = (1.0 - jnp.maximum(zchi, zchi2))[None]
+
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[bs(1), bs(1)],
+            out_specs=bs(1),
+            out_shape=jax.ShapeDtypeStruct((1,) + gshape, q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=INTERPRET,
+        )(q[L.QPRES][None], q[L.velocity_index(d)][None])[0]
+
+    f = one_dir(0)
+    for d in (1, 2):
+        f = jnp.minimum(f, one_dir(d))
+    return f
+
+
+def consup_pallas(hsrc, flux, pg, ug, div_node, u, d, layout, difmag,
+                  dx, tile=8):
+    """Fused per-direction conservative update (3D Cartesian): artificial
+    viscosity (apply_av), species-flux normalization, the flux divergence
+    accumulation into hsrc, and the p div(u) internal-energy term — one
+    VMEM pass per direction instead of ~4 XLA passes over [NVAR]-fields.
+
+    hsrc is accumulated across the three per-dim calls via buffer aliasing.
+    Returns (hsrc + contribution_d, av-corrected normalized flux_d).
+    Reference: advection_util.cpp:483,578 + consup_hydro (Castro_ctu.cpp:12).
+    """
+    L = layout
+    gshape = flux.shape[1:]
+    # in-block axes: d and the minor axis (2); plus y for d==2. The node
+    # average of div needs {0,+1} shifts along both transverse dims: the
+    # tiled one arrives as a pre-shifted copy (div_s).
+    tile_axis = {0: 1, 1: 0, 2: 0}[d]
+    ib_trans = [a for a in range(3) if a not in (d, tile_axis)][0]
+    from castro_tpu.ops.stencil import shifted
+
+    div_s = shifted(div_node, 1, tile_axis)
+
+    nt = gshape[tile_axis]
+    bt = max(tile, 8) if tile_axis == 1 else tile
+    while nt % bt != 0 and bt > 1:
+        bt = bt - 8 if (tile_axis == 1 and bt > 8) else bt // 2
+    if nt % bt != 0:
+        bt = nt
+    grid = (nt // bt,)
+
+    def bs(nc):
+        block = [nc] + list(gshape)
+        block[1 + tile_axis] = bt
+
+        def index(i):
+            idx = [0, 0, 0, 0]
+            idx[1 + tile_axis] = i
+            return tuple(idx)
+
+        return pl.BlockSpec(tuple(block), index)
+
+    dxd = float(dx[d])
+    skip = [L.UTEMP] + ([L.USHK] if L.shock_var else [])
+
+    def kernel(hs_ref, fl_ref, pg_ref, ug_ref, dv_ref, dvs_ref, u_ref,
+               hout_ref, fout_ref):
+        fl = fl_ref[...]
+        dv = dv_ref[0]
+        dvs = dvs_ref[0]
+        ub = u_ref[...]
+        # node average, matching apply_av's ascending-axis order: the
+        # tile-axis shift is always the first transverse axis here
+        a1 = 0.5 * (dv + dvs)
+        div1 = 0.5 * (a1 + _inblock_shift(a1, 1, ib_trans))
+        coeff = difmag * jnp.minimum(div1, 0.0) * dxd
+        du = ub - _inblock_shift(ub, -1, 1 + d)
+        av = coeff[None] * du
+        comps = []
+        for c in range(L.NVAR):
+            comps.append(fl[c] if c in skip else fl[c] + av[c])
+        # species-flux normalization (sum -> density flux)
+        if L.nspec > 0:
+            sumn = comps[L.UFS]
+            for c in range(L.UFS + 1, L.UFS + L.nspec):
+                sumn = sumn + comps[c]
+            fac = jnp.where(sumn != 0.0,
+                            comps[L.URHO] / jnp.where(sumn == 0.0, 1.0, sumn),
+                            1.0)
+            for c in range(L.UFS, L.UFS + L.nspec):
+                comps[c] = comps[c] * fac
+        flc = jnp.stack(comps)
+        contrib = -(_inblock_shift(flc, 1, 1 + d) - flc) * (1.0 / dxd)
+        pgb = pg_ref[0]
+        ugb = ug_ref[0]
+        pdivu = 0.5 * (_inblock_shift(pgb, 1, d) + pgb) * (
+            _inblock_shift(ugb, 1, d) - ugb) * (1.0 / dxd)
+        rows = [contrib[c] - pdivu if c == L.UEINT else contrib[c]
+                for c in range(L.NVAR)]
+        hout_ref[...] = hs_ref[...] + jnp.stack(rows)
+        fout_ref[...] = flc
+
+    out_shape = (
+        jax.ShapeDtypeStruct((L.NVAR,) + gshape, flux.dtype),
+        jax.ShapeDtypeStruct((L.NVAR,) + gshape, flux.dtype),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[bs(L.NVAR), bs(L.NVAR), bs(1), bs(1), bs(1), bs(1),
+                  bs(L.NVAR)],
+        out_specs=(bs(L.NVAR), bs(L.NVAR)),
+        out_shape=out_shape,
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=INTERPRET,
+    )(hsrc, flux, pg[None], ug[None], div_node[None], div_s[None], u)
+
+
 def _pencil_spec(ncomp, d, gshape, bt):
     """BlockSpec covering the FULL axis d (the stencil direction) and the
     full minor axis, tiled by bt along the remaining major axis. The whole
