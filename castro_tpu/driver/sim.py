@@ -231,8 +231,19 @@ class Simulation:
         return self.u
 
     def _clean_fill_impl(self, u, ctx: Optional[StepCtx] = None, t=0.0):
-        ctx = ctx or self._default_ctx
         c = self.params.castro
+        if ((ctx is None or ctx is self._default_ctx)
+                and self._use_fused_prim
+                and not self.layout.hybrid_momentum
+                and self.problem_fill is None and c.speed_limit <= 0.0):
+            # fused pointwise clean + ghost fill, one VMEM pass
+            from castro_tpu.ops.pallas_kernels import clean_fill_pallas
+
+            return clean_fill_pallas(
+                u, self.layout, self.eos, self.cfg.lo_bc, self.cfg.hi_bc,
+                self.ng, self.cfg.small_dens, max(c.small_temp, 1e-200),
+                c.dual_energy_eta2, bool(c.normalize_species))
+        ctx = ctx or self._default_ctx
         u = clean_mod.clean_state(
             u, self.layout, self.eos,
             small_dens=self.cfg.small_dens, small_temp=max(c.small_temp, 1e-200),

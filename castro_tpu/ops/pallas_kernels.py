@@ -731,6 +731,185 @@ def flatten_pallas(q, layout, tile=8):
     return f
 
 
+_WALL = (3, 4, 5)  # SYMMETRY, SLIPWALL, NOSLIPWALL
+
+
+def clean_fill_pallas(u, layout, eos, lo_bc, hi_bc, ng, small_dens,
+                      small_temp, dual_energy_eta2, do_normalize_species,
+                      tile=8):
+    """Fused clean_state + ghost fill in one VMEM pass (3D, arithmetic
+    EOS, Cartesian fills: periodic / clamp / mirror — no problem hook).
+
+    clean_state (Castro.cpp:4238 ladder) is pointwise; the ghost fill
+    (Castro_bc_fill_nd.cpp) runs on the cleaned block in x,y,z order.
+    y/z span the block so all their source rows are in VMEM; x is tiled,
+    so the first/last blocks special-case their ghost rows (clamp/mirror
+    sources sit inside those blocks for tile >= 2*ng; periodic-x wrap
+    slabs arrive as small extra inputs, cleaned in-kernel)."""
+    from castro_tpu.driver.clean import clean_state
+
+    L = layout
+    gshape = u.shape[1:]
+    assert L.dim == 3
+    nx = gshape[0]
+
+    tile_axis = 0
+    bt = max(tile, 2 * ng)
+    while nx % bt != 0 and bt < nx:
+        bt += 1
+    if nx % bt != 0:
+        bt = nx
+    grid = (nx // bt,)
+    nblk = grid[0]
+
+    x_periodic = lo_bc[0] == 0
+    args = [u]
+    if x_periodic and nblk > 1:
+        # wrap slabs (hi interior rows feed lo ghosts and vice versa)
+        args += [u[:, nx - 2 * ng: nx - ng], u[:, ng: 2 * ng]]
+
+    def bs_tiled(nc):
+        block = (nc, bt) + gshape[1:]
+
+        def index(i):
+            return (0, i, 0, 0)
+
+        return pl.BlockSpec(block, index)
+
+    def bs_slab(nc):
+        return pl.BlockSpec((nc, ng) + gshape[1:], lambda i: (0, 0, 0, 0))
+
+    def _clean(b):
+        return clean_state(b, L, eos, small_dens=small_dens,
+                           small_temp=small_temp,
+                           dual_energy_eta2=dual_energy_eta2,
+                           do_normalize_species=do_normalize_species)
+
+    def _axis_fill(b, axis, lo, hi, n_ax):
+        """Ghost fill along a fully-in-block axis via slice+concat."""
+        ax = 1 + axis
+        core = jax.lax.slice_in_dim(b, ng, n_ax + ng, axis=ax)
+
+        if lo == 0:  # periodic
+            gl = jax.lax.slice_in_dim(b, n_ax, n_ax + ng, axis=ax)
+        elif lo in _WALL:
+            gl = jnp.flip(jax.lax.slice_in_dim(b, ng, 2 * ng, axis=ax),
+                          axis=ax)
+        else:  # clamp (outflow/inflow baseline)
+            edge = jax.lax.slice_in_dim(b, ng, ng + 1, axis=ax)
+            gl = jnp.concatenate([edge] * ng, axis=ax)
+        if hi == 0:
+            gh = jax.lax.slice_in_dim(b, ng, 2 * ng, axis=ax)
+        elif hi in _WALL:
+            gh = jnp.flip(jax.lax.slice_in_dim(b, n_ax, n_ax + ng, axis=ax),
+                          axis=ax)
+        else:
+            edge = jax.lax.slice_in_dim(b, n_ax + ng - 1, n_ax + ng, axis=ax)
+            gh = jnp.concatenate([edge] * ng, axis=ax)
+        out = jnp.concatenate([gl, core, gh], axis=ax)
+        # reflection-odd sign flips on wall faces
+        if lo in _WALL or hi in _WALL:
+            N = n_ax + 2 * ng
+            pos = jax.lax.broadcasted_iota(jnp.int32, out.shape[1:], axis)
+            flips_lo = {L.momentum_index(axis)} if lo in _WALL else set()
+            flips_hi = {L.momentum_index(axis)} if hi in _WALL else set()
+            if lo == 5:
+                flips_lo |= {L.momentum_index(k) for k in range(3)}
+            if hi == 5:
+                flips_hi |= {L.momentum_index(k) for k in range(3)}
+            rows = []
+            for c in range(L.NVAR):
+                sv = jnp.ones(out.shape[1:], out.dtype)
+                if c in flips_lo:
+                    sv = jnp.where(pos < ng, -sv, sv)
+                if c in flips_hi:
+                    sv = jnp.where(pos >= N - ng, -sv, sv)
+                if c in flips_lo or c in flips_hi:
+                    rows.append(out[c] * sv)
+                else:
+                    rows.append(out[c])
+            out = jnp.stack(rows)
+        return out
+
+    def kernel(*refs):
+        if x_periodic and nblk > 1:
+            u_ref, wlo_ref, whi_ref, out_ref = refs
+        else:
+            u_ref, out_ref = refs
+        b = _clean(u_ref[...])
+
+        # x fill: only the first/last block hold ghost rows
+        i = pl.program_id(0)
+
+        def fill_x(b):
+            nloc = b.shape[1]
+            rows_lo = None
+            rows_hi = None
+            if lo_bc[0] == 0:
+                rows_lo = (_clean(wlo_ref[...]) if nblk > 1
+                           else jax.lax.slice_in_dim(b, nx - 2 * ng,
+                                                     nx - ng, axis=1))
+            elif lo_bc[0] in _WALL:
+                rows_lo = jnp.flip(
+                    jax.lax.slice_in_dim(b, ng, 2 * ng, axis=1), axis=1)
+            else:
+                edge = jax.lax.slice_in_dim(b, ng, ng + 1, axis=1)
+                rows_lo = jnp.concatenate([edge] * ng, axis=1)
+            if hi_bc[0] == 0:
+                rows_hi = (_clean(whi_ref[...]) if nblk > 1
+                           else jax.lax.slice_in_dim(b, ng, 2 * ng, axis=1))
+            elif hi_bc[0] in _WALL:
+                rows_hi = jnp.flip(
+                    jax.lax.slice_in_dim(b, nloc - 2 * ng, nloc - ng,
+                                         axis=1), axis=1)
+            else:
+                edge = jax.lax.slice_in_dim(b, nloc - ng - 1, nloc - ng,
+                                            axis=1)
+                rows_hi = jnp.concatenate([edge] * ng, axis=1)
+            # sign flips for x walls
+            def flipped(rows, side_lo):
+                bc = lo_bc[0] if side_lo else hi_bc[0]
+                if bc not in _WALL:
+                    return rows
+                flips = {L.momentum_index(0)}
+                if bc == 5:
+                    flips |= {L.momentum_index(k) for k in range(3)}
+                rws = [(-rows[c] if c in flips else rows[c])
+                       for c in range(L.NVAR)]
+                return jnp.stack(rws)
+            rows_lo = flipped(rows_lo, True)
+            rows_hi = flipped(rows_hi, False)
+            core_lo = jax.lax.slice_in_dim(b, ng, nloc, axis=1)
+            core_hi = jax.lax.slice_in_dim(b, 0, nloc - ng, axis=1)
+            b_first = jnp.concatenate([rows_lo, core_lo], axis=1)
+            b_last = jnp.concatenate([core_hi, rows_hi], axis=1)
+            if nblk == 1:
+                return jnp.concatenate(
+                    [rows_lo, jax.lax.slice_in_dim(b, ng, nloc - ng, axis=1),
+                     rows_hi], axis=1)
+            b2 = jnp.where(i == 0, b_first, b)
+            return jnp.where(i == nblk - 1, b_last, b2)
+
+        b = fill_x(b)
+        b = _axis_fill(b, 1, lo_bc[1], hi_bc[1], gshape[1] - 2 * ng)
+        b = _axis_fill(b, 2, lo_bc[2], hi_bc[2], gshape[2] - 2 * ng)
+        out_ref[...] = b
+
+    in_specs = [bs_tiled(L.NVAR)]
+    if x_periodic and nblk > 1:
+        in_specs += [bs_slab(L.NVAR), bs_slab(L.NVAR)]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=bs_tiled(L.NVAR),
+        out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=INTERPRET,
+    )(*args)
+
+
 def consup_pallas(hsrc, flux, pg, ug, div_node, u, d, layout, difmag,
                   dx, tile=8):
     """Fused per-direction conservative update (3D Cartesian): artificial
