@@ -183,6 +183,15 @@ class Simulation:
             ng=self.ng,
         )
 
+        # The fused kernels hold two full grid axes per VMEM block; very
+        # large grids exceed the scoped-VMEM budget, so they fall back to
+        # the XLA path (correct, slower) above this in-block-area limit.
+        gs = self.grown_shape()
+        if self.cfg.use_pallas and self.layout.dim == 3:
+            pairs = [gs[0] * gs[2], gs[1] * gs[2], gs[0] * gs[1]]
+            if max(pairs) > 36000:
+                self.cfg = self.cfg._replace(use_pallas=False)
+
         # fused ctoprim+divu kernel path: 3D, arithmetic EOS, no radiation
         self._use_fused_prim = (self.cfg.use_pallas and self.layout.dim == 3
                                 and getattr(self.eos, "pallas_safe", False)
@@ -338,12 +347,21 @@ class Simulation:
             u = self._clean_fill_impl(u, ctx, t)
 
         div_node = None
+        courant = None
+        fold_courant = (self._use_fused_prim and c.do_hydro
+                        and bool(c.check_cfl_violation)
+                        and self.problem_fill is None)
         if self._use_fused_prim:
             from castro_tpu.ops.pallas_kernels import prim_aux_pallas
 
-            q, qaux, div_node = prim_aux_pallas(
+            res = prim_aux_pallas(
                 u, L, self.eos, self.cfg.small_dens,
-                max(c.small_temp, 1e-200), ctx.geom.dx)
+                max(c.small_temp, 1e-200), ctx.geom.dx,
+                courant_dt=dt if fold_courant else None)
+            if fold_courant:
+                q, qaux, div_node, courant = res
+            else:
+                q, qaux, div_node = res
         else:
             q, qaux = ctoprim(u, L, self.eos, self.cfg.small_dens,
                               max(c.small_temp, 1e-200))
@@ -357,10 +375,12 @@ class Simulation:
         srcQ = None if src_old is None else src_to_prim(q, qaux, src_old, L)
 
         if c.do_hydro:
-            hsrc, fluxes, qes, shk = ctu_hydro(u, q, qaux, srcQ, dt,
-                                               ctx.geom, L, cfg,
-                                               div_node=div_node)
-            u_new = u + dt * hsrc
+            # ctu_hydro folds the conservative update u + dt*hsrc into its
+            # last pass (identical math; saves a full-array XLA add)
+            u_new, fluxes, qes, shk = ctu_hydro(u, q, qaux, srcQ, dt,
+                                                ctx.geom, L, cfg,
+                                                div_node=div_node,
+                                                fold_update_dt=dt)
         else:  # source-only evolution (reference castro.do_hydro=0)
             fluxes = [jnp.zeros_like(u) for _ in range(L.dim)]
             qes, shk = None, None
@@ -372,17 +392,32 @@ class Simulation:
         # Castro_advance_ctu.cpp:64-68,168-216; CFL-violation check,
         # Castro_hydro.cpp:234 — a courant number > 1 invalidates the CTU
         # characteristic tracing, so the step must be retried)
-        inner = interior_slice(self.ng, L.dim)
-        min_rho = ctx.pmin(u_new[inner][L.URHO])
-        nan_flag = ctx.pany(~jnp.isfinite(jnp.sum(u_new[inner])))
+        use_fused_cf = (ctx is self._default_ctx and self._use_fused_prim
+                        and not L.hybrid_momentum
+                        and self.problem_fill is None
+                        and c.speed_limit <= 0.0)
+        if use_fused_cf:
+            # min-rho/NaN reductions ride the clean+fill kernel (computed
+            # on the pre-clean state, as the reference does)
+            from castro_tpu.ops.pallas_kernels import clean_fill_pallas
+
+            u_new, min_rho, nan_flag = clean_fill_pallas(
+                u_new, L, self.eos, self.cfg.lo_bc, self.cfg.hi_bc,
+                self.ng, self.cfg.small_dens, max(c.small_temp, 1e-200),
+                c.dual_energy_eta2, bool(c.normalize_species),
+                with_status=True)
+        else:
+            inner = interior_slice(self.ng, L.dim)
+            min_rho = ctx.pmin(u_new[inner][L.URHO])
+            nan_flag = ctx.pany(~jnp.isfinite(jnp.sum(u_new[inner])))
+            u_new = self._clean_fill_impl(u_new, ctx, t + dt)
         if c.do_hydro and c.check_cfl_violation:
-            from castro_tpu.ops.advection_util import max_courant
+            if courant is None:
+                from castro_tpu.ops.advection_util import max_courant
 
-            courant = max_courant(q, qaux, dt, ctx.geom, L, self.ng,
-                                  whole_grid=self.problem_fill is None)
+                courant = max_courant(q, qaux, dt, ctx.geom, L, self.ng,
+                                      whole_grid=self.problem_fill is None)
             nan_flag = nan_flag | ctx.pany(courant > 1.0)
-
-        u_new = self._clean_fill_impl(u_new, ctx, t + dt)
 
         # new-time source corrector
         if self.source_fns:

@@ -117,7 +117,7 @@ def _dloga(geom: Geometry, ng: int):
 
 
 def ctu_hydro(u, q, qaux, srcQ, dt, geom: Geometry, layout, cfg: HydroConfig,
-              div_node=None):
+              div_node=None, fold_update_dt=None):
     """Compute the CTU hydro update.
 
     All inputs are grown arrays (ng ghost cells), ghost-filled.
@@ -296,19 +296,24 @@ def ctu_hydro(u, q, qaux, srcQ, dt, geom: Geometry, layout, cfg: HydroConfig,
         and not cfg.limit_fluxes_on_small_dens and cfg.speed_limit <= 0.0)
     if use_fused_consup:
         # av + species normalize + flux divergence + pdivu per direction,
-        # accumulated into hsrc via buffer aliasing (one VMEM pass per dim)
+        # accumulated into hsrc via buffer aliasing (one VMEM pass per dim);
+        # with fold_update_dt the final pass emits u + dt*hsrc directly
         from castro_tpu.ops.pallas_kernels import consup_pallas
 
         hsrc = jnp.zeros_like(u)
         for d in range(dim):
             gdu = qes[d][(L.GDU, L.GDV, L.GDW)[d]]
+            fin = fold_update_dt if d == dim - 1 else None
             hsrc, fluxes[d] = consup_pallas(
                 hsrc, fluxes[d], qes[d][L.GDPRES], gdu, div_node, u, d, L,
-                cfg.difmag, dx)
-        hsrc = hsrc.at[L.UTEMP].set(0.0)
-        if cfg.use_shock_var and shk is not None:
-            hsrc = hsrc.at[L.USHK].set(
-                (shk - u[L.USHK]) / jnp.maximum(dt, 1e-300))
+                cfg.difmag, dx, finalize_dt=fin)
+        if fold_update_dt is None:
+            hsrc = hsrc.at[L.UTEMP].set(0.0)
+            if cfg.use_shock_var and shk is not None:
+                hsrc = hsrc.at[L.USHK].set(
+                    (shk - u[L.USHK]) / jnp.maximum(dt, 1e-300))
+        elif cfg.use_shock_var and shk is not None:
+            hsrc = hsrc.at[L.USHK].set(shk)
         return hsrc, fluxes, qes, shk
 
     # artificial viscosity + positivity flux limiters + species flux
@@ -362,4 +367,6 @@ def ctu_hydro(u, q, qaux, srcQ, dt, geom: Geometry, layout, cfg: HydroConfig,
         # USHK is set, not fluxed (consup_hydro n==USHK branch)
         hsrc = hsrc.at[L.USHK].set((shk - u[L.USHK]) / jnp.maximum(dt, 1e-300))
 
+    if fold_update_dt is not None:
+        hsrc = u + fold_update_dt * hsrc
     return hsrc, fluxes, qes, shk

@@ -531,7 +531,7 @@ def ctu_face_pallas(qm, qp, qaux, d, terms, layout, coord, riemann_solver,
 
 
 def prim_aux_pallas(u, layout, eos, small_dens, small_temp, dx,
-                    with_divu=True, tile=8):
+                    with_divu=True, tile=8, courant_dt=None):
     """Fused ctoprim (+ node-centered velocity divergence) — one VMEM pass.
 
     The EOS runs inside the kernel (requires `eos.pallas_safe`: pure
@@ -556,7 +556,7 @@ def prim_aux_pallas(u, layout, eos, small_dens, small_temp, dx,
         block = [nc] + list(gshape)
         block[1 + tile_axis] = bt
 
-        def index(i):
+        def index(i, *_):
             idx = [0, 0, 0, 0]
             idx[1 + tile_axis] = i
             return tuple(idx)
@@ -564,9 +564,10 @@ def prim_aux_pallas(u, layout, eos, small_dens, small_temp, dx,
         return pl.BlockSpec(tuple(block), index)
 
     mom_comps = [L.URHO, L.UMX, L.UMY, L.UMZ]
+    dxv = [float(x) for x in dx]
+    dxv2 = dxv
     if with_divu:
         u_s = shifted(u[jnp.array(mom_comps)], -1, 1 + tile_axis)
-        dxv = [float(x) for x in dx]
 
     def _ctoprim_block(ub):
         # stack-based ctoprim (advection_util.cpp:27) — the .at[].set form
@@ -603,16 +604,44 @@ def prim_aux_pallas(u, layout, eos, small_dens, small_temp, dx,
                 ac[i] = jnp.zeros_like(rho)
         return jnp.stack(qc), jnp.stack(ac)
 
+    with_courant = courant_dt is not None
+
     def kernel(*refs):
+        if with_courant:
+            dt_ref, refs = refs[0], refs[1:]
         if with_divu:
-            u_ref, us_ref, q_ref, aux_ref, div_ref = refs
+            u_ref, us_ref = refs[0], refs[1]
+            outs = refs[2:]
         else:
-            u_ref, q_ref, aux_ref = refs
+            u_ref = refs[0]
+            outs = refs[1:]
+        q_ref, aux_ref = outs[0], outs[1]
         ub = u_ref[...]
         q, qaux = _ctoprim_block(ub)
         q_ref[...] = q
         aux_ref[...] = qaux
+        if with_courant:
+            # whole-grid CFL reduction (check_for_cfl_violation analog)
+            # folded into this pass; accumulated across grid blocks
+            cou_ref = outs[-1]
+            dt_s = dt_ref[0]
+            c_b = qaux[L.QC]
+            cou = jnp.zeros_like(c_b)
+            for dd in range(3):
+                v = q[(L.QU, L.QV, L.QW)[dd]]
+                cou = jnp.maximum(cou, (jnp.abs(v) + c_b) * (dt_s / dxv2[dd]))
+            m = jnp.max(cou)
+            i = pl.program_id(0)
+
+            @pl.when(i == 0)
+            def _():
+                cou_ref[0, 0] = m
+
+            @pl.when(i > 0)
+            def _():
+                cou_ref[0, 0] = jnp.maximum(cou_ref[0, 0], m)
         if with_divu:
+            div_ref = outs[2]
             us = us_ref[...]
             rsi = 1.0 / jnp.maximum(us[0], small_dens)
             vel = [q[L.QU], q[L.QV], q[L.QW]]
@@ -651,21 +680,37 @@ def prim_aux_pallas(u, layout, eos, small_dens, small_temp, dx,
         args.append(u_s)
         outs.append(jax.ShapeDtypeStruct((1,) + gshape, u.dtype))
         out_specs.append(bs(1))
-    res = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=tuple(out_specs),
-        out_shape=tuple(outs),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=INTERPRET,
-    )(*args)
+    if with_courant:
+        outs.append(jax.ShapeDtypeStruct((1, 1), u.dtype))
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+            out_specs=out_specs)
+        call = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=tuple(outs),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=INTERPRET)
+        res = call(jnp.asarray(courant_dt, u.dtype).reshape(1), *args)
+    else:
+        res = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(outs),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=INTERPRET,
+        )(*args)
+    res = list(res) if isinstance(res, (tuple, list)) else [res]
+    q, qaux = res[0], res[1]
+    ret = [q, qaux]
     if with_divu:
-        q, qaux, div = res
-        return q, qaux, div[0]
-    q, qaux = res
-    return q, qaux
+        ret.append(res[2][0])
+    if with_courant:
+        ret.append(res[-1][0, 0])
+    return tuple(ret)
 
 
 def flatten_pallas(q, layout, tile=8):
@@ -692,7 +737,7 @@ def flatten_pallas(q, layout, tile=8):
             block = [nc] + list(gshape)
             block[1 + tile_axis] = bt
 
-            def index(i):
+            def index(i, *_):
                 idx = [0, 0, 0, 0]
                 idx[1 + tile_axis] = i
                 return tuple(idx)
@@ -736,7 +781,7 @@ _WALL = (3, 4, 5)  # SYMMETRY, SLIPWALL, NOSLIPWALL
 
 def clean_fill_pallas(u, layout, eos, lo_bc, hi_bc, ng, small_dens,
                       small_temp, dual_energy_eta2, do_normalize_species,
-                      tile=8):
+                      tile=8, with_status=False):
     """Fused clean_state + ghost fill in one VMEM pass (3D, arithmetic
     EOS, Cartesian fills: periodic / clamp / mirror — no problem hook).
 
@@ -771,7 +816,7 @@ def clean_fill_pallas(u, layout, eos, lo_bc, hi_bc, ng, small_dens,
     def bs_tiled(nc):
         block = (nc, bt) + gshape[1:]
 
-        def index(i):
+        def index(i, *_):
             return (0, i, 0, 0)
 
         return pl.BlockSpec(block, index)
@@ -833,10 +878,40 @@ def clean_fill_pallas(u, layout, eos, lo_bc, hi_bc, ng, small_dens,
 
     def kernel(*refs):
         if x_periodic and nblk > 1:
-            u_ref, wlo_ref, whi_ref, out_ref = refs
+            u_ref, wlo_ref, whi_ref = refs[:3]
+            outs = refs[3:]
         else:
-            u_ref, out_ref = refs
-        b = _clean(u_ref[...])
+            u_ref = refs[0]
+            outs = refs[1:]
+        out_ref = outs[0]
+        raw = u_ref[...]
+        if with_status:
+            # pre-clean validity checks (Castro_advance_ctu.cpp:64-68):
+            # interior min-rho and the finiteness probe, folded into this
+            # pass instead of separate strided-slice reductions
+            min_ref, sum_ref = outs[1], outs[2]
+            i = pl.program_id(0)
+            gx = jax.lax.broadcasted_iota(jnp.int32, raw.shape[1:], 0) \
+                + i * bt
+            gy = jax.lax.broadcasted_iota(jnp.int32, raw.shape[1:], 1)
+            gz = jax.lax.broadcasted_iota(jnp.int32, raw.shape[1:], 2)
+            mask = ((gx >= ng) & (gx < nx - ng)
+                    & (gy >= ng) & (gy < gshape[1] - ng)
+                    & (gz >= ng) & (gz < gshape[2] - ng))
+            big = jnp.asarray(jnp.finfo(raw.dtype).max, raw.dtype)
+            mrho = jnp.min(jnp.where(mask, raw[L.URHO], big))
+            tot = jnp.sum(jnp.where(mask[None], raw, 0.0))
+
+            @pl.when(i == 0)
+            def _():
+                min_ref[0, 0] = mrho
+                sum_ref[0, 0] = tot
+
+            @pl.when(i > 0)
+            def _():
+                min_ref[0, 0] = jnp.minimum(min_ref[0, 0], mrho)
+                sum_ref[0, 0] = sum_ref[0, 0] + tot
+        b = _clean(raw)
 
         # x fill: only the first/last block hold ghost rows
         i = pl.program_id(0)
@@ -898,6 +973,24 @@ def clean_fill_pallas(u, layout, eos, lo_bc, hi_bc, ng, small_dens,
     in_specs = [bs_tiled(L.NVAR)]
     if x_periodic and nblk > 1:
         in_specs += [bs_slab(L.NVAR), bs_slab(L.NVAR)]
+    if with_status:
+        out_specs = (bs_tiled(L.NVAR),
+                     pl.BlockSpec(memory_space=pltpu.SMEM),
+                     pl.BlockSpec(memory_space=pltpu.SMEM))
+        out_shape = (jax.ShapeDtypeStruct(u.shape, u.dtype),
+                     jax.ShapeDtypeStruct((1, 1), u.dtype),
+                     jax.ShapeDtypeStruct((1, 1), u.dtype))
+        out, mrho, tot = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=INTERPRET,
+        )(*args)
+        return out, mrho[0, 0], ~jnp.isfinite(tot[0, 0])
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -911,7 +1004,7 @@ def clean_fill_pallas(u, layout, eos, lo_bc, hi_bc, ng, small_dens,
 
 
 def consup_pallas(hsrc, flux, pg, ug, div_node, u, d, layout, difmag,
-                  dx, tile=8):
+                  dx, tile=8, finalize_dt=None):
     """Fused per-direction conservative update (3D Cartesian): artificial
     viscosity (apply_av), species-flux normalization, the flux divergence
     accumulation into hsrc, and the p div(u) internal-energy term — one
@@ -944,7 +1037,7 @@ def consup_pallas(hsrc, flux, pg, ug, div_node, u, d, layout, difmag,
         block = [nc] + list(gshape)
         block[1 + tile_axis] = bt
 
-        def index(i):
+        def index(i, *_):
             idx = [0, 0, 0, 0]
             idx[1 + tile_axis] = i
             return tuple(idx)
@@ -953,9 +1046,14 @@ def consup_pallas(hsrc, flux, pg, ug, div_node, u, d, layout, difmag,
 
     dxd = float(dx[d])
     skip = [L.UTEMP] + ([L.USHK] if L.shock_var else [])
+    with_fin = finalize_dt is not None
 
-    def kernel(hs_ref, fl_ref, pg_ref, ug_ref, dv_ref, dvs_ref, u_ref,
-               hout_ref, fout_ref):
+    def kernel(*refs):
+        if with_fin:
+            dt_ref = refs[0]
+            refs = refs[1:]
+        (hs_ref, fl_ref, pg_ref, ug_ref, dv_ref, dvs_ref, u_ref,
+         hout_ref, fout_ref) = refs
         fl = fl_ref[...]
         dv = dv_ref[0]
         dvs = dvs_ref[0]
@@ -988,25 +1086,46 @@ def consup_pallas(hsrc, flux, pg, ug, div_node, u, d, layout, difmag,
             _inblock_shift(ugb, 1, d) - ugb) * (1.0 / dxd)
         rows = [contrib[c] - pdivu if c == L.UEINT else contrib[c]
                 for c in range(L.NVAR)]
-        hout_ref[...] = hs_ref[...] + jnp.stack(rows)
+        htot = hs_ref[...] + jnp.stack(rows)
+        if with_fin:
+            # fold the conservative update u^{n+1} = u + dt * hsrc into
+            # the last per-dim pass (saves a full-array XLA add)
+            hout_ref[...] = ub + dt_ref[0] * htot
+        else:
+            hout_ref[...] = htot
         fout_ref[...] = flc
 
     out_shape = (
         jax.ShapeDtypeStruct((L.NVAR,) + gshape, flux.dtype),
         jax.ShapeDtypeStruct((L.NVAR,) + gshape, flux.dtype),
     )
+    in_specs = [bs(L.NVAR), bs(L.NVAR), bs(1), bs(1), bs(1), bs(1),
+                bs(L.NVAR)]
+    args = (hsrc, flux, pg[None], ug[None], div_node[None], div_s[None], u)
+    if with_fin:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+            out_specs=[bs(L.NVAR), bs(L.NVAR)])
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            input_output_aliases={1: 0},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=INTERPRET,
+        )(jnp.asarray(finalize_dt, flux.dtype).reshape(1), *args)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[bs(L.NVAR), bs(L.NVAR), bs(1), bs(1), bs(1), bs(1),
-                  bs(L.NVAR)],
+        in_specs=in_specs,
         out_specs=(bs(L.NVAR), bs(L.NVAR)),
         out_shape=out_shape,
         input_output_aliases={0: 0},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=INTERPRET,
-    )(hsrc, flux, pg[None], ug[None], div_node[None], div_s[None], u)
+    )(*args)
 
 
 def _pencil_spec(ncomp, d, gshape, bt):
