@@ -182,6 +182,11 @@ class CastroParams:
     shock_detection_threshold: float = 0.6666666666666667
     # -- MHD
     do_mhd: int = 0
+    #: limit MHD PLM slopes on characteristic variables (mhd_plm.cpp)
+    mhd_limit_characteristic: int = 1
+    #: 3D MHD integrator: 1 = reference CTU-CT (12-solve corner-coupled
+    #: constrained transport), 0 = SSP-RK2 + flux-CT
+    mhd_ctu: int = 1
     mhd_plm_slope: int = 2
     mhd_limit_characteristic: int = 1
     # -- tracer particles

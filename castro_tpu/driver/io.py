@@ -171,6 +171,18 @@ def write_plotfile(sim, path: Optional[str] = None, small: bool = False):
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
     write_job_info(os.path.join(path, "job_info"), sim)
+
+    # AMReX/BoxLib binary layout alongside the npz (yt / amrvis / fcompare
+    # read this directly — reference Castro_io.cpp:853)
+    from castro_tpu.driver import amrex_plotfile as apf
+
+    names = list(fields.keys())
+    data = np.stack([fields[k] for k in names])
+    apf.write_plotfile(
+        path, [{"data": data}], names, sim.t,
+        list(sim.geom.prob_lo)[: sim.layout.dim],
+        list(sim.geom.prob_hi)[: sim.layout.dim],
+        level_steps=[sim.step_count], coord=int(sim.geom.coord))
     return path
 
 
@@ -257,4 +269,27 @@ def write_plotfile_amr(asim, path: Optional[str] = None):
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
     write_job_info(os.path.join(path, "job_info"), sim0)
+
+    # AMReX multi-level layout: level 0 = whole domain; fine levels are
+    # their dense windows positioned by the window origin
+    from castro_tpu.driver import amrex_plotfile as apf
+
+    dim = sim0.layout.dim
+    names = list(sim0.layout.cons_names)
+    levels = []
+    rr = 2
+    for lev in range(asim.max_level + 1):
+        entry = {"data": np.asarray(asim.interior(lev))}
+        n_l = [n * rr ** lev for n in sim0.geom.n_cell]
+        entry["domain_lo"] = [0] * dim
+        entry["domain_hi"] = [n - 1 for n in n_l]
+        if lev > 0:
+            ilo, _shape = asim.window[lev]
+            entry["lo"] = [int(x) for x in np.asarray(ilo)]
+        levels.append(entry)
+    apf.write_plotfile(path, levels, names, asim.t,
+                       list(sim0.geom.prob_lo)[:dim],
+                       list(sim0.geom.prob_hi)[:dim], ref_ratio=rr,
+                       level_steps=[asim.step_count] * (asim.max_level + 1),
+                       coord=int(sim0.geom.coord))
     return path

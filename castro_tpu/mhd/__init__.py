@@ -24,7 +24,12 @@ class MhdSimulation:
         self.state = None
         self.t = 0.0
         self.step_count = 0
-        self._jit_step = jax.jit(self.solver.step_rk2)
+        # 3D runs default to the reference CTU-CT scheme; 1D/2D use the
+        # RK2 + flux-CT integrator
+        use_ctu = (self.base.layout.dim == 3
+                   and bool(self.base.params.castro.mhd_ctu))
+        self._jit_step = jax.jit(
+            self.solver.step_ctu if use_ctu else self.solver.step_rk2)
         self._jit_estdt = jax.jit(
             lambda u, b: self.solver.estdt(u, b, params.castro.cfl))
 
@@ -42,7 +47,12 @@ class MhdSimulation:
         u = u.at[L.UEDEN].add(pb)
         u = self.solver._clean(u, b)
         b = tuple(self.solver._fill_b(bb, d) for d, bb in enumerate(b))
-        self.state = MhdState(u, b)
+        # canonicalize dtypes (strong) so the first step compiles the same
+        # program as subsequent ones (weak-typed literals in problem inits
+        # otherwise force a second trace/compile of the big CTU-CT module)
+        dt_ = self.base.dtype
+        self.state = MhdState(jnp.asarray(u, dt_),
+                              tuple(jnp.asarray(bb, dt_) for bb in b))
         return self.state
 
     def run(self, stop_time, max_step=10**9, verbose=False):

@@ -1,0 +1,692 @@
+"""Corner-transport-upwind constrained-transport (CTU-CT) ideal MHD.
+
+The reference scheme (Miniati & Martin; `Source/mhd/Castro_mhd.cpp:
+construct_ctu_mhd_source`, `ct_upwind.cpp`, `electric.cpp`, `mhd_plm.cpp`,
+`mhd_eigen.H`) re-expressed as whole-array XLA ops:
+
+  ctoprim(+B) -> flatten (p and ptot) -> characteristic PLM tracing with
+  the MHD source terms (Miniati Eq. 32-33) -> 1D HLLD fluxes (MM step 1)
+  -> edge EMFs with upwinded cell-E derivatives (Gardiner-Stone, MM Eq.
+  36/41-43) -> 6 corner-coupled states + HLLD (MM Eq. 37-40) -> half-step
+  states with the double transverse flux + EMF corrections (MM Eq. 44-46)
+  -> 3 final HLLD fluxes (Eq. 47) -> half-time primitives (Eq. 48) ->
+  final EMFs -> conservative update + face-B curl (div B = 0 to
+  round-off).
+
+State: extended primitive qx [NQ+3, grid] with QMG{0,1,2} = NQ+{0,1,2}
+(cell-centered B) and extended conserved ux [NVAR+3] with UMG{d} =
+NVAR+d; face-B fields b[d] use the face i-1/2 @ index i convention.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax.numpy as jnp
+
+from castro_tpu.mhd.hlld import MhdFaceState, hlld
+from castro_tpu.ops.stencil import shifted
+
+# eigen-space component ordering (mhd_sizes.H)
+IRHO, IU, IV, IW, IP, IBT, IBTT = range(7)
+NEIGN = 7
+
+
+def _taxes(d):
+    t = [a for a in range(3) if a != d]
+    return t[0], t[1]
+
+
+def _eps(i, j, k):
+    if i == j or j == k or i == k:
+        return 0
+    return 1 if (i, j, k) in ((0, 1, 2), (1, 2, 0), (2, 0, 1)) else -1
+
+
+# ---------------------------------------------------------------------------
+# eigen system (mhd_eigen.H; generalized over the normal direction with the
+# transverse pair in natural axis order, matching evecx/evecy/evecz)
+
+def mhd_speeds(as2, rho, Bn, Bt1, Bt2):
+    ca = (Bn * Bn + Bt1 * Bt1 + Bt2 * Bt2) / rho
+    cad = Bn * Bn / rho
+    disc = jnp.sqrt(jnp.maximum((as2 + ca) ** 2 - 4.0 * as2 * cad, 0.0))
+    cs = 0.5 * ((as2 + ca) - disc)
+    cf = 0.5 * ((as2 + ca) + disc)
+    return cs, cf, cad
+
+
+def mhd_evals(as2, un, rho, Bn, Bt1, Bt2):
+    cs, cf, cad = mhd_speeds(as2, rho, Bn, Bt1, Bt2)
+    scs = jnp.sqrt(jnp.maximum(cs, 0.0))
+    scf = jnp.sqrt(cf)
+    sca = jnp.sqrt(cad)
+    return [un - scf, un - sca, un - scs, un, un + scs, un + sca, un + scf]
+
+
+def mhd_evecs(as2, rho, Bn, Bt1, Bt2):
+    """(leig, reig) as 7x7 nested lists of arrays, rows of leig = left
+    eigenvectors in the (rho, un, ut1, ut2, p, Bt1, Bt2) ordering
+    (mhd_eigen.H evec{x,y,z} with bety->bet1, betz->bet2)."""
+    cs, cf, _ = mhd_speeds(as2, rho, Bn, Bt1, Bt2)
+
+    denom = cf - cs
+    degenerate = jnp.abs(denom) <= 1e-14
+    den_s = jnp.where(degenerate, 1.0, denom)
+    alf = jnp.where(degenerate, 1.0,
+                    jnp.where(as2 - cs < 0.0, 0.0,
+                              jnp.sqrt(jnp.maximum(as2 - cs, 0.0) / den_s)))
+    als = jnp.where(degenerate, 0.0,
+                    jnp.where(cf - as2 < 0.0, 0.0,
+                              jnp.sqrt(jnp.maximum(cf - as2, 0.0) / den_s)))
+
+    bmag = jnp.sqrt(Bt1 * Bt1 + Bt2 * Bt2)
+    tiny_b = (jnp.abs(Bt1) <= 1e-14) & (jnp.abs(Bt2) <= 1e-14)
+    inv_b = 1.0 / jnp.where(tiny_b, 1.0, bmag)
+    isq2 = 1.0 / jnp.sqrt(2.0)
+    bet1 = jnp.where(tiny_b, isq2, Bt1 * inv_b)
+    bet2 = jnp.where(tiny_b, isq2, Bt2 * inv_b)
+
+    scf = jnp.sqrt(cf)
+    scs = jnp.sqrt(jnp.maximum(cs, 0.0))
+    cff = scf * alf
+    css = scs * als
+    S = jnp.sign(Bn) + (Bn == 0.0)  # copysign(1, Bn) with sign(0)=+1
+    Qf = scf * alf * S
+    Qs = scs * als * S
+    N = 0.5 / as2
+    sqrho = jnp.sqrt(rho)
+    sas = jnp.sqrt(as2)
+    AAf = sas * alf * sqrho
+    AAs = sas * als * sqrho
+    rhoinv = 1.0 / rho
+    z = jnp.zeros_like(rho)
+
+    def L(*vals):
+        return list(vals)
+
+    leig = [
+        # un - cf
+        L(z, -N * cff, N * Qs * bet1, N * Qs * bet2, N * alf * rhoinv,
+          N * AAs * bet1 * rhoinv, N * AAs * bet2 * rhoinv),
+        # un - ca
+        L(z, z, -0.5 * bet2, 0.5 * bet1, z,
+          -0.5 * bet2 * S / sqrho, 0.5 * bet1 * S / sqrho),
+        # un - cs
+        L(z, -N * css, -N * Qf * bet1, -N * Qf * bet2, N * als * rhoinv,
+          -N * AAf * bet1 * rhoinv, -N * AAf * bet2 * rhoinv),
+        # un
+        L(jnp.ones_like(rho), z, z, z, -1.0 / as2, z, z),
+        # un + cs
+        L(z, N * css, N * Qf * bet1, N * Qf * bet2, N * als * rhoinv,
+          -N * AAf * bet1 * rhoinv, -N * AAf * bet2 * rhoinv),
+        # un + ca
+        L(z, z, 0.5 * bet2, -0.5 * bet1, z,
+          -0.5 * bet2 * S / sqrho, 0.5 * bet1 * S / sqrho),
+        # un + cf
+        L(z, N * cff, -N * Qs * bet1, -N * Qs * bet2, N * alf * rhoinv,
+          N * AAs * bet1 * rhoinv, N * AAs * bet2 * rhoinv),
+    ]
+
+    # reig[n][wave]
+    one = jnp.ones_like(rho)
+    reig_cols = [
+        # un - cf
+        L(rho * alf, -cff, Qs * bet1, Qs * bet2, rho * as2 * alf,
+          AAs * bet1, AAs * bet2),
+        # un - ca
+        L(z, z, -bet2, bet1, z, -bet2 * S * sqrho, bet1 * S * sqrho),
+        # un - cs
+        L(rho * als, -css, -Qf * bet1, -Qf * bet2, rho * as2 * als,
+          -AAf * bet1, -AAf * bet2),
+        # un
+        L(one, z, z, z, z, z, z),
+        # un + cs
+        L(rho * als, css, Qf * bet1, Qf * bet2, rho * as2 * als,
+          -AAf * bet1, -AAf * bet2),
+        # un + ca
+        L(z, z, bet2, -bet1, z, -bet2 * S * sqrho, bet1 * S * sqrho),
+        # un + cf
+        L(rho * alf, cff, -Qs * bet1, -Qs * bet2, rho * as2 * alf,
+          AAs * bet1, AAs * bet2),
+    ]
+    reig = [[reig_cols[w][n] for w in range(NEIGN)] for n in range(NEIGN)]
+    return leig, reig
+
+
+# ---------------------------------------------------------------------------
+# slope limiter (slope.H uslope, plm_limiter=1: 2nd-order MC; the MHD PLM
+# feeds it per characteristic or per primitive field)
+
+def _mc_slope(qm1, q0, qp1, flatn):
+    dlft = 2.0 * (q0 - qm1)
+    drgt = 2.0 * (qp1 - q0)
+    dcen = 0.25 * (dlft + drgt)
+    dsgn = jnp.sign(dcen) + (dcen == 0.0)
+    slop = jnp.minimum(jnp.abs(dlft), jnp.abs(drgt))
+    dlim = jnp.where(dlft * drgt >= 0.0, slop, 0.0)
+    return flatn * dsgn * jnp.minimum(dlim, jnp.abs(dcen))
+
+
+# ---------------------------------------------------------------------------
+# extended-state helpers
+
+def ext_layout(L):
+    """(QMG, UMG): component indices of cell-centered B in the extended
+    prim array and face B in the extended conserved array."""
+    return (L.NQ, L.NQ + 1, L.NQ + 2), (L.NVAR, L.NVAR + 1, L.NVAR + 2)
+
+
+def cons_to_prim_ext(ux, L, eos, small_dens=1e-30):
+    """ConsToPrim (mhd_util.H): extended conserved -> extended primitive."""
+    QMG, UMG = ext_layout(L)
+    rho = jnp.maximum(ux[L.URHO], small_dens)
+    rhoinv = 1.0 / rho
+    vx = ux[L.UMX] * rhoinv
+    vy = ux[L.UMY] * rhoinv
+    vz = ux[L.UMZ] * rhoinv
+    B = [ux[c] for c in UMG]
+    rhoe = ux[L.UEDEN] - 0.5 * rho * (vx * vx + vy * vy + vz * vz) \
+        - 0.5 * (B[0] ** 2 + B[1] ** 2 + B[2] ** 2)
+    rhoe = jnp.maximum(rhoe, small_dens * 1e-10)
+    xn = ux[L.UFS: L.UFS + L.nspec] * rhoinv[None]
+    es = eos.re(rho=rho, e=rhoe * rhoinv, xn=xn)
+    comps = [None] * (L.NQ + 3)
+    comps[L.QRHO] = rho
+    comps[L.QU], comps[L.QV], comps[L.QW] = vx, vy, vz
+    comps[L.QPRES] = es.p
+    comps[L.QREINT] = rhoe
+    comps[L.QTEMP] = es.T
+    comps[L.QGAME] = es.p / rhoe + 1.0
+    for i in range(L.nspec):
+        comps[L.QFS + i] = xn[i]
+    for c, bb in zip(QMG, B):
+        comps[c] = bb
+    for i, cv in enumerate(comps):
+        if cv is None:
+            comps[i] = jnp.zeros_like(rho)
+    return jnp.stack(comps)
+
+
+def prim_to_cons_ext(qx, L, eos):
+    """PToC (mhd_util.cpp): extended primitive -> extended conserved."""
+    QMG, UMG = ext_layout(L)
+    rho = qx[L.QRHO]
+    vx, vy, vz = qx[L.QU], qx[L.QV], qx[L.QW]
+    xn = qx[L.QFS: L.QFS + L.nspec]
+    es = eos.rp(rho=rho, p=qx[L.QPRES], xn=xn)
+    B2 = qx[QMG[0]] ** 2 + qx[QMG[1]] ** 2 + qx[QMG[2]] ** 2
+    comps = [None] * (L.NVAR + 3)
+    comps[L.URHO] = rho
+    comps[L.UMX], comps[L.UMY], comps[L.UMZ] = rho * vx, rho * vy, rho * vz
+    comps[L.UEINT] = rho * es.e
+    comps[L.UEDEN] = rho * es.e + 0.5 * rho * (
+        vx * vx + vy * vy + vz * vz) + 0.5 * B2
+    comps[L.UTEMP] = es.T
+    for i in range(L.nspec):
+        comps[L.UFS + i] = rho * xn[i]
+    for c, qc in zip(UMG, QMG):
+        comps[c] = qx[qc]
+    for i, cv in enumerate(comps):
+        if cv is None:
+            comps[i] = jnp.zeros_like(rho)
+    return jnp.stack(comps)
+
+
+# ---------------------------------------------------------------------------
+# HLLD on extended states -> extended-flux [NVAR+3]
+
+def hlld_ext(qlx, qrx, d, L, eos, small_dens, small_pres):
+    """HLLD flux in the un-rotated extended layout (hlld.cpp). qlx/qrx are
+    extended prim interface states registered at face i-1/2 @ i.
+    Passives (rho e, species) ride the fan with star-density scaling."""
+    QMG, UMG = ext_layout(L)
+    t1, t2 = _taxes(d)
+    VEL = (L.QU, L.QV, L.QW)
+
+    def to_face(qx):
+        rho = jnp.maximum(qx[L.QRHO], small_dens)
+        p = jnp.maximum(qx[L.QPRES], small_pres)
+        xn = qx[L.QFS: L.QFS + L.nspec]
+        es = eos.rp(rho=rho, p=p, xn=xn)
+        return MhdFaceState(
+            rho=rho, un=qx[VEL[d]], ut1=qx[VEL[t1]], ut2=qx[VEL[t2]],
+            p=p, Bt1=qx[QMG[t1]], Bt2=qx[QMG[t2]], e=es.e), es
+
+    sl, esl = to_face(qlx)
+    sr, esr = to_face(qrx)
+    Bn = 0.5 * (qlx[QMG[d]] + qrx[QMG[d]])  # both carry the exact face B
+    gamma = 0.5 * (esl.gam1 + esr.gam1)
+
+    # passives: specific quantities phi advected through the fan
+    pass_specific = [sl.e, ] + [qlx[L.QFS + i] for i in range(L.nspec)], \
+                    [sr.e, ] + [qrx[L.QFS + i] for i in range(L.nspec)]
+    F7, SM, Fpass = _hlld_with_passives(sl, sr, Bn, gamma, pass_specific)
+
+    comps = [None] * (L.NVAR + 3)
+    comps[L.URHO] = F7[0]
+    mom = (L.UMX, L.UMY, L.UMZ)
+    comps[mom[d]] = F7[1]
+    comps[mom[t1]] = F7[2]
+    comps[mom[t2]] = F7[3]
+    comps[L.UEDEN] = F7[4]
+    comps[UMG[t1]] = F7[5]
+    comps[UMG[t2]] = F7[6]
+    comps[UMG[d]] = jnp.zeros_like(F7[0])
+    comps[L.UEINT] = Fpass[0]
+    for i in range(L.nspec):
+        comps[L.UFS + i] = Fpass[1 + i]
+    for i, cv in enumerate(comps):
+        if cv is None:
+            comps[i] = jnp.zeros_like(F7[0])
+    return jnp.stack(comps)
+
+
+def _hlld_with_passives(sl, sr, Bn, gamma, pass_specific):
+    """HLLD (Miyoshi-Kusano / hlld.cpp) extended with per-mass passive
+    scalars: U_pass = phi*rho in each state, U*_pass = phi*rho*, U** = U*."""
+    F7, SM = hlld(sl, sr, Bn, gamma)
+
+    # recompute the wave structure needed for passive selection (cheap
+    # relative to a second full solve; XLA CSEs the shared subexpressions)
+    from castro_tpu.mhd.hlld import fast_speed
+
+    cfl = fast_speed(sl.rho, sl.p, Bn, sl.Bt1, sl.Bt2, gamma)
+    cfr = fast_speed(sr.rho, sr.p, Bn, sr.Bt1, sr.Bt2, gamma)
+    SL = jnp.minimum(sl.un - cfl, sr.un - cfr)
+    SR = jnp.maximum(sl.un + cfl, sr.un + cfr)
+    ptL = sl.p + 0.5 * (Bn ** 2 + sl.Bt1 ** 2 + sl.Bt2 ** 2)
+    ptR = sr.p + 0.5 * (Bn ** 2 + sr.Bt1 ** 2 + sr.Bt2 ** 2)
+    dL = sl.rho * (SL - sl.un)
+    dR = sr.rho * (SR - sr.un)
+    SM2 = (dR * sr.un - dL * sl.un - ptR + ptL) / (dR - dL)
+    rhoLs = dL / (SL - SM2)
+    rhoRs = dR / (SR - SM2)
+    SLs = SM2 - jnp.abs(Bn) / jnp.sqrt(jnp.maximum(rhoLs, 1e-30))
+    SRs = SM2 + jnp.abs(Bn) / jnp.sqrt(jnp.maximum(rhoRs, 1e-30))
+
+    Fp = []
+    for phiL, phiR in zip(*pass_specific):
+        uL = phiL * sl.rho
+        uR = phiR * sr.rho
+        fL = sl.un * uL
+        fR = sr.un * uR
+        usL = phiL * rhoLs
+        usR = phiR * rhoRs
+        fLs = fL + SL * (usL - uL)
+        fRs = fR + SR * (usR - uR)
+        # ** state equals * state for passives
+        f = jnp.where(SL > 0.0, fL,
+            jnp.where(SLs >= 0.0, fLs,
+            jnp.where(SM2 >= 0.0, fLs,
+            jnp.where(SRs >= 0.0, fRs,
+            jnp.where(SR >= 0.0, fRs, fR)))))
+        Fp.append(f)
+    return F7, SM, Fp
+
+
+# ---------------------------------------------------------------------------
+# characteristic PLM (mhd_plm.cpp)
+
+def plm_mhd(qx, cs, srcQ, flatn, b, d, dt, dx_d, L, eos, small_dens,
+            small_pres, limit_characteristic=True):
+    """Interface states (qleft_ext at face from cell i-1 -> our qm; qright
+    from cell i -> qp), with the Miniati Eq. 32-33 magnetic source terms
+    and half-dt characteristic tracing. Face registration i-1/2 @ i."""
+    QMG, _ = ext_layout(L)
+    t1, t2 = _taxes(d)
+    VEL = (L.QU, L.QV, L.QW)
+    dtdx = dt / dx_d
+
+    rho = qx[L.QRHO]
+    as2 = cs * cs
+    Bn_c = qx[QMG[d]]
+    Bt1_c = qx[QMG[t1]]
+    Bt2_c = qx[QMG[t2]]
+    un = qx[VEL[d]]
+
+    # eigen-space field list (rho, un, ut1, ut2, p, Bt1, Bt2)
+    fields = [qx[L.QRHO], qx[VEL[d]], qx[VEL[t1]], qx[VEL[t2]],
+              qx[L.QPRES], Bt1_c, Bt2_c]
+
+    lam = mhd_evals(as2, un, rho, Bn_c, Bt1_c, Bt2_c)
+    leig, reig = mhd_evecs(as2, rho, Bn_c, Bt1_c, Bt2_c)
+
+    # MHD source terms (Miniati Eq. 32-33): cross-talk of dBn/dx
+    dBn = (shifted(b[d], 1, d) - b[d]) / dx_d
+    smhd = [jnp.zeros_like(rho),
+            qx[QMG[0]] / rho, qx[QMG[1]] / rho, qx[QMG[2]] / rho,
+            qx[QMG[0]] * qx[L.QU] + qx[QMG[1]] * qx[L.QV]
+            + qx[QMG[2]] * qx[L.QW],
+            qx[VEL[t1]], qx[VEL[t2]]]
+    # map the velocity-slot sources from (x,y,z) into eigen slots: the
+    # reference stores smhd[IEIGN_U/V/W] = B{x,y,z}/rho regardless of d
+    # (mhd_plm.cpp:150-152) -- IEIGN_U/V/W are the fixed x/y/z velocities
+    # there.  Our eigen ordering is rotated (un, ut1, ut2), so permute:
+    smhd_rot = [smhd[0],
+                [qx[QMG[0]], qx[QMG[1]], qx[QMG[2]]][d] / rho,
+                [qx[QMG[0]], qx[QMG[1]], qx[QMG[2]]][t1] / rho,
+                [qx[QMG[0]], qx[QMG[1]], qx[QMG[2]]][t2] / rho,
+                smhd[4], smhd[5], smhd[6]]
+    smhd = [s * dBn for s in smhd_rot]
+
+    # slopes
+    if limit_characteristic:
+        dq = [jnp.zeros_like(rho) for _ in range(NEIGN)]
+        for ii in range(NEIGN):
+            W0 = sum(leig[ii][n] * shifted(fields[n], -1, d)
+                     for n in range(NEIGN))
+            W1 = sum(leig[ii][n] * fields[n] for n in range(NEIGN))
+            W2 = sum(leig[ii][n] * shifted(fields[n], 1, d)
+                     for n in range(NEIGN))
+            dW = _mc_slope(W0, W1, W2, flatn)
+            for n in range(NEIGN):
+                dq[n] = dq[n] + dW * reig[n][ii]
+    else:
+        dq = [_mc_slope(shifted(f, -1, d), f, shifted(f, 1, d), flatn)
+              for f in fields]
+
+    # characteristic projection, summing over all eigenvalues (HLLD mode)
+    summ_p = [jnp.zeros_like(rho) for _ in range(NEIGN)]
+    summ_m = [jnp.zeros_like(rho) for _ in range(NEIGN)]
+    for ii in range(NEIGN):
+        Ldq = sum(leig[ii][n] * dq[n] for n in range(NEIGN))
+        wp = (1.0 - dtdx * lam[ii]) * Ldq
+        wm = -(1.0 + dtdx * lam[ii]) * Ldq
+        for n in range(NEIGN):
+            summ_p[n] = summ_p[n] + wp * reig[n][ii]
+            summ_m[n] = summ_m[n] + wm * reig[n][ii]
+
+    hdt = 0.5 * dt
+
+    def build(summ, face_Bn):
+        comps = [None] * (L.NQ + 3)
+        comps[L.QRHO] = jnp.maximum(
+            small_dens, rho + 0.5 * summ[IRHO] + hdt * smhd[IRHO])
+        comps[VEL[d]] = un + 0.5 * summ[IU] + hdt * smhd[IU]
+        comps[VEL[t1]] = fields[2] + 0.5 * summ[IV] + hdt * smhd[IV]
+        comps[VEL[t2]] = fields[3] + 0.5 * summ[IW] + hdt * smhd[IW]
+        comps[L.QPRES] = jnp.maximum(
+            small_pres, qx[L.QPRES] + 0.5 * summ[IP] + hdt * smhd[IP])
+        comps[QMG[d]] = face_Bn
+        comps[QMG[t1]] = Bt1_c + 0.5 * summ[IBT] + hdt * smhd[IBT]
+        comps[QMG[t2]] = Bt2_c + 0.5 * summ[IBTT] + hdt * smhd[IBTT]
+        # species: simple upwind-predictor advection
+        for i in range(L.nspec):
+            X = qx[L.QFS + i]
+            dX = _mc_slope(shifted(X, -1, d), X, shifted(X, 1, d), flatn)
+            if summ is summ_p:
+                comps[L.QFS + i] = X + 0.5 * (1.0 - dtdx * un) * dX
+            else:
+                comps[L.QFS + i] = X - 0.5 * (1.0 + dtdx * un) * dX
+        return comps
+
+    # qleft: left state of face i+1/2 (stored at i+1 in the reference);
+    # face B there is b[d] at i+1
+    ql_comps = build(summ_p, shifted(b[d], 1, d))
+    qr_comps = build(summ_m, b[d])
+
+    def finish(comps):
+        # rho e from (rho, p, X) + 0.5 dt srcQ
+        xn = jnp.stack([comps[L.QFS + i] for i in range(L.nspec)]) \
+            if L.nspec else jnp.zeros((0,) + rho.shape, rho.dtype)
+        es = eos.rp(rho=comps[L.QRHO], p=comps[L.QPRES], xn=xn)
+        comps[L.QREINT] = es.e * comps[L.QRHO]
+        if srcQ is not None:
+            comps[L.QRHO] = jnp.maximum(
+                small_dens, comps[L.QRHO] + hdt * srcQ[L.QRHO])
+            for c in (L.QU, L.QV, L.QW, L.QPRES, L.QREINT):
+                comps[c] = comps[c] + hdt * srcQ[c]
+        for i, cv in enumerate(comps):
+            if cv is None:
+                comps[i] = jnp.zeros_like(rho)
+        return jnp.stack(comps)
+
+    ql = finish(ql_comps)
+    qr = finish(qr_comps)
+
+    # register at face i-1/2 @ i: qm (left) = qleft shifted from cell i-1
+    qm = shifted(ql, -1, 1 + d)
+    qp = qr
+    return qm, qp
+
+
+# ---------------------------------------------------------------------------
+# edge electric fields (electric.cpp; Gardiner-Stone with upwinded
+# cell-centered E derivatives)
+
+def _ecen(qx, k, L):
+    """Cell-centered E_k = -(v x B)_k (mhd_util.H electric)."""
+    QMG, _ = ext_layout(L)
+    a1 = (k + 1) % 3
+    a2 = (k + 2) % 3
+    VEL = (L.QU, L.QV, L.QW)
+    return -qx[VEL[a1]] * qx[QMG[a2]] + qx[VEL[a2]] * qx[QMG[a1]]
+
+
+def electric_edge(k, qx, flx_a1, flx_a2, L):
+    """E_k on edges (k-line at a1-1/2, a2-1/2), with (k, a1, a2) cyclic.
+
+    flx_a1 / flx_a2: extended fluxes through a1- / a2-faces. Vectorized
+    transcription of electric_edge_x (electric.cpp:9-165) with the cyclic
+    axis mapping x->k, y->a1, z->a2.
+    """
+    QMG, UMG = ext_layout(L)
+    a1 = (k + 1) % 3
+    a2 = (k + 2) % 3
+
+    Ec = _ecen(qx, k, L)
+
+    def sh(arr, off_a1=0, off_a2=0):
+        out = arr
+        if off_a1:
+            out = shifted(out, off_a1, a1 if out.ndim == 3 else 1 + a1)
+        if off_a2:
+            out = shifted(out, off_a2, a2 if out.ndim == 3 else 1 + a2)
+        return out
+
+    F1_B2 = flx_a1[UMG[a2]]   # flux of B_a2 through a1 faces = -E_k there
+    F2_B1 = flx_a2[UMG[a1]]   # flux of B_a1 through a2 faces = +E_k there
+    F1_rho = flx_a1[L.URHO]
+    F2_rho = flx_a2[L.URHO]
+
+    def upw(sel, a, bb):
+        return jnp.where(sel > 0.0, a, jnp.where(sel < 0.0, bb,
+                                                 0.5 * (a + bb)))
+
+    # dE/da1 at (a1-3/4, a2-1/2)
+    a_ = 2.0 * (-sh(F1_B2, 0, -1) - sh(Ec, -1, -1))
+    b_ = 2.0 * (-F1_B2 - sh(Ec, -1, 0))
+    d1 = upw(sh(F2_rho, -1, 0), a_, b_)
+    # dE/da1 at (a1-1/4, a2-1/2)
+    a_ = 2.0 * (sh(Ec, 0, -1) + sh(F1_B2, 0, -1))
+    b_ = 2.0 * (Ec + F1_B2)
+    d2 = upw(F2_rho, a_, b_)
+    dd1 = 0.125 * (d1 - d2)
+
+    # dE/da2 at (a1-1/2, a2-3/4)
+    a_ = 2.0 * (sh(F2_B1, -1, 0) - sh(Ec, -1, -1))
+    b_ = 2.0 * (F2_B1 - sh(Ec, 0, -1))
+    d1 = upw(sh(F1_rho, 0, -1), a_, b_)
+    # dE/da2 at (a1-1/2, a2-1/4)
+    a_ = 2.0 * (sh(Ec, -1, 0) - sh(F2_B1, -1, 0))
+    b_ = 2.0 * (Ec - F2_B1)
+    d2 = upw(F1_rho, a_, b_)
+    dd2 = 0.125 * (d1 - d2)
+
+    E = 0.25 * (-F1_B2 - sh(F1_B2, 0, -1) + sh(F2_B1, -1, 0) + F2_B1) \
+        + dd1 + dd2
+    return E
+
+
+# ---------------------------------------------------------------------------
+# corner coupling / half step (ct_upwind.cpp)
+
+def corner_couple(ur, ul, flxd2, Ed1, Ed3, d1, d2, d3, dt, dx, L, eos,
+                  small_dens):
+    """MM Eq. 37-39: correct the d1-face conserved states with the d2
+    transverse flux difference + EMF terms; returns extended prim states.
+    ur = '-' state (cell i), ul = '+' state (cell i-1)."""
+    _, UMG = ext_layout(L)
+    sgn = _eps(d1, d2, d3)
+    cdtdx = dt / (3.0 * dx[d1])
+
+    def dF(off_d1):
+        hi = shifted(flxd2, 1, 1 + d2)
+        lo = flxd2
+        if off_d1:
+            hi = shifted(hi, off_d1, 1 + d1)
+            lo = shifted(lo, off_d1, 1 + d1)
+        return cdtdx * (hi - lo)
+
+    def b_updates(off_d1):
+        # Ed3 difference along d2 (normal-B update, Eq. 38) -- the face is
+        # shared by both states so no d1 shift
+        dEd3 = shifted(Ed3, 1, d2) - Ed3
+        # Ed1 four-corner average difference (in-plane B, Eq. 39)
+        err = shifted(shifted(Ed1, 1, d2), 1, d3)
+        elr = shifted(Ed1, 1, d3)
+        erl = shifted(Ed1, 1, d2)
+        ell = Ed1
+        if off_d1:
+            err = shifted(err, off_d1, d1)
+            elr = shifted(elr, off_d1, d1)
+            erl = shifted(erl, off_d1, d1)
+            ell = shifted(ell, off_d1, d1)
+        dEd1 = (err - elr) + (erl - ell)
+        return dEd3, dEd1
+
+    outs = []
+    for u_face, off in ((ur, 0), (ul, -1)):
+        ut = u_face - dF(off)
+        dEd3, dEd1 = b_updates(off)
+        rows = []
+        for n in range(ut.shape[0]):
+            if n == L.UTEMP:
+                rows.append(jnp.zeros_like(ut[n]))
+            elif n == UMG[d1]:
+                rows.append(u_face[n] - sgn * cdtdx * dEd3)
+            elif n == UMG[d3]:
+                rows.append(u_face[n] + sgn * 0.5 * cdtdx * dEd1)
+            elif n == UMG[d2]:
+                rows.append(u_face[n])
+            else:
+                rows.append(ut[n])
+        outs.append(cons_to_prim_ext(jnp.stack(rows), L, eos, small_dens))
+    qr_out, ql_out = outs
+    return qr_out, ql_out
+
+
+def half_step(ur, ul, flxd1, flxd2, Ed, Ed1, Ed2, d, d1, d2, dt, dx, L,
+              eos, small_dens):
+    """MM Eq. 44-46: final double-transverse correction of the d-face
+    states using the corner-coupled fluxes + EMFs."""
+    _, UMG = ext_layout(L)
+    hdtdx = 0.5 * dt / dx[d]
+    sgn = -1 * _eps(d, d1, d2)
+
+    def dF(flx, td, off_d):
+        hi = shifted(flx, 1, 1 + td)
+        lo = flx
+        if off_d:
+            hi = shifted(hi, off_d, 1 + d)
+            lo = shifted(lo, off_d, 1 + d)
+        return hdtdx * (hi - lo)
+
+    # EMF stencils (offsets per ct_upwind.cpp half_step; the left ('+')
+    # state shifts every Ed/Ed1/Ed2 corner index by -1 along d, while the
+    # normal-B terms use the shared face and never shift)
+    def sh3(E, od=0, od1=0, od2=0):
+        out = E
+        if od:
+            out = shifted(out, od, d)
+        if od1:
+            out = shifted(out, od1, d1)
+        if od2:
+            out = shifted(out, od2, d2)
+        return out
+
+    # normal-B (Eq. 45): Ed1 differenced along d2, Ed2 along d1
+    dBn = (sh3(Ed1, 0, 0, 1) - Ed1) - (sh3(Ed2, 0, 1, 0) - Ed2)
+
+    def emf_terms(off_d):
+        # in-plane Bd1 (Eq. 46)
+        dBd1 = ((sh3(Ed, off_d, 1, 1) - sh3(Ed, off_d, 1, 0)) +
+                (sh3(Ed, off_d, 0, 1) - sh3(Ed, off_d, 0, 0)) -
+                (sh3(Ed2, off_d + 1, 1, 0) - sh3(Ed2, off_d, 1, 0)) -
+                (sh3(Ed2, off_d + 1, 0, 0) - sh3(Ed2, off_d, 0, 0)))
+
+        # in-plane Bd2 (Eq. 46)
+        dBd2 = ((sh3(Ed, off_d, 1, 1) - sh3(Ed, off_d, 0, 1)) +
+                (sh3(Ed, off_d, 1, 0) - sh3(Ed, off_d, 0, 0)) -
+                (sh3(Ed1, off_d + 1, 0, 1) - sh3(Ed1, off_d, 0, 1)) -
+                (sh3(Ed1, off_d + 1, 0, 0) - sh3(Ed1, off_d, 0, 0)))
+        return dBn, dBd1, dBd2
+
+    outs = []
+    for u_face, off in ((ur, 0), (ul, -1)):
+        ut = u_face - dF(flxd1, d1, off) - dF(flxd2, d2, off)
+        dBn, dBd1, dBd2 = emf_terms(off)
+        rows = []
+        for n in range(ut.shape[0]):
+            if n == L.UTEMP:
+                rows.append(jnp.zeros_like(ut[n]))
+            elif n == UMG[d]:
+                rows.append(u_face[n] - sgn * hdtdx * dBn)
+            elif n == UMG[d1]:
+                rows.append(u_face[n] + sgn * 0.5 * hdtdx * dBd1)
+            elif n == UMG[d2]:
+                rows.append(u_face[n] - sgn * 0.5 * hdtdx * dBd2)
+            else:
+                rows.append(ut[n])
+        outs.append(cons_to_prim_ext(jnp.stack(rows), L, eos, small_dens))
+    qr_out, ql_out = outs
+    return qr_out, ql_out
+
+
+# ---------------------------------------------------------------------------
+# half-time primitives (prim_half + qflux, mhd_util)
+
+def prim_half(qx, flxx, flxy, flxz, dt, dx, L, eos):
+    """q at n+1/2 (MM Eq. 48): q - dt/2 * (dW/dU . div F)."""
+    QMG, UMG = ext_layout(L)
+    divF = 0.0
+    for d, flx in enumerate((flxx, flxy, flxz)):
+        divF = divF + (shifted(flx, 1, 1 + d) - flx) / dx[d]
+
+    rho = qx[L.QRHO]
+    rhoinv = 1.0 / rho
+    vx, vy, vz = qx[L.QU], qx[L.QV], qx[L.QW]
+    xn = qx[L.QFS: L.QFS + L.nspec]
+    es = eos.rp(rho=rho, p=qx[L.QPRES], xn=xn)
+
+    qfl = [None] * (L.NQ + 3)
+    qfl[L.QRHO] = divF[L.URHO]
+    qfl[L.QU] = (divF[L.UMX] - divF[L.URHO] * vx) * rhoinv
+    qfl[L.QV] = (divF[L.UMY] - divF[L.URHO] * vy) * rhoinv
+    qfl[L.QW] = (divF[L.UMZ] - divF[L.URHO] * vz) * rhoinv
+    for i in range(L.nspec):
+        qfl[L.QFS + i] = (divF[L.UFS + i]
+                          - divF[L.URHO] * qx[L.QFS + i]) * rhoinv
+    # pressure via dp = dpdr_e drho + dpde (d(rho e) - e drho)/rho, with
+    # d(rho e) = dE - v.dm + (v^2/2) drho - B.dB (algebraically equal to
+    # the reference's (rho,p)-derivative form in mhd_util.H qflux)
+    F_rhoe = (divF[L.UEDEN]
+              - vx * divF[L.UMX] - vy * divF[L.UMY] - vz * divF[L.UMZ]
+              + 0.5 * (vx * vx + vy * vy + vz * vz) * divF[L.URHO]
+              - qx[QMG[0]] * divF[UMG[0]] - qx[QMG[1]] * divF[UMG[1]]
+              - qx[QMG[2]] * divF[UMG[2]])
+    qfl[L.QPRES] = es.dpdr_e * divF[L.URHO] + es.dpde * (
+        F_rhoe - es.e * divF[L.URHO]) * rhoinv
+    for k in range(3):
+        qfl[QMG[k]] = divF[UMG[k]]
+    for i, cv in enumerate(qfl):
+        if cv is None:
+            qfl[i] = jnp.zeros_like(rho)
+
+    return qx - 0.5 * dt * jnp.stack(qfl)
+
+
+__all__ = ["plm_mhd", "hlld_ext", "electric_edge", "corner_couple",
+           "half_step", "prim_half", "cons_to_prim_ext", "prim_to_cons_ext",
+           "ext_layout", "mhd_evals", "mhd_evecs"]

@@ -209,6 +209,172 @@ class MhdSolver:
         u2 = self._clean(u2, b2)
         return MhdState(u2, b2)
 
+    # -- CTU-CT (corner-coupled constrained transport, 3D) -------------------
+    def ctoprim_ext(self, u, b):
+        """Extended primitives [NQ+3] (cell-centered B from face averages)
+        + gas sound speed, matching the reference MHD ctoprim."""
+        L = self.L
+        rho, vel, p, e, bc, gam1 = self.prim(u, b)
+        xn = u[L.UFS:L.UFS + L.nspec] / rho[None]
+        es = self.sim.eos.re(rho=rho, e=e, xn=xn)
+        comps = [None] * (L.NQ + 3)
+        comps[L.QRHO] = rho
+        comps[L.QU], comps[L.QV], comps[L.QW] = vel
+        comps[L.QPRES] = p
+        comps[L.QREINT] = rho * e
+        comps[L.QTEMP] = es.T
+        comps[L.QGAME] = p / (rho * e) + 1.0
+        for i in range(L.nspec):
+            comps[L.QFS + i] = xn[i]
+        for k in range(3):
+            comps[L.NQ + k] = bc[k]
+        for i, cv in enumerate(comps):
+            if cv is None:
+                comps[i] = jnp.zeros_like(rho)
+        return jnp.stack(comps), es.cs
+
+    def step_ctu(self, state: "MhdState", dt, srcQ=None):
+        """One CTU-CT step (reference construct_ctu_mhd_source,
+        `Source/mhd/Castro_mhd.cpp:7-724`; Miniati & Martin algorithm:
+        12 HLLD solves + 3 rounds of Gardiner-Stone edge EMFs). 3D only;
+        div B stays at round-off by construction."""
+        from castro_tpu.mhd import ctu_ct as cc
+        from castro_tpu.ops.flatten import uflatten
+        from castro_tpu.ops.advection_util import apply_av, \
+            normalize_species_fluxes, divu_node
+
+        sim = self.sim
+        L = self.L
+        assert L.dim == 3, "CTU-CT path is 3D; 1D/2D use the RK2-CT solver"
+        dx = self.geom.dx
+        eos = sim.eos
+        small_dens = sim.cfg.small_dens
+        small_pres = sim.cfg.small_pres
+
+        u, b = state
+        u = sim._fill(u)
+        b = tuple(self._fill_b(bb, d) for d, bb in enumerate(b))
+
+        qx, cs = self.ctoprim_ext(u, b)
+        QMG, UMG = cc.ext_layout(L)
+
+        # flattening: product of the p-based and ptot-based coefficients
+        # (Castro_mhd.cpp:168-180)
+        if sim.cfg.use_flattening:
+            flatn = uflatten(qx, L)
+            ptot = qx[L.QPRES] + 0.5 * (
+                qx[QMG[0]] ** 2 + qx[QMG[1]] ** 2 + qx[QMG[2]] ** 2)
+            q_ptot = qx.at[L.QPRES].set(ptot)
+            flatn = flatn * uflatten(q_ptot, L)
+        else:
+            flatn = jnp.ones_like(qx[L.QRHO])
+
+        # interface states per direction (characteristic PLM)
+        qm = {}
+        qp = {}
+        ul = {}
+        ur = {}
+        limit_char = bool(getattr(sim.params.castro,
+                                  "mhd_limit_characteristic", 1))
+        for d in range(3):
+            m, p_ = cc.plm_mhd(qx, cs, srcQ, flatn, b, d, dt,
+                               dx[d], L, eos, small_dens, small_pres,
+                               limit_characteristic=limit_char)
+            m = jax.lax.optimization_barrier(m)
+            p_ = jax.lax.optimization_barrier(p_)
+            qm[d], qp[d] = m, p_
+            ul[d] = cc.prim_to_cons_ext(m, L, eos)
+            ur[d] = cc.prim_to_cons_ext(p_, L, eos)
+
+        # MM step 1: 1D fluxes
+        flx1 = {d: jax.lax.optimization_barrier(
+            cc.hlld_ext(qm[d], qp[d], d, L, eos, small_dens, small_pres))
+            for d in range(3)}
+
+        # MM step 2: first edge EMFs
+        E1 = {k: jax.lax.optimization_barrier(
+            cc.electric_edge(k, qx, flx1[(k + 1) % 3],
+                             flx1[(k + 2) % 3], L)) for k in range(3)}
+
+        # MM steps 3-5: corner coupling (6 states + 6 HLLD solves)
+        flx_cc = {}
+        for d1 in range(3):
+            for d2 in range(3):
+                if d2 == d1:
+                    continue
+                d3 = 3 - d1 - d2
+                qr2, ql2 = cc.corner_couple(
+                    ur[d1], ul[d1], flx1[d2], E1[d1], E1[d3],
+                    d1, d2, d3, dt, dx, L, eos, small_dens)
+                flx_cc[(d1, d2)] = jax.lax.optimization_barrier(
+                    cc.hlld_ext(ql2, qr2, d1, L, eos, small_dens,
+                                small_pres))
+
+        # MM step 6: averaged corner fluxes -> second edge EMFs
+        flxavg = {d: 0.5 * (flx_cc[(d, [a for a in range(3) if a != d][0])]
+                            + flx_cc[(d, [a for a in range(3) if a != d][1])])
+                  for d in range(3)}
+        E2 = {k: jax.lax.optimization_barrier(
+            cc.electric_edge(k, qx, flxavg[(k + 1) % 3],
+                             flxavg[(k + 2) % 3], L)) for k in range(3)}
+
+        # MM steps 7-9: half-step states + final fluxes
+        flxf = {}
+        for d in range(3):
+            d1 = (d + 1) % 3
+            d2 = (d + 2) % 3
+            qrh, qlh = cc.half_step(
+                ur[d], ul[d], flx_cc[(d1, d2)], flx_cc[(d2, d1)],
+                E2[d], E2[d1], E2[d2], d, d1, d2, dt, dx, L, eos,
+                small_dens)
+            flxf[d] = jax.lax.optimization_barrier(
+                cc.hlld_ext(qlh, qrh, d, L, eos, small_dens, small_pres))
+
+        # MM step 10: half-time primitives -> final EMFs
+        q2d = cc.prim_half(qx, flxavg[0], flxavg[1], flxavg[2], dt, dx, L,
+                           eos)
+        E3 = {k: jax.lax.optimization_barrier(
+            cc.electric_edge(k, q2d, flxf[(k + 1) % 3],
+                             flxf[(k + 2) % 3], L)) for k in range(3)}
+
+        # flux cleaning: artificial viscosity + species normalization on
+        # the gas components (Castro_mhd.cpp:640-660)
+        div = divu_node(qx, dx, L)
+        for d in range(3):
+            gas = flxf[d][:L.NVAR]
+            gas = gas.at[L.UTEMP].set(0.0)
+            if L.shock_var:
+                gas = gas.at[L.USHK].set(0.0)
+            gas = apply_av(gas, d, div, u, L, sim.cfg.difmag, dx)
+            gas = normalize_species_fluxes(gas, L)
+            flxf[d] = jnp.concatenate([gas, flxf[d][L.NVAR:]], axis=0)
+
+        # conservative gas update (consup_mhd: no pdivu term — total-energy
+        # fluxes carry the magnetic work)
+        u_new = u
+        for d in range(3):
+            F = flxf[d][:L.NVAR]
+            u_new = u_new + dt * (F - shifted(F, 1, 1 + d)) / dx[d]
+        u_new = u_new.at[L.UTEMP].set(u[L.UTEMP])
+
+        # face-B update: curl of the final edge EMFs (per-axis metric —
+        # the reference uses dt/dx[0] for all terms, exact only for cubic
+        # cells; we apply the correct per-direction spacings)
+        b_new = [None, None, None]
+        b_new[0] = b[0] + dt * (
+            (shifted(E3[1], 1, 2) - E3[1]) / dx[2]
+            - (shifted(E3[2], 1, 1) - E3[2]) / dx[1])
+        b_new[1] = b[1] + dt * (
+            (shifted(E3[2], 1, 0) - E3[2]) / dx[0]
+            - (shifted(E3[0], 1, 2) - E3[0]) / dx[2])
+        b_new[2] = b[2] + dt * (
+            (shifted(E3[0], 1, 1) - E3[0]) / dx[1]
+            - (shifted(E3[1], 1, 0) - E3[1]) / dx[0])
+        b_new = tuple(self._fill_b(bb, d) for d, bb in enumerate(b_new))
+
+        u_new = self._clean(u_new, b_new)
+        return MhdState(u_new, b_new)
+
     def _clean(self, u, b):
         """MHD clean_state: density floor, dual-energy reset with the
         magnetic contribution removed (reference add_magnetic_e /
