@@ -144,9 +144,12 @@ class Simulation:
         self.sdc = None
         self.sdc_simplified = None
         if tim == 2:
-            from castro_tpu.sdc import TrueSDC2
+            from castro_tpu.sdc import TrueSDC2, TrueSDC4
 
-            self.sdc = TrueSDC2(self)
+            if int(params.castro.sdc_order) >= 4:
+                self.sdc = TrueSDC4(self)
+            else:
+                self.sdc = TrueSDC2(self)
             self._jit_sdc_step = jax.jit(
                 lambda u, dt, t: self.sdc.advance(u, dt, t))
         elif tim == 3 and params.castro.do_react and self.network.reactive:
