@@ -175,6 +175,8 @@ class CastroParams:
     # -- misc physics
     use_shock_var: int = 0
     hybrid_momentum: int = 0
+    #: evolve UMR/UML/UMP with their own fluxes (Castro_hybrid.cpp)
+    hybrid_hydro: int = 0
     do_scf_initial_model: int = 0
     ambient_fill_dir: int = -1
     ambient_outflow_vel: int = 0
@@ -188,7 +190,6 @@ class CastroParams:
     #: constrained transport), 0 = SSP-RK2 + flux-CT
     mhd_ctu: int = 1
     mhd_plm_slope: int = 2
-    mhd_limit_characteristic: int = 1
     # -- tracer particles
     do_tracer_particles: int = 0
 

@@ -178,6 +178,7 @@ class Simulation:
             pslope_cutoff_density=c.pslope_cutoff_density,
             use_pallas=(jax.default_backend() == "tpu"
                         and params.tpu.dtype != "float64"),
+            hybrid_hydro=bool(c.hybrid_hydro) and self.layout.hybrid_momentum,
             limit_fluxes_on_small_dens=bool(c.limit_fluxes_on_small_dens),
             speed_limit=c.speed_limit,
             cfl=c.cfl,
@@ -232,6 +233,12 @@ class Simulation:
         u = self.allocate()
         if self.problem_init is not None:
             u = self.problem_init(self, u)
+        if self.cfg.hybrid_hydro:
+            # seed the (authoritative) hybrid momenta from the problem's
+            # linear momenta (reference initData -> linear_to_hybrid_momentum,
+            # Castro.cpp:1154); clean_fill then syncs the other direction
+            u = clean_mod.update_hybrid_momenta(u, self.layout, self.geom,
+                                                self.ng)
         self.u = self._jit_clean_fill(u)
         if self.rad is not None and self.u_rad is None:
             # default: radiation in equilibrium with matter (problems may
@@ -263,8 +270,17 @@ class Simulation:
             do_normalize_species=bool(c.normalize_species),
             speed_limit=c.speed_limit)
         if self.layout.hybrid_momentum:
-            u = clean_mod.update_hybrid_momenta(u, self.layout, ctx.geom,
-                                                self.ng)
+            if self.cfg.hybrid_hydro:
+                # hybrid momenta are authoritative (advected with their
+                # own fluxes): rebuild the linear momenta from them
+                # (Castro_hybrid.cpp hybrid_to_linear_momentum)
+                from castro_tpu.ops.hybrid import sync_linear_from_hybrid
+
+                u = sync_linear_from_hybrid(u, ctx.geom, self.layout,
+                                            self.ng)
+            else:
+                u = clean_mod.update_hybrid_momenta(u, self.layout,
+                                                    ctx.geom, self.ng)
         u = ctx.fill(u, t)
         return u
 

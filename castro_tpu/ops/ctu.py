@@ -51,6 +51,7 @@ class HydroConfig(NamedTuple):
     plm_iorder: int = 2
     pslope_cutoff_density: float = -1.0e20
     use_pallas: bool = False
+    hybrid_hydro: bool = False
     limit_fluxes_on_small_dens: bool = False
     speed_limit: float = 0.0
     cfl: float = 0.8
@@ -291,6 +292,34 @@ def ctu_hydro(u, q, qaux, srcQ, dt, geom: Geometry, layout, cfg: HydroConfig,
     fluxes = [fq[0] for fq in fluxes_qe]
     qes = [fq[1] for fq in fluxes_qe]
 
+    def _apply_hybrid(target, factor):
+        """Add the hybrid-momentum flux divergence (hybrid_hydro=1,
+        Castro_hybrid.cpp / hybrid.H compute_hybrid_flux) into `target`
+        (hsrc with factor=1, or the folded u+dt*hsrc with factor=dt);
+        also records the hybrid rows in `fluxes` for refluxing."""
+        from castro_tpu.ops.hybrid import R_MIN, _loc, hybrid_flux
+
+        for d_ in range(dim):
+            fr, fl, fp = hybrid_flux(qes[d_], d_, geom, L, cfg.ng)
+            for comp, F in ((L.UMR, fr), (L.UML, fl), (L.UMP, fp)):
+                div = (F - shifted(F, 1, d_)) / dx[d_]
+                target = target.at[comp].add(factor * div)
+                fluxes[d_] = fluxes[d_].at[comp].set(F)
+        # radial pressure-gradient term on UMR from the face Godunov
+        # pressures (Castro_ctu_hydro.cpp:1280-1300)
+        loc = _loc(geom, L, cfg.ng, grid_shape, dtype)
+        R = jnp.maximum(jnp.sqrt(loc[0] ** 2 + loc[1] ** 2), R_MIN)
+        gradp = 0.0
+        for d_ in range(min(dim, 2)):
+            gdp = qes[d_][L.GDPRES]
+            gradp = gradp + (loc[d_] / R) * (
+                shifted(gdp, 1, d_) - gdp) / dx[d_]
+        target = target.at[L.UMR].add(-factor * gradp)
+        return target
+
+    use_hybrid = (cfg.hybrid_hydro and L.hybrid_momentum
+                  and geom.coord == CoordSys.CARTESIAN)
+
     use_fused_consup = (
         dim == 3 and cfg.use_pallas and geom.coord == CoordSys.CARTESIAN
         and not cfg.limit_fluxes_on_small_dens and cfg.speed_limit <= 0.0)
@@ -314,6 +343,9 @@ def ctu_hydro(u, q, qaux, srcQ, dt, geom: Geometry, layout, cfg: HydroConfig,
                     (shk - u[L.USHK]) / jnp.maximum(dt, 1e-300))
         elif cfg.use_shock_var and shk is not None:
             hsrc = hsrc.at[L.USHK].set(shk)
+        if use_hybrid:
+            hsrc = _apply_hybrid(
+                hsrc, 1.0 if fold_update_dt is None else fold_update_dt)
         return hsrc, fluxes, qes, shk
 
     # artificial viscosity + positivity flux limiters + species flux
@@ -367,6 +399,8 @@ def ctu_hydro(u, q, qaux, srcQ, dt, geom: Geometry, layout, cfg: HydroConfig,
         # USHK is set, not fluxed (consup_hydro n==USHK branch)
         hsrc = hsrc.at[L.USHK].set((shk - u[L.USHK]) / jnp.maximum(dt, 1e-300))
 
+    if use_hybrid:
+        hsrc = _apply_hybrid(hsrc, 1.0)
     if fold_update_dt is not None:
         hsrc = u + fold_update_dt * hsrc
     return hsrc, fluxes, qes, shk

@@ -37,6 +37,17 @@ def build_sources(params, geom, layout, ng, ext_src=None):
         srcs.append(RotationSource(params, geom, layout, ng))
     if c.do_sponge:
         srcs.append(SpongeSource(params, geom, layout, ng))
+    if c.hybrid_hydro and layout.hybrid_momentum:
+        # geometric source on the radial momentum: (1/rho) L^2/R^3
+        # (Castro_hybrid.cpp construct_old/new_hybrid_source)
+        from castro_tpu.ops.hybrid import hybrid_geom_source
+
+        def hybrid_src(sim, u, q, qaux, t, dt, ctx=None):
+            g = ctx.geom if ctx is not None else sim.geom
+            return hybrid_geom_source(u, g, sim.layout, sim.ng)
+
+        hybrid_src.name = "hybrid"
+        srcs.append(hybrid_src)
     if c.add_ext_src and ext_src is not None:
         srcs.append(ext_src)
     from castro_tpu.geometry import CoordSys
