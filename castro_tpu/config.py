@@ -252,6 +252,7 @@ class RadiationParams:
     do_real_eos: int = 1
     c_light_scale: float = 1.0  # reference radiation.c -> fudge factors
     outer_iters: int = 8  # matter-coupling outer iterations (maxiter analog)
+    accelerate: int = 2  # MGFLD group-iteration acceleration: 0=off, 2=gray_accel
     lo_bc: Tuple[int, ...] = (0, 0, 0)
     hi_bc: Tuple[int, ...] = (0, 0, 0)
     lo_bcflag: Tuple[int, ...] = (0, 0, 0)

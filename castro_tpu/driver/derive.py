@@ -286,6 +286,67 @@ def derive_Ertot(sim, u):
     return jnp.sum(Er, axis=0) if Er.ndim > L.dim else Er
 
 
+def derive_Trad(sim, u):
+    """Radiation temperature (Er_tot/a)^(1/4) (reference RadDerive.cpp
+    derrtemp)."""
+    from castro_tpu.utils import constants as C
+
+    Er = derive_Ertot(sim, u)
+    return (jnp.maximum(Er, 0.0) / C.a_rad) ** 0.25
+
+
+def derive_rad_group(g):
+    """Per-group radiation energy (reference plotvars rad0, rad1, ...)."""
+    def fn(sim, u):
+        L = sim.layout
+        if getattr(sim, "u_rad", None) is None:
+            return jnp.zeros_like(u[L.URHO])
+        Er = sim.u_rad
+        return Er[g] if Er.ndim > L.dim else Er
+    return fn
+
+
+def derive_rad_lambda(sim, u):
+    """FLD flux-limiter lambda of the (total) radiation field (reference
+    RadPlotvar.cpp lambda plotvar; LP limiter as configured)."""
+    from castro_tpu.radiation.fld import fld_lambda
+
+    L = sim.layout
+    if getattr(sim, "u_rad", None) is None or sim.rad is None:
+        return jnp.zeros_like(u[L.URHO])
+    Er = derive_Ertot(sim, u)
+    rho = u[L.URHO]
+    T = u[L.UTEMP]
+    kr = sim.rad.kappa_r(rho, jnp.maximum(T, 1e-10))
+    g2 = 0.0
+    for d in range(L.dim):
+        from castro_tpu.ops.stencil import shifted
+
+        g2 = g2 + ((shifted(Er, 1, d) - shifted(Er, -1, d))
+                   / (2 * sim.geom.dx[d])) ** 2
+    R = jnp.sqrt(g2) / jnp.maximum(kr * jnp.maximum(Er, 1e-30), 1e-30)
+    return fld_lambda(R, sim.rad.limiter)
+
+
+def derive_Frad(d):
+    """Radiative flux component -c*lambda/kappa_R dEr/dx_d (reference
+    RadPlotvar.cpp Frad*)."""
+    def fn(sim, u):
+        from castro_tpu.ops.stencil import shifted
+
+        L = sim.layout
+        if getattr(sim, "u_rad", None) is None or sim.rad is None or \
+                d >= L.dim:
+            return jnp.zeros_like(u[L.URHO])
+        Er = derive_Ertot(sim, u)
+        lam = derive_rad_lambda(sim, u)
+        rho = u[L.URHO]
+        kr = sim.rad.kappa_r(rho, jnp.maximum(u[L.UTEMP], 1e-10))
+        dEr = (shifted(Er, 1, d) - shifted(Er, -1, d)) / (2 * sim.geom.dx[d])
+        return -sim.rad.c * lam / kr * dEr
+    return fn
+
+
 def registry(sim):
     """Name -> derive fn, built for a sim's layout (reference derive_lst)."""
     reg = {
@@ -322,7 +383,15 @@ def registry(sim):
         "diff_term": derive_diff_term,
         "t_sound_t_enuc": derive_t_sound_t_enuc,
         "Ertot": derive_Ertot,
+        "Trad": derive_Trad,
+        "lamborder": derive_rad_lambda,
+        "Fradx": derive_Frad(0),
+        "Frady": derive_Frad(1),
+        "Fradz": derive_Frad(2),
     }
     for i, name in enumerate(sim.network.spec_names):
         reg[f"X({name})"] = derive_spec(i)
+    if getattr(sim, "rad", None) is not None:
+        for g in range(max(sim.layout.ngroups, 1)):
+            reg[f"rad{g}"] = derive_rad_group(g)
     return reg
