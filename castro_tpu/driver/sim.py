@@ -127,6 +127,7 @@ class Simulation:
             from castro_tpu.radiation.fld import FLDRadiation
 
             self.rad = FLDRadiation(params, self.geom, self.layout)
+            self.rad.geom_metric()  # build the curvilinear metric eagerly
             self._jit_rad_step = jax.jit(self._rad_step_impl)
 
         # Strang reaction coupling (reference Castro_react.cpp; SDC modes
@@ -558,7 +559,8 @@ class Simulation:
             return self.eos.re(rho=rho, e=jnp.maximum(e_k, 1e-300), xn=xn)
 
         Er_new2, e_new, T_new = self.rad.gray_update(
-            Er_new[0], rho, e, es.T, es.cv, dt, eos_re=eos_re)
+            Er_new[0], rho, e, es.T, es.cv, dt, eos_re=eos_re,
+            metric=self.rad.geom_metric())
         de = rho * (e_new - e)
         u_new = u_new.at[(L.UEINT,) + inner[1:]].add(de)
         u_new = u_new.at[(L.UEDEN,) + inner[1:]].add(de)
@@ -601,7 +603,8 @@ class Simulation:
             return self.eos.re(rho=rho, e=jnp.maximum(e_k, 1e-300), xn=xn)
 
         Er_new, e_new, T_new = self.rad.gray_update(
-            Er_adv, rho, e, es.T, es.cv, dt, eos_re=eos_re)
+            Er_adv, rho, e, es.T, es.cv, dt, eos_re=eos_re,
+            metric=self.rad.geom_metric())
         de = rho * (e_new - e)
         u_new = u_new.at[(L.UEINT,) + inner[1:]].add(de)
         u_new = u_new.at[(L.UEDEN,) + inner[1:]].add(de)

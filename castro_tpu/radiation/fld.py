@@ -45,6 +45,8 @@ class FLDRadiation:
         self.c = C.c_light * rp.c_light_scale
         self.arad = C.a_rad
         self.outer_iters = rp.outer_iters
+        self._metric_cache = None
+        self._metric_built = False
 
     # -- opacities (power-law models, reference Radiation.cpp kappa
     #    parsing: kappa = const * rho^m * T^(-n) * nu^p) -------------------
@@ -201,8 +203,49 @@ class FLDRadiation:
                     vals.append((A, G))
         return vlo, vhi
 
+    def geom_metric(self):
+        """Curvilinear {areas, vol} metric for the diffusion solves (the
+        reference's RadSolve cellCenteredApplyMetrics); None in Cartesian.
+        Supports 1D spherical/cylindrical and 2D axisymmetric (RZ)."""
+        import math
+
+        import numpy as np
+
+        from castro_tpu.geometry import CoordSys
+
+        if self._metric_built:
+            return self._metric_cache
+        self._metric_built = True
+        g = self.geom
+        if g.coord == CoordSys.CARTESIAN:
+            return None
+        r_f = np.asarray(g.faces_1d(0, 0))
+        if g.dim == 1:
+            if g.coord == CoordSys.SPHERICAL:
+                areas = [jnp.asarray(4.0 * math.pi * r_f**2)]
+                vol = jnp.asarray(4.0 * math.pi / 3.0 *
+                                  (r_f[1:] ** 3 - r_f[:-1] ** 3))
+            else:  # cylindrical (per unit height)
+                areas = [jnp.asarray(2.0 * math.pi * r_f)]
+                vol = jnp.asarray(math.pi * (r_f[1:] ** 2 - r_f[:-1] ** 2))
+            self._metric_cache = {"areas": areas, "vol": vol}
+            return self._metric_cache
+        if g.dim == 2 and g.coord == CoordSys.CYLINDRICAL:
+            dz = float(g.dx[1])
+            r_c = 0.5 * (r_f[1:] + r_f[:-1])
+            ar = jnp.asarray(2.0 * math.pi * r_f)[:, None] * dz
+            az = jnp.asarray(2.0 * math.pi * r_c * float(g.dx[0]))[:, None] \
+                * jnp.ones((1, g.n_cell[1] + 1))
+            vol = jnp.asarray(math.pi * (r_f[1:] ** 2 - r_f[:-1] ** 2)
+                              )[:, None] * dz
+            self._metric_cache = {"areas": [ar * jnp.ones((1, g.n_cell[1])),
+                                            az],
+                                  "vol": vol * jnp.ones((1, g.n_cell[1]))}
+            return self._metric_cache
+        return None
+
     def gray_update(self, Er, rho, e, T_guess, cv, dt, axis_names=None,
-                    eos_re=None):
+                    eos_re=None, metric=None):
         """One backward-Euler gray FLD solve with eta-linearized matter
         coupling (reference single_group_update). Returns (Er', e', T').
 
@@ -237,15 +280,29 @@ class FLDRadiation:
             #    Er^- + (1-eta) kp c dt a T_k^4_lin + eta (e-term)
             # linearized emission: a T(e_k)^4 ~ aT_k^4 (iterated)
             acoef = 1.0 + (1.0 - eta) * kp * cl * dt
-            rhs = Er + (1.0 - eta) * kp * cl * dt * a_r * T_k**4
+            # energy-limited emission: a cell cannot emit more than its
+            # internal energy over the step (the linearized a T^4 source
+            # otherwise overdraws cold sharp fronts; the same S appears in
+            # the matter debit below, so the cap is exactly conservative)
+            fac = (1.0 - eta) * kp * cl * dt
+            S_emit = jnp.minimum(a_r * T_k**4,
+                                 rho * e / jnp.maximum(fac, 1e-300))
+            rhs = Er + fac * S_emit
             Er_new, res = mg.solve(
                 rhs, self.geom.dx, acoef=acoef, bcoefs=bcoefs,
                 alpha=1.0, beta=dt, bc_lo=bc_lo, bc_hi=bc_hi,
-                bc_vals_lo=bvl, bc_vals_hi=bvh, n_vcycles=20, rtol=rtol,
-                axis_names=axis_names)
+                bc_vals_lo=bvl, bc_vals_hi=bvh, n_vcycles=40, rtol=rtol,
+                axis_names=axis_names, metric=metric)
             # matter update (internal_energy_update): eta-damped exchange
-            de = -dt * kp * cl * (a_r * T_k**4 - Er_new) / rho
+            # with the same capped emission source (exact pairing with the
+            # Er equation => discrete energy conservation)
+            de = -dt * kp * cl * (S_emit - Er_new) / rho
             e_new = e + de / (1.0 + beta * kp * cl * dt)
+            # residual positivity safeguard (conservative: deficit drawn
+            # from the local radiation field)
+            e_pos = jnp.maximum(e_new, 1e-300)
+            Er_new = jnp.maximum(Er_new - rho * (e_pos - e_new), 0.0)
+            e_new = e_pos
             return (Er_new, e_new), res
 
         (Er_f, e_f), _ = jax.lax.scan(outer, (Er, e), None,
