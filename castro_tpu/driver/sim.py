@@ -439,7 +439,11 @@ class Simulation:
                                       whole_grid=self.problem_fill is None)
             nan_flag = nan_flag | ctx.pany(courant > 1.0)
 
-        # new-time source corrector
+        # new-time source corrector. Sources that define a `.corrector`
+        # hook (e.g. rotation with implicit_rotation_update) compute their
+        # own full correction from (u_old, u_new) — their generic
+        # 0.5*dt*(S_new - S_old) term is replaced by dt*corr, matching the
+        # reference's corrsrc pattern (rotation_sources.cpp:186+).
         if self.source_fns:
             if self._use_fused_prim:
                 from castro_tpu.ops.pallas_kernels import prim_aux_pallas
@@ -451,10 +455,21 @@ class Simulation:
                 q2, qaux2 = ctoprim(u_new, L, self.eos, self.cfg.small_dens,
                                     max(c.small_temp, 1e-200))
             src_new = jnp.zeros_like(u)
+            corr = None
+            src_old_generic = src_old
             for fn in self.source_fns:
-                src_new = src_new + fn(self, u_new, q2, qaux2, t + dt, dt,
-                                       ctx=ctx)
-            u_new = u_new + 0.5 * dt * (src_new - src_old)
+                if hasattr(fn, "corrector"):
+                    cfn = fn.corrector(self, u, u_new, t, dt, ctx=ctx)
+                    corr = cfn if corr is None else corr + cfn
+                    # remove this fn's old-time term from the generic pair
+                    src_old_generic = src_old_generic - fn(
+                        self, u, q, qaux, t, dt, ctx=ctx)
+                else:
+                    src_new = src_new + fn(self, u_new, q2, qaux2, t + dt,
+                                           dt, ctx=ctx)
+            u_new = u_new + 0.5 * dt * (src_new - src_old_generic)
+            if corr is not None:
+                u_new = u_new + dt * corr
             u_new = self._clean_fill_impl(u_new, ctx, t + dt)
 
         if self.reactor is not None:
