@@ -459,7 +459,8 @@ class Simulation:
             src_old_generic = src_old
             for fn in self.source_fns:
                 if hasattr(fn, "corrector"):
-                    cfn = fn.corrector(self, u, u_new, t, dt, ctx=ctx)
+                    cfn = fn.corrector(self, u, u_new, t, dt, ctx=ctx,
+                                       fluxes=fluxes)
                     corr = cfn if corr is None else corr + cfn
                     # remove this fn's old-time term from the generic pair
                     src_old_generic = src_old_generic - fn(

@@ -2,10 +2,12 @@
 construct_old/new_gravity :14,116 + construct_old/new_gravity_source
 :234,384).
 
-Momentum: rho*g. Energy: rho*u.g (grav_source_type=2 form; the reference
-default type 4 uses mass fluxes for exact conservation — TODO with the
-flux-register/AMR work). The old/new time centering comes from the driver's
-source-corrector pattern."""
+Old-time: momentum rho*g, energy rho*u.g predictor. New-time correction
+via the `.corrector` hook: momentum 0.5*(S_new - S_old) with g(U^{n+1});
+energy per castro.grav_source_type — the default type 4 evaluates the
+potential-energy change at zone edges from the MASS FLUXES
+(Castro_gravity.cpp:545-585, the gradient form of Springel 2010 Eq. 94),
+making rho E + rho phi conservation exact up to the solver tolerance."""
 
 from __future__ import annotations
 
@@ -38,4 +40,59 @@ class GravitySource:
             src = src.at[(L.UMX, L.UMY, L.UMZ)[d]].set(rho * g3[d])
             e_src = e_src + u[(L.UMX, L.UMY, L.UMZ)[d]] * g3[d]
         src = src.at[L.UEDEN].set(e_src)
+        return src
+
+    def corrector(self, sim, u_old, u_new, t, dt, ctx=None, fluxes=None):
+        """New-time correction (construct_new_gravity_source): momentum
+        0.5*(rho_n g_new - rho_o g_old); energy by grav_source_type."""
+        from castro_tpu.ops.stencil import shifted
+
+        L = sim.layout
+        UM = (L.UMX, L.UMY, L.UMZ)
+        g_old, _ = self.grav_field(sim, u_old, ctx)
+        g_new, _ = self.grav_field(sim, u_new, ctx)
+        rho_o = u_old[L.URHO]
+        rho_n = u_new[L.URHO]
+
+        src = jnp.zeros_like(u_new)
+        Sr_old = [rho_o * g_old[d] for d in range(3)]
+        Sr_new = [rho_n * g_new[d] for d in range(3)]
+        mom_corr = []
+        for d in range(3):
+            corr = 0.5 * (Sr_new[d] - Sr_old[d])
+            src = src.at[UM[d]].set(corr)
+            mom_corr.append(u_new[UM[d]] + dt * corr)
+
+        SrE_old = sum((u_old[UM[d]] / rho_o) * Sr_old[d] for d in range(3))
+        gst = int(sim.params.castro.grav_source_type)
+        if gst in (1, 2):
+            vn = [(mom_corr[d] if gst == 2 else u_new[UM[d]]) / rho_n
+                  for d in range(3)]
+            SrE_new = sum(vn[d] * Sr_new[d] for d in range(3))
+            SrEcorr = 0.5 * (SrE_new - SrE_old)
+        elif gst == 3:
+            old_ke = 0.5 * sum(u_new[c] ** 2 for c in UM) / rho_n
+            new_ke = 0.5 * sum(m * m for m in mom_corr) / rho_n
+            SrEcorr = (new_ke - old_ke) / dt
+        else:  # type 4: edge potential-energy change from the mass fluxes
+            SrEcorr = -SrE_old
+            if fluxes is not None and sim.params.castro.do_hydro:
+                geom = ctx.geom if ctx is not None else sim.geom
+                vol = geom.volume(sim.ng)
+                for d in range(L.dim):
+                    gbar = 0.5 * (g_new[d] + g_old[d])
+                    # time-averaged edge gravity (gxl/gxr pattern)
+                    g_lo = 0.5 * (gbar + shifted(gbar, -1, d))
+                    g_hi = 0.5 * (gbar + shifted(gbar, 1, d))
+                    F = fluxes[d][L.URHO]  # face-registered at i-1/2 @ i
+                    area = geom.face_area(d, sim.ng)
+                    aF_lo = area * F
+                    if hasattr(geom, "coord") and d == 0 and \
+                            getattr(geom.coord, "value", 0) != 0:
+                        aF_hi = shifted(area, 1, d) * shifted(F, 1, d)
+                    else:
+                        aF_hi = shifted(aF_lo, 1, d)
+                    SrEcorr = SrEcorr + 0.5 * (
+                        aF_lo * g_lo + aF_hi * g_hi) * geom.dx[d] / vol
+        src = src.at[L.UEDEN].set(SrEcorr)
         return src

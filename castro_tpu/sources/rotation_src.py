@@ -100,7 +100,8 @@ class RotationSource:
         src = src.at[L.UEDEN].set(e_src)
         return src
 
-    def corrector(self, sim, u_old, u_new, t, dt, ctx=None):
+    def corrector(self, sim, u_old, u_new, t, dt, ctx=None,
+                  fluxes=None):
         """New-time correction (rotation_sources.cpp corrsrc analog):
         returns src such that u += dt*src completes the time centering.
         With implicit_rotation_update the Coriolis part of the new-time
