@@ -261,6 +261,15 @@ class RadiationParams:
     hi_bcval: Tuple[float, ...] = (0.0, 0.0, 0.0)
     lowest_group_energy: float = 0.5e-3  # keV-era defaults unused unless MG
     highest_group_energy: float = 300.0
+    # frequency-group layout (reference RadMultiGroup.cpp: lowestGroupHz /
+    # highestGroupHz log-uniform, or groupGrowFactor geometric widths)
+    lowest_group_hz: float = -1.0
+    highest_group_hz: float = -1.0
+    group_grow_factor: float = -1.0
+    first_group_width_hz: float = -1.0
+    # comoving-frame f-space advection flavor (Castro_ctu_rad.cpp:42)
+    fspace_advection_type: int = 1
+    comoving: int = 1
     v: int = 0
 
 

@@ -247,7 +247,12 @@ class Simulation:
             from castro_tpu.utils import constants as C
 
             Ti = self.u[(self.layout.UTEMP,) + interior_slice(self.ng, self.layout.dim)[1:]]
-            self.u_rad = C.a_rad * Ti**4
+            if self.layout.ngroups > 1 and self.rad.nugroup is not None:
+                # split aT^4 over groups by Planck weight
+                self.u_rad = self.rad.planck_weights(Ti) * \
+                    (C.a_rad * Ti**4)[None]
+            else:
+                self.u_rad = C.a_rad * Ti**4
         return self.u
 
     def _clean_fill_impl(self, u, ctx: Optional[StepCtx] = None, t=0.0):
@@ -551,9 +556,13 @@ class Simulation:
         srcQ = None if src_old is None else src_to_prim(q, qaux, src_old, L)
 
         Er_int = Er[None] if Er.ndim == L.dim else Er  # already interior
+        rp = self.params.radiation
         u_new, Er_new = ctu_rad_hydro_1d(u, Er_int, q, qaux, srcQ, dt,
                                          self.geom, L, self.cfg,
-                                         self.rad.limiter, 3)
+                                         self.rad.limiter, 3,
+                                         nugroup=self.rad.nugroup,
+                                         dlognu=self.rad.dlognu,
+                                         fspace_type=rp.fspace_advection_type)
         if src_old is not None:
             u_new = u_new + dt * src_old
 
@@ -574,9 +583,15 @@ class Simulation:
         def eos_re(e_k):
             return self.eos.re(rho=rho, e=jnp.maximum(e_k, 1e-300), xn=xn)
 
-        Er_new2, e_new, T_new = self.rad.gray_update(
-            Er_new[0], rho, e, es.T, es.cv, dt, eos_re=eos_re,
-            metric=self.rad.geom_metric())
+        if L.ngroups > 1:
+            Er_new2, e_new, T_new = self.rad.multigroup_update(
+                Er_new, rho, e, es.T, es.cv, dt,
+                nu_centers=self.rad.nugroup, dnu=self.rad.dnugroup,
+                eos_re=eos_re, metric=self.rad.geom_metric())
+        else:
+            Er_new2, e_new, T_new = self.rad.gray_update(
+                Er_new[0], rho, e, es.T, es.cv, dt, eos_re=eos_re,
+                metric=self.rad.geom_metric())
         de = rho * (e_new - e)
         u_new = u_new.at[(L.UEINT,) + inner[1:]].add(de)
         u_new = u_new.at[(L.UEDEN,) + inner[1:]].add(de)
@@ -591,8 +606,9 @@ class Simulation:
         from castro_tpu.ops.stencil import shifted
 
         L = self.layout
-        if (L.dim == 1 and L.ngroups == 1 and self.params.castro.do_hydro
-                and self.geom.coord.value == 0):
+        if (L.dim == 1 and self.params.castro.do_hydro
+                and self.geom.coord.value == 0
+                and (L.ngroups == 1 or self.rad.nugroup is not None)):
             return self._rad_ctu_step_impl(u, Er, dt, t)
         u_new, min_rho, bad = self._step_impl(u, dt, t)
 

@@ -408,7 +408,8 @@ def rad_flux_and_qe(gd, qm, qp, d, layout, coord, limiter, closure,
 
 
 def ctu_rad_hydro_1d(u, Er, q, qaux, srcQ, dt, geom: Geometry, layout, cfg,
-                     limiter, closure):
+                     limiter, closure, nugroup=None, dlognu=None,
+                     fspace_type=1):
     """One 1D CTU radiation-hydro advance: characteristic tracing with the
     rad eigensystem, rad Riemann solve, gas conservative update + the
     ctu_rad_consup radiation terms. Returns (u_new, Er_new) with Er the
@@ -500,14 +501,31 @@ def ctu_rad_hydro_1d(u, Er, q, qaux, srcQ, dt, geom: Geometry, layout, cfg,
     ux_hi = shifted(qe, 1, 1)[L.GDU, sl]
     ux = 0.5 * (ux_lo + ux_hi)
     divu = (ux_hi - ux_lo) / dx
+    af = []
     for g in range(L.ngroups):
         eddf = edd_factor(lamc[g], limiter, closure)
+        f1 = 0.5 * (1.0 - eddf)
         f2 = 0.5 * (3.0 * eddf - 1.0)
-        # comoving work terms (gray, fspace type 1): + u d(f1 Er)/dx
-        # - f2 <Er> du/dx   (1D: nn:grad u = du/dx)
-        f1_lo = 0.5 * (1.0 - edd_factor(lam_lo[g], limiter, closure))
-        f1_hi = 0.5 * (1.0 - edd_factor(lam_hi[g], limiter, closure))
-        Gf1E = (f1_hi * er_hi[g] - f1_lo * er_lo[g]) / dx
-        Egdc = 0.5 * (er_lo[g] + er_hi[g])
-        Er_out = Er_out.at[g].add(dt * ux * Gf1E - dt * f2 * Egdc * divu)
+        # nn:grad u with nhat along grad(Er_g) (Castro_ctu_rad.cpp:216-235;
+        # in 1D this is du/dx wherever the group gradient is nonzero)
+        dE = (er_hi[g] - er_lo[g]) / dx
+        nncgu = dE * dE * divu / (dE * dE + 1.0e-50)
+        af.append(-(f1 * divu + f2 * nncgu))
+        if fspace_type == 1:
+            # comoving work terms: + u d(f1 Er)/dx - f2 <Er> nn:grad u
+            # (Castro_ctu_rad.cpp:254-303)
+            f1_lo = 0.5 * (1.0 - edd_factor(lam_lo[g], limiter, closure))
+            f1_hi = 0.5 * (1.0 - edd_factor(lam_hi[g], limiter, closure))
+            Gf1E = (f1_hi * er_hi[g] - f1_lo * er_lo[g]) / dx
+            Egdc = 0.5 * (er_lo[g] + er_hi[g])
+            Er_out = Er_out.at[g].add(dt * ux * Gf1E -
+                                      dt * f2 * Egdc * nncgu)
+
+    # multigroup: advect the spectrum through log-frequency space
+    # (Castro_ctu_rad.cpp:306-325 + RadHydro.H update_one_species)
+    if L.ngroups > 1 and dlognu is not None:
+        from castro_tpu.radiation.fspace import advect_in_fspace
+
+        Er_out, _ = advect_in_fspace(Er_out, jnp.stack(af), nugroup,
+                                     dlognu, dt, fspace_type)
     return u_new, jnp.maximum(Er_out, 0.0)

@@ -47,6 +47,32 @@ class FLDRadiation:
         self.outer_iters = rp.outer_iters
         self._metric_cache = None
         self._metric_built = False
+        # frequency-group layout (reference RadMultiGroup.cpp) when the
+        # inputs define one; problems may overwrite these attributes with
+        # custom spectra (e.g. RadSphere's keV-derived groups)
+        self.nugroup = self.dnugroup = self.dlognu = self.xnu = None
+        if self.ngroups > 1 and rp.lowest_group_hz >= 0.0:
+            from castro_tpu.radiation.fspace import group_structure
+
+            gs = group_structure(self.ngroups, rp.lowest_group_hz,
+                                 rp.highest_group_hz, rp.group_grow_factor,
+                                 rp.first_group_width_hz)
+            self.nugroup = jnp.asarray(gs["nugroup"])
+            self.dnugroup = jnp.asarray(gs["dnugroup"])
+            self.dlognu = jnp.asarray(gs["dlognu"])
+            self.xnu = jnp.asarray(gs["xnu"])
+
+    def planck_weights(self, T, nu_centers=None, dnu=None):
+        """Fraction of aT^4 carried by each group (normalized Planck
+        weights; reference MGFLD.cpp BGroup integration)."""
+        nu_c = self.nugroup if nu_centers is None else nu_centers
+        dn = self.dnugroup if dnu is None else dnu
+        shape_nu = (nu_c.shape[0],) + (1,) * jnp.ndim(T)
+        x = (C.hplanck / C.k_B) * nu_c.reshape(shape_nu) / \
+            jnp.maximum(T, 1e-10)
+        w = x**3 / jnp.expm1(jnp.clip(x, 1e-6, 80.0))
+        w = w * dn.reshape(shape_nu)
+        return w / jnp.maximum(jnp.sum(w, axis=0), 1e-300)
 
     # -- opacities (power-law models, reference Radiation.cpp kappa
     #    parsing: kappa = const * rho^m * T^(-n) * nu^p) -------------------
