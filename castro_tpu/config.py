@@ -326,6 +326,12 @@ class NetworkParams:
     T_burn_ref: float = 1.0
     rho_burn_ref: float = 1.0
     f_act: float = 1.0
+    # NSE coupling (reference Microphysics nse_tabular: in_nse when rho/T
+    # exceed the thresholds and the composition is iron-group-like)
+    nse: int = 0
+    rho_nse: float = 2.0e8
+    T_nse: float = 5.0e9
+    T_always_nse: float = 1.0e10
 
 
 @dataclass(frozen=True)

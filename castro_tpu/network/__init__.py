@@ -32,6 +32,14 @@ def make_network(params) -> Network:
         )
     if name == "aprox13":
         return Aprox13Network()
+    if name == "iso7":
+        from castro_tpu.network.iso7 import Iso7Network
+
+        return Iso7Network()
+    if name == "aprox19":
+        from castro_tpu.network.aprox19 import Aprox19Network
+
+        return Aprox19Network()
     raise ValueError(f"unknown network '{name}'")
 
 
