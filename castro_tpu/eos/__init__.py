@@ -39,7 +39,9 @@ def make_eos(params, network=None) -> Eos:
     if name == "helmholtz":
         from castro_tpu.eos.helmholtz import HelmholtzEos
 
-        return HelmholtzEos(network=network)
+        return HelmholtzEos(
+            network=network,
+            use_coulomb=bool(params.extra.get("eos.use_coulomb", 1)))
     raise ValueError(f"unknown EOS '{name}'")
 
 

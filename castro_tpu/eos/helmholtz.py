@@ -7,7 +7,12 @@ from relativistic Fermi-Dirac integrals at build time
 (helmholtz_table.py) rather than read from helm_table.dat; interpolation
 is Catmull-Rom bicubic in (log10 rho*Ye, log10 T) with analytic
 interpolant derivatives for chi_T / c_v (C^1, so sound speeds are
-smooth). Coulomb corrections: TODO (reference has them optional).
+smooth). Coulomb corrections follow the Chabrier & Potekhin (1998)
+one-component-plasma free-energy fit as used by Timmes & Swesty (2000):
+the weak-coupling (Gamma < 1) Debye-Hueckel-like branch and the
+strong-coupling branch in Gamma^(1/4), with the reference's guard that
+disables the correction wherever it would drive p or e negative
+(`use_coulomb` toggles, default on as in Microphysics eos/helmholtz).
 
 Components:
     p = p_ion + p_rad + p_ele;  p_ion = rho k T N_A / abar
@@ -80,9 +85,58 @@ class _Bicubic:
         return f, dfx / self.dx, dfy / self.dy
 
 
+# Chabrier & Potekhin (1998) OCP fit constants (strong / weak coupling)
+_CP_A1, _CP_B1, _CP_C1, _CP_D1, _CP_E1 = (-0.898004, 0.96786, 0.220703,
+                                          -0.86097, 2.5269)
+_CP_A2, _CP_B2, _CP_C2 = 0.29561, 1.9885, 0.288675
+
+
+def _coulomb_terms(rho, T, abar, zbar):
+    """Coulomb p, e and their T/rho derivatives (per CP98/helmholtz):
+    plasg = zbar^2 e^2 / (kT a_i), a_i the ion-sphere radius."""
+    kavo = C.k_B * C.N_A
+    ytot = 1.0 / abar
+    n_i43 = 4.0 * np.pi / 3.0 * C.N_A * rho * ytot  # (4pi/3) n_i
+    lami_inv = n_i43 ** (1.0 / 3.0)  # 1 / a_i
+    plasg = zbar * zbar * C.q_e * C.q_e * lami_inv / (C.k_B * T)
+    plasg = jnp.clip(plasg, 1e-30, 1e30)
+
+    # strong coupling (Gamma >= 1)
+    x = plasg ** 0.25
+    y = kavo * ytot * T  # N_A k T / abar (erg/g)
+    g_s = _CP_A1 * plasg + _CP_B1 * x + _CP_C1 / x + _CP_D1
+    gp_s = _CP_A1 * plasg + 0.25 * _CP_B1 * x - 0.25 * _CP_C1 / x  # Gamma g'
+    e_s = y * g_s
+    p_s = rho * e_s / 3.0
+    dedT_s = kavo * ytot * (g_s - gp_s)          # d/dT with Gamma ~ 1/T
+    dpdT_s = rho * dedT_s / 3.0
+    dpdr_s = e_s / 3.0 + y * gp_s / 9.0          # Gamma ~ rho^{1/3}
+
+    # weak coupling (Gamma < 1)
+    x3 = plasg * jnp.sqrt(plasg)
+    yb = plasg ** _CP_B2
+    z_w = _CP_C2 * x3 - _CP_A2 / 3.0 * yb
+    zp_w = 1.5 * _CP_C2 * x3 - _CP_B2 * _CP_A2 / 3.0 * yb  # Gamma z'
+    pion = rho * kavo * T * ytot
+    p_w = -pion * z_w
+    e_w = 3.0 * p_w / rho
+    dpdT_w = -(pion / T) * (z_w - zp_w)
+    dedT_w = 3.0 * dpdT_w / rho
+    dpdr_w = p_w / rho - pion * zp_w / (3.0 * rho)
+
+    strong = plasg >= 1.0
+    p_c = jnp.where(strong, p_s, p_w)
+    e_c = jnp.where(strong, e_s, e_w)
+    dpdT_c = jnp.where(strong, dpdT_s, dpdT_w)
+    dedT_c = jnp.where(strong, dedT_s, dedT_w)
+    dpdr_c = jnp.where(strong, dpdr_s, dpdr_w)
+    return p_c, e_c, dpdT_c, dedT_c, dpdr_c
+
+
 class HelmholtzEos(Eos):
-    def __init__(self, network=None, table=None):
+    def __init__(self, network=None, table=None, use_coulomb=True):
         self.network = network
+        self.use_coulomb = bool(use_coulomb)
         t = table if table is not None else htab.build_table()
         dx = t["logd"][1] - t["logd"][0]
         dy = t["logt"][1] - t["logt"][0]
@@ -140,6 +194,20 @@ class HelmholtzEos(Eos):
         dpdT = dpdT_ion + dpdT_rad + dpdT_ele
         dpdr = dpdr_ion + dpdr_rad + dpdr_ele
         cv = dedT_ion + dedT_rad + dedT_ele
+
+        if self.use_coulomb:
+            # Coulomb corrections, disabled pointwise where they would
+            # drive p or e negative (the helmholtz.f90 guard)
+            p_c, e_c, dpdT_c, dedT_c, dpdr_c = _coulomb_terms(
+                rho, T, abar, zbar)
+            ok = (p + p_c > 0.0) & (e + e_c > 0.0)
+            zero = jnp.zeros_like(p)
+            p = p + jnp.where(ok, p_c, zero)
+            e = e + jnp.where(ok, e_c, zero)
+            dpdT = dpdT + jnp.where(ok, dpdT_c, zero)
+            dpdr = dpdr + jnp.where(ok, dpdr_c, zero)
+            cv = cv + jnp.where(ok, dedT_c, zero)
+
         cv = jnp.maximum(cv, 1e-30)
         dedr_T = dedr_ele - e_rad / rho
 

@@ -79,3 +79,43 @@ def test_thermo_consistency(eos):
     cv_fd = float((sp.e[0] - sm.e[0]) / (2 * d * T0))
     assert np.isclose(float(s0.cv[0]), cv_fd, rtol=0.02), (float(s0.cv[0]), cv_fd)
     assert float(s0.cs[0]) > 0 and np.isfinite(float(s0.cs[0]))
+
+
+def test_coulomb_corrections():
+    """Coulomb corrections (CP98 fit): negative, grow with coupling
+    Gamma ~ rho^{1/3}/T, and carry thermodynamically consistent cv
+    (reference helmholtz.f90 coulomb section)."""
+    net = GeneralNullNetwork(("C12",))
+    net.aion = jnp.asarray([12.0])
+    net.zion = jnp.asarray([6.0])
+    on = HelmholtzEos(network=net, use_coulomb=True)
+    off = HelmholtzEos(network=net, use_coulomb=False)
+    rho = jnp.asarray([1e6, 1e6])
+    T = jnp.asarray([1e7, 1e9])
+    s_on = on.rt(rho=rho, T=T, xn=jnp.ones((1, 2)))
+    s_off = off.rt(rho=rho, T=T, xn=jnp.ones((1, 2)))
+    dp = np.asarray(s_on.p - s_off.p)
+    assert (dp < 0).all()  # Coulomb binding lowers the pressure
+    # stronger coupling at the lower temperature: bigger relative effect
+    rel = -dp / np.asarray(s_off.p)
+    assert rel[0] > rel[1]
+    assert rel[0] > 1e-3  # percent-level at WD-interior conditions
+    # cv consistency: finite-difference de/dT matches s.cv with Coulomb on
+    dT = 1e4
+    e_p = on.rt(rho=rho[:1], T=T[:1] + dT, xn=jnp.ones((1, 1))).e
+    e_m = on.rt(rho=rho[:1], T=T[:1] - dT, xn=jnp.ones((1, 1))).e
+    cv_fd = float((e_p[0] - e_m[0]) / (2 * dT))
+    assert np.isclose(float(s_on.cv[0]), cv_fd, rtol=0.02), \
+        (float(s_on.cv[0]), cv_fd)
+
+
+def test_coulomb_guard_low_density():
+    """In the weak-coupling regime the correction is tiny and never
+    drives p negative."""
+    net = GeneralNullNetwork(("H",))
+    on = HelmholtzEos(network=net, use_coulomb=True)
+    rho = jnp.asarray([1e-8])
+    T = jnp.asarray([1e5])
+    s = on.rt(rho=rho, T=T, xn=jnp.ones((1, 1)))
+    assert float(s.p[0]) > 0 and float(s.e[0]) > 0
+    assert np.isfinite(float(s.cs[0]))
