@@ -270,6 +270,12 @@ class RadiationParams:
     # comoving-frame f-space advection flavor (Castro_ctu_rad.cpp:42)
     fspace_advection_type: int = 1
     comoving: int = 1
+    # Purser spatial filters (Radiation.cpp:53-136 / filter.H)
+    filter_lambda_T: int = 0
+    filter_lambda_S: int = -1  # accepted for parity; S=0 members built in
+    filter_prim_int: int = 0
+    filter_prim_T: int = 4
+    filter_prim_S: int = 0
     v: int = 0
 
 

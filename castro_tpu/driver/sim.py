@@ -529,7 +529,14 @@ class Simulation:
             R = jnp.sqrt(g2) / jnp.maximum(
                 kr * jnp.maximum(Er_g[g], 1e-30), 1e-30)
             lam.append(fld_lambda(R, self.rad.limiter))
-        return jnp.stack(lam)
+        lam = jnp.stack(lam)
+        fT = self.params.radiation.filter_lambda_T
+        if fT > 0:
+            # Purser low-pass on the limiter (reference filter_lambda_T)
+            from castro_tpu.radiation.filter import apply_filter
+
+            lam = apply_filter(lam, fT, axes=range(1, lam.ndim))
+        return lam
 
     def _rad_ctu_step_impl(self, u, Er, dt, t):
         """1D gray characteristic rad-hydro step: radiation in the CTU
@@ -562,7 +569,8 @@ class Simulation:
                                          self.rad.limiter, 3,
                                          nugroup=self.rad.nugroup,
                                          dlognu=self.rad.dlognu,
-                                         fspace_type=rp.fspace_advection_type)
+                                         fspace_type=rp.fspace_advection_type,
+                                         comoving=rp.comoving)
         if src_old is not None:
             u_new = u_new + dt * src_old
 
@@ -617,14 +625,19 @@ class Simulation:
         rho = ui[L.URHO]
         rhoinv = 1.0 / rho
 
-        # upwind advection of Er with the updated velocities
+        # upwind advection of Er with the updated velocities (group-major
+        # [ng, grid] arrays shift on axis 1+d)
+        multigroup = Er.ndim > L.dim
         Er_adv = Er
         for d in range(L.dim):
+            ax = d + (1 if multigroup else 0)
             vel = ui[L.momentum_index(d)] * rhoinv
             v_face = 0.5 * (vel + shifted(vel, -1, d))
-            Er_up = jnp.where(v_face > 0, shifted(Er, -1, d), Er)
+            if multigroup:
+                v_face = v_face[None]
+            Er_up = jnp.where(v_face > 0, shifted(Er, -1, ax), Er)
             F = v_face * Er_up
-            Er_adv = Er_adv - dt * (shifted(F, 1, d) - F) / self.geom.dx[d]
+            Er_adv = Er_adv - dt * (shifted(F, 1, ax) - F) / self.geom.dx[d]
 
         # implicit diffusion + matter coupling
         e = ui[L.UEINT] * rhoinv
@@ -634,9 +647,15 @@ class Simulation:
         def eos_re(e_k):
             return self.eos.re(rho=rho, e=jnp.maximum(e_k, 1e-300), xn=xn)
 
-        Er_new, e_new, T_new = self.rad.gray_update(
-            Er_adv, rho, e, es.T, es.cv, dt, eos_re=eos_re,
-            metric=self.rad.geom_metric())
+        if multigroup:
+            Er_new, e_new, T_new = self.rad.multigroup_update(
+                Er_adv, rho, e, es.T, es.cv, dt,
+                nu_centers=self.rad.nugroup, dnu=self.rad.dnugroup,
+                eos_re=eos_re, metric=self.rad.geom_metric())
+        else:
+            Er_new, e_new, T_new = self.rad.gray_update(
+                Er_adv, rho, e, es.T, es.cv, dt, eos_re=eos_re,
+                metric=self.rad.geom_metric())
         de = rho * (e_new - e)
         u_new = u_new.at[(L.UEINT,) + inner[1:]].add(de)
         u_new = u_new.at[(L.UEDEN,) + inner[1:]].add(de)

@@ -94,13 +94,14 @@ class Aprox19Network(Network):
         ebin = _B_MEV * C.MeV2erg * C.N_A / _A
         super().__init__(_SPECIES, aion=_A, zion=_Z, ebin=ebin)
 
-    def _screen_weak(self, rho, T9, Y, z1, z2):
-        zeta = 0.0
-        for k in range(19):
-            zeta = zeta + (_Z[k] * _Z[k] + _Z[k]) * Y[k]
+    def _screen_weak(self, rho, T9, Y, z1, z2, _sqrz=None):
+        if _sqrz is None:
+            zeta = 0.0
+            for k in range(19):
+                zeta = zeta + (_Z[k] * _Z[k] + _Z[k]) * Y[k]
+            _sqrz = jnp.sqrt(rho * jnp.maximum(zeta, 0.0))
         T6 = jnp.maximum(T9, _T9_FLOOR) * 1.0e3
-        h12 = 0.188 * z1 * z2 * jnp.sqrt(rho * jnp.maximum(zeta, 0.0)) \
-            * T6 ** (-1.5)
+        h12 = 0.188 * z1 * z2 * _sqrz * T6 ** (-1.5)
         return jnp.exp(jnp.minimum(h12, 2.0))
 
     def rhs(self, rho, T, xn, e=None):
@@ -112,6 +113,15 @@ class Aprox19Network(Network):
         Y = xn / self.aion.reshape((-1,) + (1,) * (xn.ndim - 1))
         Y = jnp.maximum(Y, 0.0)
 
+        # screening prefactor sqrt(rho zeta) computed once for all links
+        zeta = 0.0
+        for k in range(19):
+            zeta = zeta + (_Z[k] * _Z[k] + _Z[k]) * Y[k]
+        sqrz = jnp.sqrt(rho * jnp.maximum(zeta, 0.0))
+
+        def scr(z1, z2):
+            return self._screen_weak(rho, T9, Y, z1, z2, _sqrz=sqrz)
+
         cf = _cf88_rates(T9)
         ydot = [jnp.zeros_like(rho) for _ in range(19)]
         enu = jnp.zeros_like(rho)  # neutrino losses, MeV/mol/s units
@@ -122,7 +132,7 @@ class Aprox19Network(Network):
 
         # ---- hydrogen burning ---------------------------------------------
         # p(p,e+nu)d — CF88; d(p,g)he3 instantaneous: 3 H1 -> He3
-        scr_pp = self._screen_weak(rho, T9, Y, 1.0, 1.0)
+        scr_pp = scr(1.0, 1.0)
         lam_pp = 4.01e-15 * T9m23 * jnp.exp(-3.380 * T9m13) * (
             1.0 + 0.123 * T913 + 1.09 * T913 * T913 + 0.938 * T9)
         r_pp = 0.5 * rho * Y[IH1] * Y[IH1] * lam_pp * scr_pp
@@ -130,7 +140,7 @@ class Aprox19Network(Network):
         enu = enu + 0.265 * r_pp  # pp neutrino
 
         # he3(he3,2p)he4 — CF88
-        scr_33 = self._screen_weak(rho, T9, Y, 2.0, 2.0)
+        scr_33 = scr(2.0, 2.0)
         lam_33 = 6.04e10 * T9m23 * jnp.exp(-12.276 * T9m13) * (
             1.0 + 0.034 * T913 - 0.522 * T913 * T913 - 0.124 * T9 +
             0.353 * T9 ** (4.0 / 3.0) + 0.213 * T9 ** (5.0 / 3.0))
@@ -138,7 +148,7 @@ class Aprox19Network(Network):
         add([(IHE3, -2.0), (IHE4, 1.0), (IH1, 2.0)], r_33)
 
         # CNO cycle at the n14(p,g)o15 bottleneck — CF88
-        scr_np = self._screen_weak(rho, T9, Y, 1.0, 7.0)
+        scr_np = scr(1.0, 7.0)
         lam_n14pg = (4.90e7 * T9m23 * jnp.exp(-15.228 * T9m13 -
                                               (T9 / 3.294) ** 2) *
                      (1.0 + 0.027 * T913 - 0.778 * T913 * T913 -
@@ -151,7 +161,7 @@ class Aprox19Network(Network):
         enu = enu + 1.71 * r_cno  # two beta+ per cycle
 
         # c12(p,g)n13(b+)c13(p,g)n14 — CF88 c12(p,g) bottleneck
-        scr_cp = self._screen_weak(rho, T9, Y, 1.0, 6.0)
+        scr_cp = scr(1.0, 6.0)
         lam_c12pg = (2.04e7 * T9m23 * jnp.exp(-13.690 * T9m13 -
                                               (T9 / 1.500) ** 2) *
                      (1.0 + 0.030 * T913 + 1.19 * T913 * T913 +
@@ -164,8 +174,8 @@ class Aprox19Network(Network):
         enu = enu + 1.0 * r_c12pg  # one beta+ in the transfer
 
         # ---- helium burning + alpha chain (aprox13 machinery) -------------
-        scr3a = self._screen_weak(rho, T9, Y, 2.0, 2.0) * \
-            self._screen_weak(rho, T9, Y, 2.0, 4.0)
+        scr3a = scr(2.0, 2.0) * \
+            scr(2.0, 4.0)
         T8 = 10.0 * T9
         q3a_erg_per_mol = 7.275 * C.MeV2erg * C.N_A
         lam3a_T = 5.09e11 * 64.0 / (T8 ** 3) * jnp.exp(-44.027 / T8) * \
@@ -175,20 +185,20 @@ class Aprox19Network(Network):
             jnp.maximum(-84.424 / T9, -200.0)) * Y[IC12]
         add([(IHE4, -3.0), (IC12, 1.0)], r3a - rg3a)
 
-        scr_cc = self._screen_weak(rho, T9, Y, 6.0, 6.0)
+        scr_cc = scr(6.0, 6.0)
         rcc = 0.5 * rho * Y[IC12] * Y[IC12] * cf["c12c12"] * scr_cc
         add([(IC12, -2.0), (INE20, 1.0), (IHE4, 1.0)], rcc)
 
-        scr_co = self._screen_weak(rho, T9, Y, 6.0, 8.0)
+        scr_co = scr(6.0, 8.0)
         rco = rho * Y[IC12] * Y[IO16] * cf["c12o16"] * scr_co
         add([(IC12, -1.0), (IO16, -1.0), (IMG24, 1.0), (IHE4, 1.0)], rco)
 
-        scr_oo = self._screen_weak(rho, T9, Y, 8.0, 8.0)
+        scr_oo = scr(8.0, 8.0)
         roo = 0.5 * rho * Y[IO16] * Y[IO16] * cf["o16o16"] * scr_oo
         add([(IO16, -2.0), (ISI28, 1.0), (IHE4, 1.0)], roo)
 
         # n14 + 3/2 he4 -> ne20 (approx19 shortcut through f18/o18)
-        scr_na = self._screen_weak(rho, T9, Y, 2.0, 7.0)
+        scr_na = scr(2.0, 7.0)
         lam_n14ag = _gamow(2.0, 7.0, 4.0, 14.0, T9, s_eff=10.0)
         r_nag = rho * Y[IHE4] * Y[IN14] * lam_n14ag * scr_na
         add([(IN14, -1.0), (IHE4, -1.5), (INE20, 1.0)], r_nag)
@@ -198,15 +208,14 @@ class Aprox19Network(Network):
             [_gamow_ag(k, T9) for k in range(5, 12)]
         for j in range(1, 12):
             k, kp1 = _CHAIN[j], _CHAIN[j + 1]
-            scr = self._screen_weak(rho, T9, Y, 2.0, _Z[k])
-            lam = lam_ag[j - 1] * scr
+            lam = lam_ag[j - 1] * scr(2.0, _Z[k])
             q = float(_B13[j + 1] - _B13[j] - _B13[0])
             fwd = rho * Y[IHE4] * Y[k] * lam
             rev = _rev_fac(q, 4.0, _A[k], _A[kp1], T9) * lam * Y[kp1]
             add([(IHE4, -1.0), (k, -1.0), (kp1, 1.0)], fwd - rev)
 
         # ---- iron-group Ye link: fe54 + 2p <-> ni56 ------------------------
-        scr_fp = self._screen_weak(rho, T9, Y, 1.0, 26.0)
+        scr_fp = scr(1.0, 26.0)
         lam_fp = _gamow(1.0, 26.0, 1.0, 54.0, T9, s_eff=10.0)
         q_54 = float(_B_MEV[INI56] - _B_MEV[IFE54])  # 2 B_p = 0
         fwd = rho * rho * Y[IPROT] ** 2 * Y[IFE54] * lam_fp * scr_fp

@@ -409,7 +409,7 @@ def rad_flux_and_qe(gd, qm, qp, d, layout, coord, limiter, closure,
 
 def ctu_rad_hydro_1d(u, Er, q, qaux, srcQ, dt, geom: Geometry, layout, cfg,
                      limiter, closure, nugroup=None, dlognu=None,
-                     fspace_type=1):
+                     fspace_type=1, comoving=1):
     """One 1D CTU radiation-hydro advance: characteristic tracing with the
     rad eigensystem, rad Riemann solve, gas conservative update + the
     ctu_rad_consup radiation terms. Returns (u_new, Er_new) with Er the
@@ -494,6 +494,13 @@ def ctu_rad_hydro_1d(u, Er, q, qaux, srcQ, dt, geom: Geometry, layout, cfg,
            u_new[(L.UMZ,) + (sl,)]**2) / (2.0 * urho)
     dek = ek2 - ek1
     u_new = u_new.at[(L.UEDEN,) + (sl,)].add(dek)
+
+    if not comoving:
+        # mixed frame (single group, Castro_ctu_rad.cpp:162-165): the
+        # lab-frame Er absorbs the kinetic-energy exchange; no comoving
+        # work terms or frequency advection
+        Er_out = Er_out.at[0].add(-dek)
+        return u_new, jnp.maximum(Er_out, 0.0)
 
     # comoving-frame work terms: -(f1 div u + f2 nn:grad u) Er  +
     # fspace type-1 u . grad(f1 Er) (gray)

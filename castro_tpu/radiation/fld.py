@@ -367,6 +367,20 @@ class FLDRadiation:
             w = w * dnu.reshape(shape_nu)
             return w / jnp.maximum(jnp.sum(w, axis=0), 1e-300)
 
+        def emission(T):
+            """Per-group emission energy density S_g and dS_g/dT
+            (default: Planck split of a T^4; problems may override with
+            `self.emissivity_fn(T, nu_centers, dnu) -> (S_g, dSdT_g)` —
+            the reference's problem_emissivity hook, e.g.
+            RadShestakovBolstad's linearized-in-T picket-fence source)."""
+            fn = getattr(self, "emissivity_fn", None)
+            if fn is not None:
+                return fn(T, nu_centers, dnu)
+            frac = planck_frac(T)
+            S_g = (a_r * T**4)[None] * frac
+            dSdT_g = (4.0 * a_r * T**3)[None] * frac
+            return S_g, dSdT_g
+
         def solve_group(rhs, acoef, bcoefs, val_lo, val_hi):
             """One group's diffusion solve; vmapped over groups."""
             bvl, bvh = self._bc_vals(spec_lo, spec_hi, bcoefs,
@@ -389,7 +403,7 @@ class FLDRadiation:
             else:
                 T_k = jnp.maximum(T_guess + (e_k - e) / cv, 1e-10)
                 cv_k = cv
-            frac = planck_frac(T_k)
+            S_g, dSdT_g = emission(T_k)
             kp_g = jax.vmap(lambda nu: self.kappa_p(rho, T_k, nu))(nu_centers)
             kr_gg = jax.vmap(lambda nu: self.kappa_r(rho, T_k, nu))(nu_centers)
             # constant opacities collapse to one scalar per group
@@ -399,9 +413,11 @@ class FLDRadiation:
             if kr_gg.ndim == 1:
                 kr_gg = jnp.broadcast_to(kr_gg.reshape(shape_nu),
                                          (ng,) + rho.shape)
-            kp_bar = jnp.sum(frac * kp_g, axis=0)
-            beta = 4.0 * a_r * T_k**3 / (rho * cv_k)
-            eta = beta * kp_bar * cl * dt / (1.0 + beta * kp_bar * cl * dt)
+            # beta_kp = sum_g kp_g dS_g/dT / (rho cv): the matter-coupling
+            # stiffness (reduces to 4 a_r T^3 kp_bar/(rho cv) for the
+            # default Planck emission)
+            beta_kp = jnp.sum(kp_g * dSdT_g, axis=0) / (rho * cv_k)
+            eta = beta_kp * cl * dt / (1.0 + beta_kp * cl * dt)
 
             bcoefs_g = jax.vmap(
                 lambda E1, kr1: tuple(self.diffusion_coeffs(
@@ -409,8 +425,7 @@ class FLDRadiation:
                 in_axes=(0, 0))(Er_k, kr_gg)
 
             acoef_g = 1.0 + (1.0 - eta)[None] * kp_g * cl * dt
-            rhs_g = Er_g + (1.0 - eta)[None] * kp_g * cl * dt * \
-                (a_r * T_k**4)[None] * frac
+            rhs_g = Er_g + (1.0 - eta)[None] * kp_g * cl * dt * S_g
             zval = jnp.zeros((ng,), Er_g.dtype)
             vlo = gv_lo if gv_lo is not None else zval
             vhi = gv_hi if gv_hi is not None else zval
@@ -427,8 +442,8 @@ class FLDRadiation:
             # radiation.accelerate is accepted for input compatibility.
 
             de = -dt * cl * jnp.sum(
-                kp_g * ((a_r * T_k**4)[None] * frac - Er_new), axis=0) / rho
-            e_new = e + de / (1.0 + beta * kp_bar * cl * dt)
+                kp_g * (S_g - Er_new), axis=0) / rho
+            e_new = e + de / (1.0 + beta_kp * cl * dt)
             return (Er_new, e_new), 0.0
 
         (Er_f, e_f), _ = jax.lax.scan(outer, (Er_g, e), None,
