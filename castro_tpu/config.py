@@ -369,6 +369,10 @@ class TpuParams:
     patch_size: int = 32  # AMR fixed patch edge length (cells)
     donate_state: int = 1
     profile: int = 0  # phase timers (TinyProfiler analog)
+    #: fused-face-kernel fallback threshold: max product of the two
+    #: in-VMEM-block grid extents before the CTU face stages fall back to
+    #: the plain XLA path. 0 = no cap (large grids use narrow tiles).
+    pallas_max_inblock_area: int = 0
 
 
 @dataclass(frozen=True)

@@ -47,12 +47,7 @@ def _level_params(params: Params, level: int,
     r = 2**level
     nc = n_cell if n_cell is not None else tuple(
         n * r for n in params.amr.n_cell)
-    p = params.with_ns("amr", n_cell=nc)
-    if level > 0:
-        # windows carry coarse fill values outside the mask; the whole-grid
-        # CFL scan would see them
-        p = p.with_ns("castro", check_cfl_violation=0)
-    return p
+    return params.with_ns("amr", n_cell=nc)
 
 
 class _GeomShim:
@@ -74,21 +69,39 @@ class _Level:
         self.shape = tuple(shape_f)
         sim_kw = dict(sim_kw)
         sim_kw.pop("problem_init", None)
+        dim = geom_full.dim
+        # dx-correct window geometry (origin placeholder 0; the true,
+        # possibly-moving origin arrives per step as the traced `ilo`)
+        geom_win = geom_full.local_view(self.shape, (0,) * dim)
         self.sim = Simulation(_level_params(params, level, self.shape),
-                              **sim_kw)
+                              geom=geom_win, **sim_kw)
         self.sim.keep_fluxes = True
         self.geom_full = geom_full
         sim = self.sim
 
-        def step(u, dt, t, ilo):
+        def step(u, dt, t, ilo, grav_bc=None):
             geom = geom_full.local_view(self.shape, tuple(ilo))
             ctx = StepCtx(fill=sim._fill, pmin=jnp.min, pany=lambda b: b,
-                          psum=lambda x: x, geom=geom, axis_names=())
+                          psum=lambda x: x, geom=geom, axis_names=(),
+                          grav_bc=grav_bc)
             return sim._step_impl(u, dt, t, ctx=ctx)
 
         self.jit_step = jax.jit(step)
         self.jit_estdt = jax.jit(sim._estdt_impl)
         self.jit_clean_fill = jax.jit(sim._clean_fill_impl)
+
+        grav = next((fn.gravity for fn in sim.source_fns
+                     if getattr(fn, "name", "") == "grav"), None)
+        self.jit_phi = None
+        if grav is not None and grav.gtype == "PoissonGrav":
+            def phi_solve(rho, ilo, grav_bc):
+                geom = geom_full.local_view(self.shape, tuple(ilo))
+                ctx = StepCtx(fill=sim._fill, pmin=jnp.min,
+                              pany=lambda b: b, psum=lambda x: x,
+                              geom=geom, axis_names=(), grav_bc=grav_bc)
+                return grav._poisson(rho, ctx)[1]
+
+            self.jit_phi = jax.jit(phi_solve)
 
 
 class AmrSimulation:
@@ -96,7 +109,13 @@ class AmrSimulation:
     finer levels are dense windows with per-shape compiled programs."""
 
     def __init__(self, params: Params, problem_init: Optional[Callable] = None,
-                 problem_tagging: Optional[Callable] = None, **sim_kw):
+                 problem_tagging: Optional[Callable] = None, mesh=None,
+                 **sim_kw):
+        """`mesh` (jax.sharding.Mesh): distributed-AMR mode — level 0 runs
+        under shard_map over the mesh (the reference's distributed level,
+        `Docs/source/software.rst:18-36`) while fine windows are computed
+        replicated; interlevel transfers (fillpatch/reflux/avgDown) are
+        whole-array XLA ops on the sharded level-0 arrays."""
         self.params = params
         self.max_level = params.amr.max_level
         self.ref_ratio = 2
@@ -104,10 +123,17 @@ class AmrSimulation:
         self.problem_tagging = problem_tagging
         self.indicators = self._parse_indicators(params)
         self._sim_kw = sim_kw
+        self.mesh = mesh
 
         self.sim0 = Simulation(_level_params(params, 0),
                                problem_init=problem_init, **sim_kw)
         self.sim0.keep_fluxes = self.max_level > 0
+        self._sharded_step0 = None
+        if mesh is not None:
+            from castro_tpu.parallel.decomp import make_sharded_step
+
+            self._sharded_step0 = make_sharded_step(
+                self.sim0, mesh, keep_fluxes=self.max_level > 0)
         self.dim = self.sim0.layout.dim
         self.ng = self.sim0.ng
         self.dtype = self.sim0.dtype
@@ -131,6 +157,18 @@ class AmrSimulation:
         self.step_count = 0
         self.dt = None
         self.num_zones_advanced = 0
+
+        # composite gravity plumbing (reference Gravity.cpp:418-487 level
+        # solves with coarse-phi Dirichlet boundary data): per-level grav_bc
+        # for the CURRENT substep, set by the parent's subcycle loop
+        from castro_tpu.geometry import CoordSys
+        g0 = next((fn.gravity for fn in self.sim0.source_fns
+                   if getattr(fn, "name", "") == "grav"), None)
+        self._has_poisson = (g0 is not None and g0.gtype == "PoissonGrav"
+                             and self.sim0.geom.coord == CoordSys.CARTESIAN)
+        self._jit_phi0 = (jax.jit(lambda rho: g0._poisson(rho)[1])
+                          if self._has_poisson else None)
+        self._cur_grav_bc: Dict[int, object] = {}
 
     # ------------------------------------------------------------------ setup
     @staticmethod
@@ -355,19 +393,85 @@ class AmrSimulation:
                            (int(ilo[k]) - int(base[k]) + shape[k]) // 2)
                      for k in range(self.dim))
 
+    # ---------------------------------------------------------- composite phi
+    def _solve_phi(self, l, u_l):
+        """Level-l Poisson phi from u_l's density, using this level's
+        current composite boundary data (coarse-interpolated Dirichlet for
+        windows; the domain multipole/periodic BCs at level 0)."""
+        rho = u_l[(self._sims_at(l).layout.URHO,) +
+                  interior_slice(self.ng, self.dim)[1:]]
+        if l == 0:
+            return self._jit_phi0(rho)
+        lev = self._get_level(l, self.window[l][1])
+        ilo = jnp.asarray(self.window[l][0])
+        return lev.jit_phi(rho, ilo, self._cur_grav_bc.get(l))
+
+    def _window_phi_bc(self, l, phi_c):
+        """Dirichlet phi on level-l window boundary faces, linearly
+        interpolated from the parent-level solution phi_c (parent-local
+        interior array). Reference: coarse boundary registers feeding the
+        fine-level MLMG solve (Gravity.cpp:418-487)."""
+        from jax.scipy.ndimage import map_coordinates
+
+        ilo, shape = self.window[l]
+        base_c = (np.zeros(self.dim, int) if l - 1 == 0
+                  else np.asarray(self.window[l - 1][0], int))
+        bvl, bvh = [], []
+        for d in range(self.dim):
+            for side in ("lo", "hi"):
+                coords = []
+                for k in range(self.dim):
+                    if k == d:
+                        xf = ilo[d] if side == "lo" else ilo[d] + shape[d]
+                        idx = np.asarray([xf / 2.0 - 0.5 - base_c[d]])
+                    else:
+                        i = np.arange(ilo[k], ilo[k] + shape[k])
+                        idx = (i + 0.5) / 2.0 - 0.5 - base_c[k]
+                    sh = [1] * self.dim
+                    sh[k] = len(idx)
+                    coords.append(jnp.asarray(idx, phi_c.dtype).reshape(sh))
+                target = tuple(1 if k == d else shape[k]
+                               for k in range(self.dim))
+                coords = [jnp.broadcast_to(c, target) for c in coords]
+                vals = map_coordinates(phi_c, coords, order=1,
+                                       mode="nearest")
+                (bvl if side == "lo" else bvh).append(vals)
+        return (tuple(bvl), tuple(bvh))
+
     def _advance_level(self, l, dt, t_level):
         """Advance level l by dt; recursively subcycle finer levels
         (reference Amr::timeStep recursion)."""
         self.u_old[l] = self.u[l]
 
-        if l == 0:
+        if l == 0 and self._sharded_step0 is not None:
+            sim = self.sim0
+            u_int = self.u[l][interior_slice(self.ng, self.dim)]
+            out = self._sharded_step0(u_int, dt, t_level)
+            if sim.keep_fluxes:
+                u_new_i, min_rho, bad, fl = out
+                # cell-registered global fluxes -> n+1-face convention
+                # (the appended hi-domain plane is never read by _reflux:
+                # at a domain-edge window face both reflux masks are 0)
+                fluxes = []
+                for d in range(self.dim):
+                    pads = [(0, 0)] * (1 + self.dim)
+                    pads[1 + d] = (0, 1)
+                    fluxes.append(jnp.pad(fl[d], pads))
+            else:
+                u_new_i, min_rho, bad = out
+                fluxes = None
+            pads = [(0, 0)] + [(self.ng, self.ng)] * self.dim
+            out = (sim._jit_clean_fill(jnp.pad(u_new_i, pads)), min_rho,
+                   bad) + ((fluxes,) if sim.keep_fluxes else ())
+        elif l == 0:
             sim = self.sim0
             out = sim._jit_step(self.u[l], dt, t_level)
         else:
             lev = self._get_level(l, self.window[l][1])
             sim = lev.sim
             ilo = jnp.asarray(self.window[l][0])
-            out = lev.jit_step(self.u[l], dt, t_level, ilo)
+            out = lev.jit_step(self.u[l], dt, t_level, ilo,
+                               grav_bc=self._cur_grav_bc.get(l))
         u_new, min_rho, bad, fluxes = (out if sim.keep_fluxes
                                        else (*out, None))
         if bool(bad) or float(min_rho) <= 0.0:
@@ -386,9 +490,21 @@ class AmrSimulation:
             f_coarse = [f * dt for f in fluxes]
             fine_acc = None
 
+            # composite gravity: this level's old/new phi bracket the
+            # subcycle window for time-interpolated fine boundary data
+            phi_old = phi_new = None
+            if self._has_poisson:
+                phi_old = self._solve_phi(l, self.u_old[l])
+                phi_new = self._solve_phi(l, self.u[l])
+
             r = self.ref_ratio
             for i in range(r):
                 frac0 = i / r
+                if phi_old is not None:
+                    fm = (i + 0.5) / r  # midpoint of the substep
+                    phi_mid = (1.0 - fm) * phi_old + fm * phi_new
+                    self._cur_grav_bc[l + 1] = self._window_phi_bc(
+                        l + 1, phi_mid)
                 self._set_unmasked_from_coarse(l + 1, frac0 + 0.0)
                 fine_fluxes = self._advance_level(l + 1, dt / r,
                                                   t_level + i * dt / r)

@@ -74,10 +74,13 @@ def write_checkpoint(sim, path: Optional[str] = None, async_writer=None):
         np.save(buf, np.asarray(sim.u))
         async_writer.submit(os.path.join(path, "state.cio"), buf.getvalue())
     else:
-        np.savez_compressed(
-            os.path.join(path, "state.npz"),
-            u=np.asarray(sim.u),
-        )
+        arrays = {"u": np.asarray(sim.u)}
+        if getattr(sim, "u_rad", None) is not None:
+            arrays["u_rad"] = np.asarray(sim.u_rad)
+        if getattr(sim, "u_b", None) is not None:
+            for d, bb in enumerate(sim.u_b):
+                arrays[f"u_b{d}"] = np.asarray(bb)
+        np.savez_compressed(os.path.join(path, "state.npz"), **arrays)
     meta = {
         "version": CHECKPOINT_VERSION,
         "time": sim.t,
@@ -121,6 +124,11 @@ def restart(sim, path: str, reset_time: Optional[float] = None,
     else:
         data = np.load(os.path.join(path, "state.npz"))
         sim.u = jnp.asarray(data["u"], dtype=sim.dtype)
+        if "u_rad" in data:
+            sim.u_rad = jnp.asarray(data["u_rad"], dtype=sim.dtype)
+        if "u_b0" in data:
+            sim.u_b = tuple(jnp.asarray(data[f"u_b{d}"], dtype=sim.dtype)
+                            for d in range(3))
     sim.t = meta["time"] if reset_time is None else reset_time
     sim.step_count = meta["step"] if reset_step is None else reset_step
     sim.dt = meta["dt"]

@@ -65,15 +65,22 @@ class StepCtx:
     `_step_impl` runs under `shard_map` (the reference achieves this with
     ubiquitous `ParallelDescriptor` calls — SURVEY.md §2.8 P1/P2)."""
 
-    __slots__ = ("fill", "pmin", "pany", "psum", "geom", "axis_names")
+    __slots__ = ("fill", "pmin", "pany", "psum", "geom", "axis_names",
+                 "grav_bc")
 
-    def __init__(self, fill, pmin, pany, psum, geom, axis_names=()):
+    def __init__(self, fill, pmin, pany, psum, geom, axis_names=(),
+                 grav_bc=None):
         self.fill = fill
         self.pmin = pmin
         self.pany = pany
         self.psum = psum
         self.geom = geom
         self.axis_names = axis_names
+        # composite AMR gravity: (bvl, bvh) Dirichlet phi values on the
+        # window boundary faces, interpolated from the coarse-level solve
+        # (reference Gravity.cpp:418-487 level solve with coarse boundary
+        # registers). None = isolated-domain multipole/periodic BCs.
+        self.grav_bc = grav_bc
 
 
 @dataclass
@@ -94,7 +101,12 @@ class Simulation:
     def __init__(self, params: Params, problem_init: Optional[Callable] = None,
                  problem_fill: Optional[Callable] = None,
                  source_fns: Optional[List[Callable]] = None,
-                 ext_src: Optional[Callable] = None):
+                 ext_src: Optional[Callable] = None,
+                 geom=None):
+        """`geom` overrides the params-derived geometry — AMR fine-level
+        windows pass a `local_view` of the full fine-level geometry so dx
+        (and everything derived from it: estdt, diffusion stencils, the
+        Poisson solve) is the true fine dx, not domain_extent/window_shape."""
         self.params = params
         self.network = make_network(params)
         import dataclasses as _dc
@@ -107,7 +119,8 @@ class Simulation:
         self.params = params
         self.layout = layout_from_params(params)
         self.dtype = jnp.float64 if params.tpu.dtype == "float64" else jnp.float32
-        self.geom = geometry_from_params(params, self.dtype)
+        self.geom = geom if geom is not None else \
+            geometry_from_params(params, self.dtype)
         self.eos = make_eos(params, self.network)
         self.problem_init = problem_init
         self.problem_fill = problem_fill
@@ -116,8 +129,8 @@ class Simulation:
 
         self.source_fns = list(source_fns or [])
         self.source_fns += build_sources(
-            params, geometry_from_params(params, self.dtype),
-            self.layout, self.layout.ngrow, ext_src=ext_src)
+            params, self.geom, self.layout, self.layout.ngrow,
+            ext_src=ext_src)
 
         # radiation (gray/MG FLD; reference final_radiation_call,
         # Castro_advance.cpp:109)
@@ -129,6 +142,19 @@ class Simulation:
             self.rad = FLDRadiation(params, self.geom, self.layout)
             self.rad.geom_metric()  # build the curvilinear metric eagerly
             self._jit_rad_step = jax.jit(self._rad_step_impl)
+
+        # ideal MHD inside the main driver (reference: MHD is Castro with
+        # USE_MHD=TRUE — do_advance_ctu swaps construct_ctu_hydro_source
+        # for construct_ctu_mhd_source, Source/mhd/Castro_mhd.cpp — and
+        # keeps the whole sources/retry/IO machinery)
+        self.mhd = None
+        self.u_b = None
+        if params.castro.do_mhd:
+            from castro_tpu.mhd.solver import MhdSolver
+
+            self.mhd = MhdSolver(self)
+            self._jit_mhd_step = jax.jit(self._mhd_step_impl)
+            self._jit_mhd_estdt = jax.jit(self._mhd_estdt_impl)
 
         # Strang reaction coupling (reference Castro_react.cpp; SDC modes
         # use their own coupling)
@@ -188,13 +214,15 @@ class Simulation:
             ng=self.ng,
         )
 
-        # The fused kernels hold two full grid axes per VMEM block; very
-        # large grids exceed the scoped-VMEM budget, so they fall back to
-        # the XLA path (correct, slower) above this in-block-area limit.
+        # The fused face kernels hold two full grid axes per VMEM block;
+        # above the (configurable) in-block-area cap they shrink the tile
+        # width toward 1 to stay inside VMEM (see ctu_face_pallas); an
+        # explicit cap forces the plain-XLA fallback instead.
         gs = self.grown_shape()
-        if self.cfg.use_pallas and self.layout.dim == 3:
+        cap = params.tpu.pallas_max_inblock_area
+        if cap > 0 and self.cfg.use_pallas and self.layout.dim == 3:
             pairs = [gs[0] * gs[2], gs[1] * gs[2], gs[0] * gs[1]]
-            if max(pairs) > 36000:
+            if max(pairs) > cap:
                 self.cfg = self.cfg._replace(use_pallas=False)
 
         # fused ctoprim+divu kernel path: 3D, arithmetic EOS, no radiation
@@ -230,8 +258,28 @@ class Simulation:
 
     def init_data(self):
         """Fill the state from the problem hook (reference Castro::initData,
-        Castro.cpp:934) then clean and fill ghosts."""
+        Castro.cpp:934) then clean and fill ghosts. MHD problem hooks take
+        (sim, u, b) and return (u, b) (reference
+        problem_initialize_mhd_data.H); the magnetic energy is folded into
+        UEDEN afterwards (Castro::add_magnetic_e, Castro.H:823-850)."""
         u = self.allocate()
+        if self.mhd is not None:
+            L = self.layout
+            b = tuple(jnp.zeros(self.grown_shape(), self.dtype)
+                      for _ in range(3))
+            if self.problem_init is not None:
+                u, b = self.problem_init(self, u, b)
+            bc = self.mhd.cell_b(b)
+            pb = 0.5 * sum(bb * bb for bb in bc)
+            u = u.at[L.UEDEN].add(pb)
+            u = self.mhd._clean(jnp.asarray(u, self.dtype),
+                                tuple(jnp.asarray(bb, self.dtype)
+                                      for bb in b))
+            self.u_b = tuple(jnp.asarray(self.mhd._fill_b(bb, d),
+                                         self.dtype)
+                             for d, bb in enumerate(b))
+            self.u = jnp.asarray(u, self.dtype)
+            return self.u
         if self.problem_init is not None:
             u = self.problem_init(self, u)
         if self.cfg.hybrid_hydro:
@@ -326,7 +374,9 @@ class Simulation:
         c = self.params.castro
         if c.fixed_dt > 0:
             return c.fixed_dt
-        if self.rad is not None and self.u_rad is not None:
+        if self.mhd is not None:
+            dt = float(self._jit_mhd_estdt(self.u, self.u_b))
+        elif self.rad is not None and self.u_rad is not None:
             dt = float(self._jit_estdt(self.u, self.u_rad))
         else:
             dt = float(self._jit_estdt(self.u))
@@ -690,10 +740,100 @@ class Simulation:
         u_new = self._clean_fill_impl(u_new)
         return u_new, min_rho, nan_flag | burn_fail
 
+    def _mhd_estdt_impl(self, u, b):
+        """MHD timestep limit (reference estdt_mhd, timestep.cpp:148) +
+        the burning limiter, inside the driver's dt machinery."""
+        c = self.params.castro
+        dt = self.mhd.estdt(u, b, c.cfl)
+        dt_b = estdt_burning(u, self.layout, self.eos, self.network,
+                             self.ng, c.dtnuc_e, c.dtnuc_X,
+                             c.dtnuc_X_threshold)
+        return jnp.minimum(dt, dt_b)
+
+    def _mhd_step_impl(self, u, b, dt, t, ctx: Optional[StepCtx] = None):
+        """One driver MHD step: Strang reactions + old-time sources traced
+        into the CTU-CT interface states + new-time source corrector —
+        the same orchestration as `_step_impl` with the MHD advance in
+        place of the hydro one (reference do_advance_ctu with USE_MHD,
+        Castro_advance_ctu.cpp:16 + Castro_mhd.cpp)."""
+        from castro_tpu.mhd.solver import MhdState
+
+        ctx = ctx or self._default_ctx
+        L = self.layout
+        c = self.params.castro
+        u = ctx.fill(u, t)
+        b = tuple(self.mhd._fill_b(bb, d) for d, bb in enumerate(b))
+
+        burn_fail = jnp.asarray(False)
+        if self.reactor is not None:
+            shk = u[L.USHK] if L.shock_var else None
+            u, _, _, bf = self.reactor.react(u, 0.5 * dt, shk)
+            burn_fail = burn_fail | bf
+            u = self.mhd._clean(u, b)
+
+        q, qaux = ctoprim(u, L, self.eos, self.cfg.small_dens,
+                          max(c.small_temp, 1e-200))
+        src_old = None
+        if self.source_fns:
+            src_old = jnp.zeros_like(u)
+            for fn in self.source_fns:
+                src_old = src_old + fn(self, u, q, qaux, t, dt, ctx=ctx)
+        srcQ = None if src_old is None else src_to_prim(q, qaux, src_old, L)
+
+        if L.dim == 3 and c.mhd_ctu:
+            (u_new, b_new), fluxes = self.mhd.step_ctu(
+                MhdState(u, b), dt, srcQ=srcQ, keep_fluxes=True)
+        else:
+            u_new, b_new = self.mhd.step_rk2(MhdState(u, b), dt)
+            fluxes = None
+        if src_old is not None:
+            u_new = u_new + dt * src_old
+
+        inner = interior_slice(self.ng, L.dim)
+        min_rho = ctx.pmin(u_new[inner][L.URHO])
+        nan_flag = ctx.pany(~jnp.isfinite(jnp.sum(u_new[inner])))
+
+        if self.source_fns:
+            q2, qaux2 = ctoprim(u_new, L, self.eos, self.cfg.small_dens,
+                                max(c.small_temp, 1e-200))
+            src_new = jnp.zeros_like(u)
+            corr = None
+            src_old_generic = src_old
+            for fn in self.source_fns:
+                if hasattr(fn, "corrector"):
+                    cfn = fn.corrector(self, u, u_new, t, dt, ctx=ctx,
+                                       fluxes=fluxes)
+                    corr = cfn if corr is None else corr + cfn
+                    src_old_generic = src_old_generic - fn(
+                        self, u, q, qaux, t, dt, ctx=ctx)
+                else:
+                    src_new = src_new + fn(self, u_new, q2, qaux2, t + dt,
+                                           dt, ctx=ctx)
+            u_new = u_new + 0.5 * dt * (src_new - src_old_generic)
+            if corr is not None:
+                u_new = u_new + dt * corr
+
+        if self.reactor is not None:
+            shk2 = u_new[L.USHK] if L.shock_var else None
+            u_new, _, _, bf2 = self.reactor.react(u_new, 0.5 * dt, shk2)
+            burn_fail = burn_fail | bf2
+
+        u_new = self.mhd._clean(u_new, b_new)
+        burn_fail = ctx.pany(burn_fail)
+        return u_new, b_new, min_rho, nan_flag | burn_fail
+
     def try_step(self, dt: float, t: Optional[float] = None):
         """One trial step from time t (defaults to self.t; subcycles pass
         the advanced substep time so time-dependent sources are correct)."""
         t = self.t if t is None else t
+        if self.mhd is not None:
+            u_new, b_new, min_rho, nan_flag = self._jit_mhd_step(
+                self.u, self.u_b, dt, t)
+            status = StepStatus(min_rho=float(min_rho),
+                                has_nan=bool(nan_flag))
+            if status.success:
+                self.u_b = b_new
+            return u_new, status
         if self.sdc is not None:
             u_new, fail = self._jit_sdc_step(self.u, dt, t)
             inner = interior_slice(self.ng, self.layout.dim)
@@ -737,6 +877,7 @@ class Simulation:
             ok = True
             u_save = self.u
             u_rad_save = self.u_rad
+            u_b_save = self.u_b
             nsub = 0
             while t_adv < dt * (1 - 1e-12):
                 step_dt = min(dt_sub, dt - t_adv)
@@ -754,6 +895,7 @@ class Simulation:
             # restore and halve again
             self.u = u_save
             self.u_rad = u_rad_save
+            self.u_b = u_b_save
             dt_sub *= c.retry_subcycle_factor
             if dt_sub < c.dt_cutoff:
                 break

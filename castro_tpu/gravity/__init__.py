@@ -203,7 +203,15 @@ class Gravity:
         rhs = 4.0 * math.pi * C.Gconst * rho
         if geom.coord != CoordSys.CARTESIAN:
             return self._poisson_curvilinear(rho, ctx)
-        if self.periodic:
+        grav_bc = ctx.grav_bc if ctx is not None else None
+        if grav_bc is not None:
+            # composite AMR fine-level solve: Dirichlet phi interpolated
+            # from the coarse-level solution on the window boundary
+            # (reference level solve w/ coarse boundary registers,
+            # Gravity.cpp:418-487)
+            bc_lo = bc_hi = ("dirichlet",) * geom.dim
+            bvl, bvh = grav_bc
+        elif self.periodic:
             bc_lo = bc_hi = ("periodic",) * geom.dim
             bvl = bvh = None
         else:
@@ -215,7 +223,8 @@ class Gravity:
                               bc_vals_lo=bvl, bc_vals_hi=bvh,
                               n_vcycles=self.n_vcycles, rtol=self.rtol,
                               axis_names=names if sharded else None)
-        g = self._grad_phi(phi, bvl, bvh, names if sharded else ())
+        g = self._grad_phi(phi, bvl, bvh, names if sharded else (),
+                           dirichlet=grav_bc is not None)
         return g, phi
 
     def _multipole_bcs(self, rho, geom, ctx=None):
@@ -323,14 +332,14 @@ class Gravity:
         target = [geom.n_cell[k] if k != d else 1 for k in range(dim)]
         return jnp.broadcast_to(face, tuple(target))
 
-    def _grad_phi(self, phi, bvl, bvh, axis_names=()):
+    def _grad_phi(self, phi, bvl, bvh, axis_names=(), dirichlet=False):
         """g = -grad(phi), centered differences; one-sided with the BC face
         value at domain boundaries (reference get_new_grav_vector)."""
         geom = self.geom
         dim = geom.dim
         sharded = any(n is not None for n in axis_names)
-        pad_codes = (mg.PERIODIC,) * dim if self.periodic else \
-            (mg.DIRICHLET,) * dim
+        pad_codes = (mg.PERIODIC,) * dim \
+            if (self.periodic and not dirichlet) else (mg.DIRICHLET,) * dim
         if sharded:
             phi_g = mg.sharded_fill_bc(phi, pad_codes, pad_codes, axis_names,
                                        bvl, bvh)

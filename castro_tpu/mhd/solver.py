@@ -233,11 +233,15 @@ class MhdSolver:
                 comps[i] = jnp.zeros_like(rho)
         return jnp.stack(comps), es.cs
 
-    def step_ctu(self, state: "MhdState", dt, srcQ=None):
+    def step_ctu(self, state: "MhdState", dt, srcQ=None, keep_fluxes=False):
         """One CTU-CT step (reference construct_ctu_mhd_source,
         `Source/mhd/Castro_mhd.cpp:7-724`; Miniati & Martin algorithm:
         12 HLLD solves + 3 rounds of Gardiner-Stone edge EMFs). 3D only;
-        div B stays at round-off by construction."""
+        div B stays at round-off by construction.
+
+        keep_fluxes=True additionally returns the final gas fluxes
+        [NVAR, grown] per dim (driver needs them for the conservative
+        grav_source_type=4 energy corrector and AMR flux registers)."""
         from castro_tpu.mhd import ctu_ct as cc
         from castro_tpu.ops.flatten import uflatten
         from castro_tpu.ops.advection_util import apply_av, \
@@ -373,6 +377,9 @@ class MhdSolver:
         b_new = tuple(self._fill_b(bb, d) for d, bb in enumerate(b_new))
 
         u_new = self._clean(u_new, b_new)
+        if keep_fluxes:
+            return MhdState(u_new, b_new), [flxf[d][:L.NVAR]
+                                            for d in range(3)]
         return MhdState(u_new, b_new)
 
     def _clean(self, u, b):

@@ -426,6 +426,25 @@ def ctu_face_pallas(qm, qp, qaux, d, terms, layout, coord, riemann_solver,
         while nt % bt != 0:
             bt //= 2
         bt = max(bt, 1)
+
+    # VMEM budget: blocks span the two in-block axes fully, so large grids
+    # must narrow the tile instead of falling back to plain XLA (the
+    # round-2 36000-in-block-area cap). ~45MB leaves headroom for the
+    # pipeline's double buffering within the 100MB scoped-VMEM limit.
+    import numpy as _np
+
+    ncomp_total = (2 * L.NQ + qaux.shape[0]
+                   + (1 if bnd_mask is not None else 0)
+                   + sum(term_specs) + L.NVAR + L.NGDNV)
+    per_bt = (ncomp_total * (int(_np.prod(gshape)) // nt)
+              * jnp.dtype(qm.dtype).itemsize)
+    bt_max = max(1, (45 * 1024 * 1024) // per_bt)
+    if bt > bt_max:
+        step = 8 if tile_axis == 1 else 1
+        cand = max(step, (bt_max // step) * step)
+        while cand > step and nt % cand != 0:
+            cand -= step
+        bt = cand if nt % cand == 0 else (nt if tile_axis == 1 else 1)
     grid = (nt // bt,)
 
     def bs(nc):

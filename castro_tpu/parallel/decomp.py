@@ -81,13 +81,20 @@ def _local_geom(sim, names, n_loc):
     return sim.geom.local_view(n_loc, tuple(ilo))
 
 
-def make_sharded_step(sim, mesh: Mesh, with_status: bool = True):
+def make_sharded_step(sim, mesh: Mesh, with_status: bool = True,
+                      keep_fluxes: bool = False):
     """Build a jitted whole-level step over the mesh.
 
     The returned fn maps (u_interior_global, dt, t) -> (u_new, min_rho, bad)
     with u stored WITHOUT ghosts (ghosts are transient inside the shard_map).
     It is the full `Simulation._step_impl` — reactions, old/new source
     corrector, clean/fill — under spatial decomposition.
+
+    keep_fluxes=True additionally returns per-dim CELL-REGISTERED face
+    fluxes (global interior shape; face i-1/2 stored at cell i — the
+    global hi-domain face plane is dropped) for AMR flux registers: the
+    distributed analog of the reference FluxRegister CrseInit
+    (`Castro.cpp:2549-2700`).
     """
     L = sim.layout
     ng = sim.ng
@@ -98,16 +105,37 @@ def make_sharded_step(sim, mesh: Mesh, with_status: bool = True):
         ctx = make_step_ctx(sim, names, n_loc=u_loc.shape[1:])
         pads = [(0, 0)] + [(ng, ng)] * L.dim
         u = jnp.pad(u_loc, pads)  # ghosts filled by the step's ctx.fill
-        u_new, min_rho, bad = sim._step_impl(u, dt, t, ctx=ctx)
+        keep = sim.keep_fluxes
+        sim.keep_fluxes = keep_fluxes  # trace-time toggle (jit captures it)
+        try:
+            out = sim._step_impl(u, dt, t, ctx=ctx)
+        finally:
+            sim.keep_fluxes = keep
+        if keep_fluxes:
+            u_new, min_rho, bad, _ = out
+            # re-derive cell-registered local fluxes is not possible from
+            # the trimmed fint; _step_impl's fint along d has n_loc+1 faces
+            # (shard-local). Trim the duplicated hi face: global faces are
+            # reconstructed cell-registered (face i-1/2 at cell i).
+            fint = out[3]
+            fluxes = []
+            for d in range(L.dim):
+                trim = [slice(None)] * (1 + L.dim)
+                trim[1 + d] = slice(0, fint[d].shape[1 + d] - 1)
+                fluxes.append(fint[d][tuple(trim)])
+            return (shrink(u_new, ng, L.dim), min_rho, bad, fluxes)
+        u_new, min_rho, bad = out
         return shrink(u_new, ng, L.dim), min_rho, bad
 
+    out_fl = [P(None, *names)] * L.dim
     # check_vma=False: Pallas kernels inside the shard inherit no varying-
     # axis metadata; the decomposition-invariance tests are the correctness
     # oracle for the collective structure instead
     mapped = shard_map(
         local_step, mesh=mesh,
         in_specs=(spec_u, P(), P()),
-        out_specs=(spec_u, P(), P()),
+        out_specs=((spec_u, P(), P(), out_fl) if keep_fluxes
+                   else (spec_u, P(), P())),
         check_vma=False,
     )
     return jax.jit(mapped, donate_argnums=(0,))

@@ -26,12 +26,47 @@ from castro_tpu.utils import constants as C
 
 
 def fld_lambda(R, limiter=2):
-    """Flux limiter lambda(R) (reference fluxlimiter.F90 closures):
-    0: none (lambda=1/3); 2: Levermore-Pomraning approximate."""
+    """Flux limiter lambda(R) — the full reference closure family
+    (fluxlimiter.F90:31-66 FLDlambda):
+
+      0       : no limiter, lambda = 1/3
+      [1-3]   : Levermore-Pomraning approximate  (2+R)/(6+3R+R^2)
+      1[1-3]  : Bruenn                           1/(3+R)
+      2[1-3]  : Larsen square-root               1/sqrt(9+R^2)
+      3[1-3]  : Minerbo                          2/(3+sqrt(9+12R^2)) R<1.5
+                                                 1/(1+R+sqrt(1+2R))  else
+    """
     if limiter == 0:
         return jnp.full_like(R, 1.0 / 3.0)
-    # LP approximate: lambda = (2+R)/(6+3R+R^2)
-    return (2.0 + R) / (6.0 + 3.0 * R + R * R)
+    if limiter < 10:  # approximate LP
+        return (2.0 + R) / (6.0 + R * (3.0 + R))
+    if limiter < 20:  # Bruenn
+        return 1.0 / (3.0 + R)
+    if limiter < 30:  # Larsen
+        return 1.0 / jnp.sqrt(9.0 + R * R)
+    if limiter < 40:  # Minerbo
+        return jnp.where(
+            R < 1.5,
+            2.0 / (3.0 + jnp.sqrt(9.0 + 12.0 * R * R)),
+            1.0 / (1.0 + R + jnp.sqrt(1.0 + 2.0 * R)))
+    raise ValueError(f"unknown radiation limiter {limiter}")
+
+
+def edd_factor(lam, R, closure=3):
+    """Eddington factor f(lambda) (reference fluxlimiter.F90:68-130
+    Edd_factor): 0: f=lambda; 1: f=1/3; 2: f=1-2lambda;
+    3: f=lambda+(lambda R)^2 (LP); 4: f=1/3+2/3(lambda R)^2."""
+    if closure == 0:
+        return lam
+    if closure == 1:
+        return jnp.full_like(lam, 1.0 / 3.0)
+    if closure == 2:
+        return 1.0 - 2.0 * lam
+    if closure == 3:
+        return lam + (lam * R) ** 2
+    if closure == 4:
+        return 1.0 / 3.0 + 2.0 / 3.0 * (lam * R) ** 2
+    raise ValueError(f"unknown radiation closure {closure}")
 
 
 class FLDRadiation:

@@ -1,94 +1,79 @@
-"""Stage-by-stage timing of the 3D CTU step on the current backend.
-
-Methodology: each stage runs K times inside one jitted `lax.fori_loop`
-with a data dependency threaded through the carry, and the result is
-fetched to host — single-dispatch wall-clock, immune to async-dispatch
-pipelining (the axon tunnel otherwise reports impossible speeds for
-dispatch-per-iteration loops).
-"""
-
+"""Profile the 3D Sedov bench step on TPU: per-kernel time breakdown."""
+import glob
+import gzip
+import json
 import os
 import sys
-
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-
 import time
+from collections import defaultdict
 
-import jax
-import jax.numpy as jnp
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
-from jax import lax
-
-from castro_tpu.driver.sim import Simulation
-from castro_tpu.problems import sedov
-from castro_tpu.ops.advection_util import ctoprim
-from castro_tpu.ops.ctu import ctu_hydro
-
-
-def timeloop(name, stage, u0, k=20):
-    """stage: u -> pytree. Chains a scalar of the output back into u."""
-
-    @jax.jit
-    def loop(u):
-        def body(i, u):
-            out = stage(u)
-            s = sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(out))
-            return u * (1.0 + 0.0 * s)
-
-        return lax.fori_loop(0, k, body, u)
-
-    r = loop(u0)
-    np.asarray(r[0, 0, 0, 0])  # force
-    t0 = time.perf_counter()
-    r = loop(u0)
-    np.asarray(r[0, 0, 0, 0])
-    dt = (time.perf_counter() - t0) / k
-    print(f"{name:30s} {dt*1e3:9.2f} ms")
 
 
 def main(n=120):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from castro_tpu.driver.sim import Simulation
+    from castro_tpu.problems import sedov
+
     params = sedov.make_params(n=n, dim=3, stop_time=1.0, r_init=0.1,
                                exp_energy=0.5, dtype="float32")
     sim = Simulation(params, problem_init=sedov.problem_init)
     sim.init_data()
-    L = sim.layout
-    dt = np.float32(1e-5)
-    print(f"grid {n}^3, NVAR={L.NVAR}, NQ={L.NQ}, backend={jax.default_backend()}")
+    print("use_pallas:", sim.cfg.use_pallas, "fused_prim:",
+          sim._use_fused_prim, flush=True)
+    dt0 = np.float32(float(sim._jit_estdt(sim.u)) * 0.5)
 
-    u = sim._jit_clean_fill(sim.u)
-    q, qaux = jax.jit(lambda uu: ctoprim(uu, L, sim.eos, sim.cfg.small_dens,
-                                         1e-12))(u)
+    @jax.jit
+    def multi_step(u, dt, k):
+        def body(i, carry):
+            u, dt = carry
+            u_new, _, _ = sim._step_impl(u, dt, 0.0)
+            return u_new, dt
+        u, dt = lax.fori_loop(0, k, body, (u, dt))
+        return u
 
-    timeloop("clean_fill", lambda uu: sim._clean_fill_impl(uu), u)
-    timeloop("ctoprim", lambda uu: ctoprim(uu, L, sim.eos,
-                                           sim.cfg.small_dens, 1e-12), u)
+    u = multi_step(sim.u, dt0, 3)
+    jax.block_until_ready(u)
 
-    from castro_tpu.ops.flatten import uflatten
+    t0 = time.perf_counter()
+    u = multi_step(u, dt0 * 0.5, 20)
+    jax.block_until_ready(u)
+    el = time.perf_counter() - t0
+    print(f"n={n}: {n**3*20/el/1e6:.2f} zones/us total", flush=True)
 
-    timeloop("flatten", lambda uu: uflatten(
-        ctoprim(uu, L, sim.eos, sim.cfg.small_dens, 1e-12)[0], L), u)
+    out = "/tmp/jaxprof"
+    os.system(f"rm -rf {out}")
+    with jax.profiler.trace(out):
+        u = multi_step(u, dt0 * 0.5, 20)
+        jax.block_until_ready(u)
 
-    from castro_tpu.ops import pallas_kernels as pk
-    from castro_tpu.ops.trace_ppm import trace_ppm
-
-    flatn = jax.jit(lambda qq: uflatten(qq, L))(q)
-    if sim.cfg.use_pallas:
-        for d in range(3):
-            timeloop(f"trace pallas d={d}",
-                     lambda uu, d=d: pk.trace_ppm_pallas(
-                         q * (1 + 0 * uu[0, 0, 0, 0]), qaux, None, flatn, d,
-                         dt, sim.geom.dx[d], L, 1e-12, 1e-12, 1e-12), u)
-    from castro_tpu.ops.riemann import cmpflx
-
-    timeloop("cmpflx (1 dir)",
-             lambda uu: cmpflx(q * (1 + 0 * uu[0, 0, 0, 0]), q, qaux, 2, L,
-                               sim.geom.coord, use_pallas=sim.cfg.use_pallas,
-                               small_dens=1e-12, small_pres=1e-12), u)
-
-    timeloop("ctu_hydro (full)",
-             lambda uu: ctu_hydro(uu, q * (1 + 0 * uu[0, 0, 0, 0]), qaux,
-                                  None, dt, sim.geom, L, sim.cfg), u)
-    timeloop("full step", lambda uu: sim._step_impl(uu, dt, 0.0)[0], u)
+    # parse the trace
+    files = glob.glob(f"{out}/**/*.trace.json.gz", recursive=True)
+    if not files:
+        print("no trace produced; files:", glob.glob(f"{out}/**/*",
+                                                     recursive=True))
+        return
+    with gzip.open(files[0], "rt") as f:
+        trace = json.load(f)
+    durs = defaultdict(float)
+    counts = defaultdict(int)
+    for ev in trace.get("traceEvents", []):
+        if ev.get("ph") != "X":
+            continue
+        cat = ev.get("args", {})
+        name = ev.get("name", "?")
+        pid = ev.get("pid")
+        # keep device (TPU) lane events only: heuristics on name
+        durs[name] += ev.get("dur", 0)
+        counts[name] += 1
+    tot = sum(durs.values())
+    for name, d in sorted(durs.items(), key=lambda kv: -kv[1])[:40]:
+        print(f"{d/1e3:10.2f} ms {counts[name]:6d}x  {name[:90]}")
 
 
 if __name__ == "__main__":
