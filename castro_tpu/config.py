@@ -104,6 +104,8 @@ class CastroParams:
     limit_fluxes_on_small_dens: int = 0
     speed_limit: float = 0.0
     check_cfl_violation: int = 1  # retry when courant > 1 (Castro_hydro.cpp:234)
+    #: lagged momentum-source predictor to t+dt/2 (Castro.cpp:3780-3836)
+    source_term_predictor: int = 0
     hydro_memory_footprint_ratio: float = -1.0
     # -- state cleaning / floors
     small_dens: float = 1.0e-200

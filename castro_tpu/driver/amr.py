@@ -103,6 +103,21 @@ class _Level:
 
             self.jit_phi = jax.jit(phi_solve)
 
+        self.jit_rad_step = None
+        if sim.rad is not None:
+            def rad_step(u, Er, dt, t, ilo, grav_bc=None, rad_bc=None,
+                         rad_rhs_extra=None):
+                geom = geom_full.local_view(self.shape, tuple(ilo))
+                ctx = StepCtx(fill=sim._fill, pmin=jnp.min,
+                              pany=lambda b: b, psum=lambda x: x,
+                              geom=geom, axis_names=(), grav_bc=grav_bc)
+                return sim._rad_step_impl(u, Er, dt, t, ctx=ctx,
+                                          rad_bc=rad_bc,
+                                          rad_rhs_extra=rad_rhs_extra,
+                                          keep_rad_flux=True)
+
+            self.jit_rad_step = jax.jit(rad_step)
+
 
 class AmrSimulation:
     """Owns the level hierarchy; level 0 is a whole-domain Simulation,
@@ -169,6 +184,25 @@ class AmrSimulation:
         self._jit_phi0 = (jax.jit(lambda rho: g0._poisson(rho)[1])
                           if self._has_poisson else None)
         self._cur_grav_bc: Dict[int, object] = {}
+
+        # AMR radiation (gray FLD): per-level Er with composite window
+        # solves (coarse-Er Dirichlet BCs) + deferred flux sync into the
+        # next coarse solve (reference Radiation flux registers +
+        # deferred_sync, Radiation.cpp:247-289,1731-1830)
+        self._has_rad = (self.sim0.rad is not None
+                         and self.sim0.layout.ngroups == 1)
+        self.u_rad: List = [None] * (self.max_level + 1)
+        self.u_rad_old: List = [None] * (self.max_level + 1)
+        self._cur_rad_bc: Dict[int, object] = {}
+        self._rad_sync_rhs: Dict[int, object] = {}
+        self._jit_rad_step0 = None
+        if self._has_rad:
+            if mesh is not None:
+                raise NotImplementedError(
+                    "distributed AMR radiation not composed yet")
+            self._jit_rad_step0 = jax.jit(
+                lambda u, Er, dt, t, rhs: self.sim0._rad_step_impl(
+                    u, Er, dt, t, rad_rhs_extra=rhs, keep_rad_flux=True))
 
     # ------------------------------------------------------------------ setup
     @staticmethod
@@ -267,6 +301,8 @@ class AmrSimulation:
         self.sim0.init_data()
         self.u[0] = self.sim0.u
         self.masks[0] = jnp.ones(self.sim0.geom.n_cell, bool)
+        if self._has_rad:
+            self.u_rad[0] = self.sim0.u_rad
         for l in range(1, self.max_level + 1):
             tags = self._tags_for(l - 1)
             ilo, shape = self._compute_window(l, tags)
@@ -280,6 +316,10 @@ class AmrSimulation:
                 u = self.problem_init(shim, u)
             self.u[l] = lev.jit_clean_fill(u)
             self.masks[l] = self._window_mask(l, tags)
+            if self._has_rad:
+                csl = self._parent_rel_slice(l)
+                self.u_rad[l] = prolong(self.u_rad[l - 1][csl], self.dim,
+                                        comp_axes=0)
         return self
 
     def _tags_for(self, l):
@@ -324,6 +364,16 @@ class AmrSimulation:
                               (int(new_ilo[k]) + new_shape[k]) // 2)
                         for k in range(self.dim))
             new_int = prolong(c_int[(slice(None),) + csl], self.dim)
+            new_rad = None
+            if self._has_rad:
+                base = (np.zeros(self.dim, int) if l == 0
+                        else 2 * np.asarray(self.window[l][0], int))
+                rsl = tuple(slice((int(new_ilo[k]) - int(base[k])) // 2,
+                                  (int(new_ilo[k]) - int(base[k])
+                                   + new_shape[k]) // 2)
+                            for k in range(self.dim))
+                new_rad = prolong(self.u_rad[l][rsl], self.dim,
+                                  comp_axes=0)
             if self.u[l + 1] is not None and fill_new:
                 old_ilo, old_shape = old
                 old_int = self.u[l + 1][interior_slice(self.ng, self.dim)]
@@ -343,6 +393,10 @@ class AmrSimulation:
                     m_src = old_mask[src[1:]]
                     new_int = new_int.at[dst].set(
                         jnp.where(m_src[None], old_int[src], new_int[dst]))
+                    if new_rad is not None and self.u_rad[l + 1] is not None:
+                        new_rad = new_rad.at[dst[1:]].set(
+                            jnp.where(m_src, self.u_rad[l + 1][src[1:]],
+                                      new_rad[dst[1:]]))
             elif self.u[l + 1] is not None and not fill_new:
                 # keep existing data where windows overlap (init path)
                 pass
@@ -351,16 +405,24 @@ class AmrSimulation:
             pads = [(0, 0)] + [(self.ng, self.ng)] * self.dim
             self.u[l + 1] = lev.jit_clean_fill(jnp.pad(new_int, pads))
             self.masks[l + 1] = self._window_mask(l + 1, tags)
+            if new_rad is not None:
+                self.u_rad[l + 1] = new_rad
 
     # ------------------------------------------------------------------ dt
     def estimate_dt(self) -> float:
         """Level-0 dt respecting all levels (reference computeNewDt with
         subcycling: dt_0 = min_l dt_l * prod(ref_ratio))."""
         c = self.params.castro
-        dt = float(self.sim0._jit_estdt(self.u[0]))
+        if self._has_rad:
+            dt = float(self.sim0._jit_estdt(self.u[0], self.u_rad[0]))
+        else:
+            dt = float(self.sim0._jit_estdt(self.u[0]))
         for l in range(1, self.max_level + 1):
             lev = self._get_level(l, self.window[l][1])
-            dt_l = float(lev.jit_estdt(self.u[l]))
+            if self._has_rad:
+                dt_l = float(lev.jit_estdt(self.u[l], self.u_rad[l]))
+            else:
+                dt_l = float(lev.jit_estdt(self.u[l]))
             dt = min(dt, dt_l * self.ref_ratio**l)
         if self.step_count == 0:
             dt *= c.init_shrink
@@ -406,11 +468,12 @@ class AmrSimulation:
         ilo = jnp.asarray(self.window[l][0])
         return lev.jit_phi(rho, ilo, self._cur_grav_bc.get(l))
 
-    def _window_phi_bc(self, l, phi_c):
-        """Dirichlet phi on level-l window boundary faces, linearly
-        interpolated from the parent-level solution phi_c (parent-local
-        interior array). Reference: coarse boundary registers feeding the
-        fine-level MLMG solve (Gravity.cpp:418-487)."""
+    def _window_face_bc(self, l, phi_c):
+        """Dirichlet values of a cell field on level-l window boundary
+        faces, linearly interpolated from the parent-level field phi_c
+        (parent-local interior array). Used for composite gravity
+        (coarse-phi boundary registers, Gravity.cpp:418-487) and AMR
+        radiation (coarse-Er boundary data, RadBndry interpolation)."""
         from jax.scipy.ndimage import map_coordinates
 
         ilo, shape = self.window[l]
@@ -438,10 +501,98 @@ class AmrSimulation:
                 (bvl if side == "lo" else bvh).append(vals)
         return (tuple(bvl), tuple(bvh))
 
+    # back-compat alias
+    _window_phi_bc = _window_face_bc
+
+    # ---------------------------------------------------------- radiation AMR
+    def _set_unmasked_rad_from_coarse(self, l, frac):
+        """Window ring Er := prolonged, time-interpolated coarse Er
+        (the radiation FillPatch analog)."""
+        Er_c = (1.0 - frac) * self.u_rad_old[l - 1] + frac * self.u_rad[l - 1]
+        csl = self._parent_rel_slice(l)
+        fine = prolong(Er_c[csl], self.dim, comp_axes=0)
+        self.u_rad[l] = jnp.where(self.masks[l], self.u_rad[l], fine)
+
+    def _rad_reflux_rhs(self, l, f_coarse_dt, fine_acc):
+        """Deferred-sync rhs source for the NEXT level-l implicit solve:
+        the time-integrated coarse-fine diffusion-flux mismatch scattered
+        into the unrefined-side cells (reference Radiation::deferred_sync
+        scaled FluxRegister::Reflux into the solve rhs; scale dt_old/dt
+        ~ 1 here since dt varies slowly)."""
+        sim = self._sims_at(l)
+        dim = self.dim
+        csl = self._parent_rel_slice(l + 1)
+        cmask = restrict_mask(self.masks[l + 1], dim)
+        rhs = jnp.zeros(tuple(self.u_rad[l].shape), self.u_rad[l].dtype)
+        win = rhs[csl]
+        for d in range(dim):
+            fsl = []
+            for k in range(dim):
+                s = csl[k]
+                fsl.append(slice(s.start, s.stop + 1) if k == d else s)
+            delta = fine_acc[d] - f_coarse_dt[d][tuple(fsl)]
+            pad_lo = [(0, 0)] * cmask.ndim
+            pad_lo[d] = (1, 0)
+            pad_hi = [(0, 0)] * cmask.ndim
+            pad_hi[d] = (0, 1)
+            m_left = jnp.pad(cmask, pad_lo)
+            m_right = jnp.pad(cmask, pad_hi)
+            inv_dx = 1.0 / sim.geom.dx[d]
+            gain_r = jnp.where(m_left & ~m_right, delta, 0.0)
+            lose_l = jnp.where(~m_left & m_right, delta, 0.0)
+            sl_hi = [slice(None)] * delta.ndim
+            sl_hi[d] = slice(1, None)
+            sl_lo = [slice(None)] * delta.ndim
+            sl_lo[d] = slice(0, -1)
+            win = win + inv_dx * gain_r[tuple(sl_lo)]
+            win = win - inv_dx * lose_l[tuple(sl_hi)]
+        return rhs.at[csl].set(win)
+
+    def _rad_avg_down(self, l):
+        csl = self._parent_rel_slice(l + 1)
+        cmask = restrict_mask(self.masks[l + 1], self.dim)
+        c_from_f = restrict(self.u_rad[l + 1], self.dim, comp_axes=0)
+        blk = jnp.where(cmask, c_from_f, self.u_rad[l][csl])
+        self.u_rad[l] = self.u_rad[l].at[csl].set(blk)
+
     def _advance_level(self, l, dt, t_level):
         """Advance level l by dt; recursively subcycle finer levels
         (reference Amr::timeStep recursion)."""
         self.u_old[l] = self.u[l]
+
+        rad_fluxes = None
+        if self._has_rad:
+            self.u_rad_old[l] = self.u_rad[l]
+            rhs_extra = self._rad_sync_rhs.pop(l, None)
+            if l == 0:
+                sim = self.sim0
+                out = self._jit_rad_step0(self.u[0], self.u_rad[0], dt,
+                                          t_level, rhs_extra)
+            else:
+                lev = self._get_level(l, self.window[l][1])
+                sim = lev.sim
+                ilo = jnp.asarray(self.window[l][0])
+                out = lev.jit_rad_step(
+                    self.u[l], self.u_rad[l], dt, t_level, ilo,
+                    grav_bc=self._cur_grav_bc.get(l),
+                    rad_bc=self._cur_rad_bc.get(l),
+                    rad_rhs_extra=rhs_extra)
+            u_new, Er_new, min_rho, bad, rad_fluxes, fluxes = out
+            if bool(bad) or float(min_rho) <= 0.0:
+                raise RuntimeError(
+                    f"AMR rad advance failed at level {l}, t={t_level} "
+                    f"(min_rho={float(min_rho)})")
+            if l == 0:
+                self.u[l] = u_new
+                self.u_rad[l] = Er_new
+            else:
+                idx = interior_slice(self.ng, self.dim)
+                keep = jnp.where(self.masks[l][None], u_new[idx],
+                                 self.u[l][idx])
+                self.u[l] = self.u[l].at[idx].set(keep)
+                self.u_rad[l] = jnp.where(self.masks[l], Er_new,
+                                          self.u_rad[l])
+            return self._advance_finer(l, dt, t_level, fluxes, rad_fluxes)
 
         if l == 0 and self._sharded_step0 is not None:
             sim = self.sim0
@@ -472,8 +623,8 @@ class AmrSimulation:
             ilo = jnp.asarray(self.window[l][0])
             out = lev.jit_step(self.u[l], dt, t_level, ilo,
                                grav_bc=self._cur_grav_bc.get(l))
-        u_new, min_rho, bad, fluxes = (out if sim.keep_fluxes
-                                       else (*out, None))
+        u_new, min_rho, bad = out[0], out[1], out[2]
+        fluxes = out[3] if sim.keep_fluxes else None
         if bool(bad) or float(min_rho) <= 0.0:
             raise RuntimeError(
                 f"AMR advance failed at level {l}, t={t_level} "
@@ -485,10 +636,23 @@ class AmrSimulation:
             keep = jnp.where(self.masks[l][None], u_new[idx], self.u[l][idx])
             self.u[l] = self.u[l].at[idx].set(keep)
 
+        return self._advance_finer(l, dt, t_level, fluxes, None)
+
+    def _advance_finer(self, l, dt, t_level, fluxes, rad_fluxes):
+        """Subcycle level l+1 (if any), then reflux + avgDown. Returns
+        (fluxes, rad_fluxes) for the parent's own flux registers."""
         if l < self.max_level:
             # flux register: coarse side contribution (CrseInit)
             f_coarse = [f * dt for f in fluxes]
             fine_acc = None
+            f_coarse_rad_dt = None
+            fine_acc_rad = None
+            if self._has_rad:
+                f_coarse_rad_dt = []
+                for d in range(self.dim):
+                    pads = [(0, 0)] * self.dim
+                    pads[d] = (0, 1)
+                    f_coarse_rad_dt.append(jnp.pad(rad_fluxes[d], pads) * dt)
 
             # composite gravity: this level's old/new phi bracket the
             # subcycle window for time-interpolated fine boundary data
@@ -500,29 +664,54 @@ class AmrSimulation:
             r = self.ref_ratio
             for i in range(r):
                 frac0 = i / r
+                fm = (i + 0.5) / r  # midpoint of the substep
                 if phi_old is not None:
-                    fm = (i + 0.5) / r  # midpoint of the substep
                     phi_mid = (1.0 - fm) * phi_old + fm * phi_new
-                    self._cur_grav_bc[l + 1] = self._window_phi_bc(
+                    self._cur_grav_bc[l + 1] = self._window_face_bc(
                         l + 1, phi_mid)
+                if self._has_rad:
+                    Er_mid = (1.0 - fm) * self.u_rad_old[l] + \
+                        fm * self.u_rad[l]
+                    self._cur_rad_bc[l + 1] = self._window_face_bc(
+                        l + 1, Er_mid)
+                    self._set_unmasked_rad_from_coarse(l + 1, frac0)
                 self._set_unmasked_from_coarse(l + 1, frac0 + 0.0)
-                fine_fluxes = self._advance_level(l + 1, dt / r,
-                                                  t_level + i * dt / r)
+                fine_fluxes, fine_rad = self._advance_level(
+                    l + 1, dt / r, t_level + i * dt / r)
                 if fine_acc is None:
                     fine_acc = [jnp.zeros_like(coarsen_flux(
                         fine_fluxes[d], d, self.dim)) for d in range(self.dim)]
                 for d in range(self.dim):
                     fine_acc[d] = fine_acc[d] + coarsen_flux(
                         fine_fluxes[d], d, self.dim) * (dt / r)
+                if self._has_rad:
+                    frc = []
+                    for d in range(self.dim):
+                        pads = [(0, 0)] * self.dim
+                        pads[d] = (0, 1)
+                        frc.append(coarsen_flux(
+                            jnp.pad(fine_rad[d], pads), d, self.dim,
+                            comp_axes=0) * (dt / r))
+                    fine_acc_rad = (frc if fine_acc_rad is None else
+                                    [a + b for a, b in
+                                     zip(fine_acc_rad, frc)])
             self._set_unmasked_from_coarse(l + 1, 1.0)
+            if self._has_rad:
+                self._set_unmasked_rad_from_coarse(l + 1, 1.0)
 
             # reflux (FluxRegister::Reflux): correct unrefined-side coarse
             # cells with (sum fine flux dt) - (coarse flux dt)
             self._reflux(l, f_coarse, fine_acc)
             # avgDown: covered coarse cells from the fine average
             self._avg_down(l)
+            if self._has_rad:
+                # deferred sync: mismatch feeds the NEXT level-l implicit
+                # solve's rhs (Radiation::deferred_sync semantics)
+                self._rad_sync_rhs[l] = self._rad_reflux_rhs(
+                    l, f_coarse_rad_dt, fine_acc_rad)
+                self._rad_avg_down(l)
 
-        return fluxes
+        return fluxes, rad_fluxes
 
     def _reflux(self, l, f_coarse, fine_acc):
         """fine_acc: window-coarsened fine-flux sums (over the level-(l+1)
@@ -587,10 +776,14 @@ class AmrSimulation:
         c = self.params.castro
         snap_u = list(self.u)
         snap_masks = list(self.masks)
+        snap_rad = list(self.u_rad)
+        snap_sync = dict(self._rad_sync_rhs)
 
         def restore():
             self.u = list(snap_u)
             self.masks = list(snap_masks)
+            self.u_rad = list(snap_rad)
+            self._rad_sync_rhs = dict(snap_sync)
 
         try:
             self._advance_level(0, dt, self.t)

@@ -66,10 +66,10 @@ class StepCtx:
     ubiquitous `ParallelDescriptor` calls — SURVEY.md §2.8 P1/P2)."""
 
     __slots__ = ("fill", "pmin", "pany", "psum", "geom", "axis_names",
-                 "grav_bc")
+                 "grav_bc", "point_mass")
 
     def __init__(self, fill, pmin, pany, psum, geom, axis_names=(),
-                 grav_bc=None):
+                 grav_bc=None, point_mass=None):
         self.fill = fill
         self.pmin = pmin
         self.pany = pany
@@ -81,6 +81,9 @@ class StepCtx:
         # (reference Gravity.cpp:418-487 level solve with coarse boundary
         # registers). None = isolated-domain multipole/periodic BCs.
         self.grav_bc = grav_bc
+        # runtime point mass (accretion bookkeeping overrides the static
+        # castro.point_mass; Castro_pointmass.cpp:155)
+        self.point_mass = point_mass
 
 
 @dataclass
@@ -236,6 +239,14 @@ class Simulation:
         self.u = None
         self.num_zones_advanced = 0  # FOM accounting (main.cpp:169-214)
         self.keep_fluxes = False  # AMR refluxing needs the face fluxes
+        # lagged momentum dS/dt for source_term_predictor=1 (zero-start,
+        # like the reference's source_corrector)
+        self._src_pred = None
+        # runtime point mass with accretion (Castro_pointmass.cpp:155)
+        self.point_mass = float(c.point_mass)
+        self._pm_fix = bool(c.use_point_mass and c.point_mass_fix_solution)
+        if self._pm_fix:
+            self._jit_pm_fix = jax.jit(self._pointmass_fix_impl)
 
         # default single-device context; psum is the cross-shard elementwise
         # sum — identity with one shard
@@ -282,6 +293,14 @@ class Simulation:
             return self.u
         if self.problem_init is not None:
             u = self.problem_init(self, u)
+        # enforce consistent total energy at init: UEDEN = UEINT + KE
+        # (reference Castro::enforce_consistent_e called from initData,
+        # Castro.cpp:1302,2952; the MHD path folds the magnetic term via
+        # add_magnetic_e above)
+        L = self.layout
+        rho_i = jnp.maximum(u[L.URHO], 1e-300)
+        ke = 0.5 * (u[L.UMX] ** 2 + u[L.UMY] ** 2 + u[L.UMZ] ** 2) / rho_i
+        u = u.at[L.UEDEN].set(u[L.UEINT] + ke)
         if self.cfg.hybrid_hydro:
             # seed the (authoritative) hybrid momenta from the problem's
             # linear momenta (reference initData -> linear_to_hybrid_momentum,
@@ -390,13 +409,20 @@ class Simulation:
         return min(dt, c.max_dt)
 
     # -- the step --------------------------------------------------------------
-    def _step_impl(self, u, dt, t, ctx: Optional[StepCtx] = None):
+    def _step_impl(self, u, dt, t, ctx: Optional[StepCtx] = None,
+                   src_pred=None, point_mass=None):
         """One CTU step with Strang-free source handling (reference
         do_advance_ctu, Castro_advance_ctu.cpp:16): old-time sources are
         applied and traced into interface states; new-time sources apply a
         time-centered corrector 0.5*dt*(S_new - S_old)
         (do_old_sources/do_new_sources, Castro_sources.cpp:123,185).
-        Returns (u_new, min_rho_raw, nan_flag)."""
+        Returns (u_new, min_rho_raw, nan_flag).
+
+        src_pred (castro.source_term_predictor=1): the lagged momentum
+        dS/dt from the previous step (create_source_corrector,
+        Castro.cpp:3780-3836); the old-time source becomes
+        S^n + dt/2 dS/dt ~ S^{n+1/2} for tracing and application, and the
+        step additionally returns the new dS/dt for the next step."""
         # invariant: on the default (single-device) path the state is always
         # ghost-filled on entry — init_data and every step exit run
         # clean+fill — and physical BC fills are t-independent unless a
@@ -405,6 +431,9 @@ class Simulation:
         # pass ctx explicitly and always fill (halo/fillpatch data is stale).
         skip_head_fill = ctx is None and self.problem_fill is None
         ctx = ctx or self._default_ctx
+        if point_mass is not None:
+            ctx = StepCtx(ctx.fill, ctx.pmin, ctx.pany, ctx.psum, ctx.geom,
+                          ctx.axis_names, ctx.grav_bc, point_mass)
         L = self.layout
         c = self.params.castro
         cfg = self.cfg
@@ -447,7 +476,13 @@ class Simulation:
             src_old = jnp.zeros_like(u)
             for fn in self.source_fns:
                 src_old = src_old + fn(self, u, q, qaux, t, dt, ctx=ctx)
-        srcQ = None if src_old is None else src_to_prim(q, qaux, src_old, L)
+        src_eff = src_old
+        if (src_pred is not None and c.source_term_predictor == 1
+                and src_old is not None):
+            # lagged predictor: S^{n+1/2} = S^n + (dt/2) dS/dt (momentum
+            # rows only; src_pred is pre-masked)
+            src_eff = src_old + 0.5 * dt * src_pred
+        srcQ = None if src_eff is None else src_to_prim(q, qaux, src_eff, L)
 
         if c.do_hydro:
             # ctu_hydro folds the conservative update u + dt*hsrc into its
@@ -460,8 +495,8 @@ class Simulation:
             fluxes = [jnp.zeros_like(u) for _ in range(L.dim)]
             qes, shk = None, None
             u_new = u
-        if src_old is not None:
-            u_new = u_new + dt * src_old
+        if src_eff is not None:
+            u_new = u_new + dt * src_eff
 
         # validity checks on the raw state (reference density/NaN checks,
         # Castro_advance_ctu.cpp:64-68,168-216; CFL-violation check,
@@ -499,6 +534,7 @@ class Simulation:
         # own full correction from (u_old, u_new) — their generic
         # 0.5*dt*(S_new - S_old) term is replaced by dt*corr, matching the
         # reference's corrsrc pattern (rotation_sources.cpp:186+).
+        pred_out = None
         if self.source_fns:
             if self._use_fused_prim:
                 from castro_tpu.ops.pallas_kernels import prim_aux_pallas
@@ -526,6 +562,16 @@ class Simulation:
             u_new = u_new + 0.5 * dt * (src_new - src_old_generic)
             if corr is not None:
                 u_new = u_new + dt * corr
+            if c.source_term_predictor == 1:
+                # store 2/dt x (new-time source term) = lagged dS/dt for
+                # the next step, momentum rows only (Castro.cpp:3815-3818)
+                newtime = 0.5 * (src_new - src_old_generic)
+                if corr is not None:
+                    newtime = newtime + corr
+                pred_out = jnp.zeros_like(u)
+                for comp in (L.UMX, L.UMY, L.UMZ):
+                    pred_out = pred_out.at[comp].set(
+                        2.0 * newtime[comp] / dt)
             u_new = self._clean_fill_impl(u_new, ctx, t + dt)
 
         if self.reactor is not None:
@@ -535,6 +581,10 @@ class Simulation:
             u_new = self._clean_fill_impl(u_new, ctx, t + dt)
 
         burn_fail = ctx.pany(burn_fail)
+        extra = ()
+        if c.source_term_predictor == 1:
+            extra = (pred_out if pred_out is not None
+                     else jnp.zeros_like(u),)
         if self.keep_fluxes:
             # interior-face slices for the flux registers: along d faces
             # [ng..ng+n] (n+1 values), other axes interior cells
@@ -544,8 +594,8 @@ class Simulation:
                 idx = [slice(None)] + [slice(ng, -ng)] * dim
                 idx[1 + d] = slice(ng, u.shape[1 + d] - ng + 1)
                 fint.append(fluxes[d][tuple(idx)])
-            return u_new, min_rho, nan_flag | burn_fail, fint
-        return u_new, min_rho, nan_flag | burn_fail
+            return (u_new, min_rho, nan_flag | burn_fail, fint) + extra
+        return (u_new, min_rho, nan_flag | burn_fail) + extra
 
     def _fill_rad(self, Er):
         """Grow interior Er [ng, n...] by ghost cells: periodic wrap or
@@ -656,19 +706,30 @@ class Simulation:
         u_new = self._clean_fill_impl(u_new, ctx, t + dt)
         return u_new, Er_new2, min_rho, nan_flag
 
-    def _rad_step_impl(self, u, Er, dt, t):
+    def _rad_step_impl(self, u, Er, dt, t, ctx: Optional[StepCtx] = None,
+                       rad_bc=None, rad_rhs_extra=None, keep_rad_flux=False):
         """Hydro step + Er advection + implicit FLD update (reference
         do_advance_ctu then final_radiation_call). 1D gray runs use the
         full characteristic coupling; multi-D falls back to the
-        operator-split advection."""
+        operator-split advection.
+
+        AMR plumbing (gray): `rad_bc` = window-boundary Dirichlet Er from
+        the coarse level, `rad_rhs_extra` = deferred-sync rhs source,
+        `keep_rad_flux` returns (hydro fluxes none yet) the diffusion face
+        fluxes for the radiation flux registers (Radiation.cpp:247-289)."""
         from castro_tpu.ops.stencil import shifted
 
         L = self.layout
+        ctx = ctx or self._default_ctx
         if (L.dim == 1 and self.params.castro.do_hydro
                 and self.geom.coord.value == 0
+                and ctx is self._default_ctx and rad_bc is None
+                and not self.keep_fluxes
                 and (L.ngroups == 1 or self.rad.nugroup is not None)):
             return self._rad_ctu_step_impl(u, Er, dt, t)
-        u_new, min_rho, bad = self._step_impl(u, dt, t)
+        out = self._step_impl(u, dt, t, ctx=ctx)
+        u_new, min_rho, bad = out[0], out[1], out[2]
+        hyd_fluxes = out[3] if self.keep_fluxes else None
 
         inner = interior_slice(self.ng, L.dim)
         ui = u_new[inner]
@@ -697,19 +758,34 @@ class Simulation:
         def eos_re(e_k):
             return self.eos.re(rho=rho, e=jnp.maximum(e_k, 1e-300), xn=xn)
 
+        names = tuple(ctx.axis_names)
+        sharded = any(n is not None for n in names)
+        rad_fluxes = None
         if multigroup:
             Er_new, e_new, T_new = self.rad.multigroup_update(
                 Er_adv, rho, e, es.T, es.cv, dt,
                 nu_centers=self.rad.nugroup, dnu=self.rad.dnugroup,
-                eos_re=eos_re, metric=self.rad.geom_metric())
+                eos_re=eos_re, metric=self.rad.geom_metric(),
+                axis_names=names if sharded else None)
         else:
-            Er_new, e_new, T_new = self.rad.gray_update(
+            out = self.rad.gray_update(
                 Er_adv, rho, e, es.T, es.cv, dt, eos_re=eos_re,
-                metric=self.rad.geom_metric())
+                metric=self.rad.geom_metric(),
+                axis_names=names if sharded else None,
+                bc_override=rad_bc, rhs_extra=rad_rhs_extra,
+                keep_flux=keep_rad_flux)
+            if keep_rad_flux:
+                Er_new, e_new, T_new, rad_fluxes = out
+            else:
+                Er_new, e_new, T_new = out
         de = rho * (e_new - e)
         u_new = u_new.at[(L.UEINT,) + inner[1:]].add(de)
         u_new = u_new.at[(L.UEDEN,) + inner[1:]].add(de)
-        u_new = self._clean_fill_impl(u_new)
+        u_new = self._clean_fill_impl(u_new, ctx, t + dt)
+        if keep_rad_flux:
+            return u_new, Er_new, min_rho, bad, rad_fluxes, hyd_fluxes
+        if self.keep_fluxes:
+            return u_new, Er_new, min_rho, bad, hyd_fluxes
         return u_new, Er_new, min_rho, bad
 
     def _ssdc_step_impl(self, u, dt, t):
@@ -822,6 +898,34 @@ class Simulation:
         burn_fail = ctx.pany(burn_fail)
         return u_new, b_new, min_rho, nan_flag | burn_fail
 
+    def _pointmass_fix_impl(self, u_old, u_new, point_mass):
+        """point_mass_fix_solution=1 (Castro_pointmass.cpp:155): reset a
+        2-cell-radius box around the problem center to the pre-step state;
+        the mass change inside the box accretes onto the point mass."""
+        import numpy as _np
+
+        L, g, c = self.layout, self.geom, self.params.castro
+        ng, dim = self.ng, L.dim
+        box = []
+        for d in range(dim):
+            lo_sym = c.lo_bc[d] in (3, 4, 5)
+            cen = (g.prob_lo[d] if lo_sym
+                   else 0.5 * (g.prob_lo[d] + g.prob_hi[d]))
+            icen = int(_np.floor((cen - g.prob_lo[d]) / g.dx[d] + 1e-8))
+            box.append(slice(ng + max(icen - 2, 0),
+                             ng + min(icen + 2, g.n_cell[d])))
+        sl = (slice(None),) + tuple(box)
+        vol = jnp.broadcast_to(g.volume(self.ng),
+                               u_new.shape[1:])[tuple(box)]
+        dmass = jnp.sum((u_new[(L.URHO,) + tuple(box)]
+                         - u_old[(L.URHO,) + tuple(box)]) * vol)
+        # only accrete when the box GAINED mass (reference
+        # Castro_pointmass.cpp:87-96: point_mass += mass_change if > 0,
+        # and only then is the box reset to the pre-step state)
+        do_fix = dmass > 0.0
+        u_fixed = jnp.where(do_fix, u_new.at[sl].set(u_old[sl]), u_new)
+        return u_fixed, point_mass + jnp.where(do_fix, dmass, 0.0)
+
     def try_step(self, dt: float, t: Optional[float] = None):
         """One trial step from time t (defaults to self.t; subcycles pass
         the advanced substep time so time-dependent sources are correct)."""
@@ -852,6 +956,25 @@ class Simulation:
             status = StepStatus(min_rho=float(min_rho), has_nan=bool(nan_flag))
             if status.success:
                 self.u_rad = Er_new
+            return u_new, status
+        kw = {}
+        if self.params.castro.source_term_predictor == 1:
+            kw["src_pred"] = self._src_pred
+        if self._pm_fix:
+            kw["point_mass"] = jnp.asarray(self.point_mass, self.dtype)
+        if kw:
+            u_prev = self.u
+            out = self._jit_step(self.u, dt, t, **kw)
+            u_new, min_rho, nan_flag = out[0], out[1], out[2]
+            status = StepStatus(min_rho=float(min_rho),
+                                has_nan=bool(nan_flag))
+            if status.success:
+                if "src_pred" in kw:
+                    self._src_pred = out[-1]
+                if self._pm_fix:
+                    u_new, pm = self._jit_pm_fix(
+                        u_prev, u_new, kw["point_mass"])
+                    self.point_mass = float(pm)
             return u_new, status
         u_new, min_rho, nan_flag = self._jit_step(self.u, dt, t)
         status = StepStatus(min_rho=float(min_rho), has_nan=bool(nan_flag))

@@ -104,10 +104,15 @@ class Gravity:
             g, phi = self._poisson(rho_interior, ctx)
         else:
             raise ValueError(self.gtype)
-        pm = self.params.castro.point_mass
-        if self.params.castro.use_point_mass and pm != 0.0:
-            g = g + self._point_mass_field(rho_interior, pm,
-                                           ctx.geom if ctx else None)
+        if self.params.castro.use_point_mass:
+            # accretion bookkeeping passes the RUNTIME point mass via ctx
+            # (Castro_pointmass.cpp:155); otherwise the static parameter
+            pm = (ctx.point_mass if ctx is not None
+                  and ctx.point_mass is not None
+                  else self.params.castro.point_mass)
+            if not (isinstance(pm, float) and pm == 0.0):
+                g = g + self._point_mass_field(rho_interior, pm,
+                                               ctx.geom if ctx else None)
         return g, phi
 
     def _point_mass_field(self, rho, mass, geom=None):

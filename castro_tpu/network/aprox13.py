@@ -36,8 +36,19 @@ rates are implemented from their published sources rather than ported):
                            weak regime's validity bound; strong-screening
                            asymptotics TODO)
 
-Omissions vs the reference network (documented): the (a,p)(p,g) effective
-links through the Si28..Ni56 groups, and sneut5 thermal neutrino losses.
+- (a,p)(p,g) effective links Si28..Ni56: the aprox13 flow pattern
+  k + a -> I + p -> (k+1) + g with the intermediate odd-Z nucleus
+  (P31, Cl35, K39, Sc43, V47, Mn51, Co55) in proton-branching steady
+  state: net forward rate = lam_ap * frac_pg with
+  frac_pg = lam_pg / (lam_pg + lam_pa) (the rho*Y_p factor cancels in
+  the branch), and the reverse (g,p)(p,a) flow via detailed balance.
+  Q-values are exact (AME mass excesses); the exothermic direction of
+  each link uses the Gamow closed form with constant effective
+  S-factors (stand-ins for the tabulated fits — same caveat as the
+  heavy (a,g) chain), the endothermic direction detailed balance.
+- thermal neutrino losses: `castro_tpu/network/neutrino.py` (Itoh et al.
+  1996 pair + brems channels; sneut5's photo/plasma/recombination
+  channels documented as omitted there).
 
 The RHS is fully vectorized over zones and autodiff-friendly (the stiff
 integrator takes Jacobians with jacfwd).
@@ -66,18 +77,48 @@ _Q_AG = np.array([_B_MEV[k + 1] - _B_MEV[k] - _B_MEV[0]
 
 # effective S-factors (MeV b) for the si28..fe52 non-resonant (a,g) forms
 _S_EFF = 100.0
+# effective S-factors for the (a,p)(p,g) link channels (stand-ins; the
+# branching fraction is set by S_PG/S_PA, the flow scale by S_AP)
+_S_AP = 3.0e3
+_S_PG = 30.0
+_S_PA = 300.0
 
 _T9_FLOOR = 1.0e-3
 
+# intermediate odd-Z nuclei of the (a,p)(p,g) links k -> I -> k+1 for
+# k = Si28..Fe52 (chain index 5..11): (name, Z, A, Q_ap, Q_pg) [MeV],
+# Q-values from AME mass excesses (see docstring check values)
+_AP_LINKS = {
+    5: ("P31", 15.0, 31.0, -1.916, 8.864),
+    6: ("Cl35", 17.0, 35.0, -1.866, 8.505),
+    7: ("K39", 19.0, 39.0, -1.287, 8.328),
+    8: ("Sc43", 21.0, 43.0, -3.522, 8.649),
+    9: ("V47", 23.0, 47.0, -0.410, 8.106),
+    10: ("Mn51", 25.0, 51.0, 0.558, 7.380),
+    11: ("Co55", 27.0, 55.0, 0.832, 7.165),
+}
+
+
+def _gamow(z1, z2, a1, a2, S, T9):
+    """Non-resonant charged-particle rate N_A<sigma v> (Gamow-window
+    closed form with constant astrophysical S-factor [MeV b])."""
+    ahat = a1 * a2 / (a1 + a2)
+    tau = 4.2487 * (z1 * z1 * z2 * z2 * ahat / T9) ** (1.0 / 3.0)
+    pref = 7.83e9 * (z1 * z2 / (ahat * T9 * T9)) ** (1.0 / 3.0) * S
+    return pref * jnp.exp(-tau)
+
 
 def _gamow_ag(k, T9):
-    """Non-resonant alpha-capture rate N_A<sigma v> on species k
-    (Gamow-window closed form with constant S)."""
-    z1, z2 = 2.0, _Z[k]
-    ahat = 4.0 * _A[k] / (4.0 + _A[k])
-    tau = 4.2487 * (z1 * z1 * z2 * z2 * ahat / T9) ** (1.0 / 3.0)
-    pref = 7.83e9 * (z1 * z2 / (ahat * T9 * T9)) ** (1.0 / 3.0) * _S_EFF
-    return pref * jnp.exp(-tau)
+    """Non-resonant alpha-capture rate N_A<sigma v> on species k."""
+    return _gamow(2.0, _Z[k], 4.0, _A[k], _S_EFF, T9)
+
+
+def _rev_2body(T9, q_mev, a1, a2, a3, a4):
+    """Detailed-balance ratio lam(3+4->1+2)/lam(1+2->3+4) for a 2<->2
+    reaction with Q = Q(1+2->3+4): (A1 A2/(A3 A4))^1.5 exp(-Q/kT)
+    (partition-function ratios ~ 1)."""
+    return ((a1 * a2) / (a3 * a4)) ** 1.5 * jnp.exp(
+        jnp.maximum(-q_mev * 11.6045 / T9, -200.0))
 
 
 def _cf88_rates(T9):
@@ -142,9 +183,12 @@ def _cf88_rates(T9):
 class Aprox13Network(Network):
     reactive = True
 
-    def __init__(self):
+    def __init__(self, include_neutrinos=True):
         ebin = _B_MEV * C.MeV2erg * C.N_A / _A  # erg/g binding energy
         super().__init__(_SPECIES, aion=_A, zion=_Z, ebin=ebin)
+        # sneut5 analog (neutrino.py); reference aprox networks always
+        # subtract thermal neutrino losses in the RHS
+        self.include_neutrinos = include_neutrinos
 
     # -- screening ---------------------------------------------------------
     def _screen_weak(self, rho, T9, Y, z1, z2):
@@ -226,10 +270,43 @@ class Aprox13Network(Network):
             net = fwd - rev
             add([(0, -1.0), (k, -1.0), (k + 1, 1.0)], net)
 
+        # (a,p)(p,g) effective links Si28..Ni56 (the aprox13 flow
+        # pattern; see module docstring): intermediate in proton-branch
+        # steady state, rho*Y_p cancels in frac = lam_pg/(lam_pg+lam_pa)
+        for k in range(5, 12):
+            _name, zI, aI, q_ap, q_pg = _AP_LINKS[k]
+            scr_a = self._screen_weak(rho, T9, Y, 2.0, _Z[k])
+            scr_p = self._screen_weak(rho, T9, Y, 1.0, zI)
+            if q_ap >= 0.0:  # k(a,p)I exothermic (cr48, fe52)
+                lam_ap = _gamow(2.0, _Z[k], 4.0, _A[k], _S_AP, T9) * scr_a
+                lam_pa = lam_ap * _rev_2body(T9, q_ap, 4.0, _A[k], 1.0, aI)
+            else:            # I(p,a)k exothermic (si28..ti44)
+                lam_pa = _gamow(1.0, zI, 1.0, aI, _S_PA, T9) * scr_p
+                lam_ap = lam_pa * _rev_2body(T9, -q_ap, 1.0, aI,
+                                             4.0, _A[k])
+            lam_pg = _gamow(1.0, zI, 1.0, aI, _S_PG, T9) * scr_p
+            # (k+1)(g,p)I photodisintegration via detailed balance
+            lam_gp = lam_pg * 9.8685e9 * T9 ** 1.5 * \
+                ((1.0 * aI) / _A[k + 1]) ** 1.5 * jnp.exp(
+                    jnp.maximum(-q_pg * 11.6045 / T9, -200.0))
+            frac = lam_pg / jnp.maximum(lam_pg + lam_pa, 1e-300)
+            flow = rho * Y[0] * Y[k] * lam_ap * frac \
+                - Y[k + 1] * lam_gp * (1.0 - frac)
+            add([(0, -1.0), (k, -1.0), (k + 1, 1.0)], flow)
+
         ydot_arr = jnp.stack(ydot)
         xdot = ydot_arr * self.aion.reshape((-1,) + (1,) * (xn.ndim - 1))
         # energy generation: sum of binding-energy changes
         bion = (_B_MEV * C.MeV2erg * C.N_A)
         bion = jnp.asarray(bion).reshape((-1,) + (1,) * (xn.ndim - 1))
         edot = jnp.sum(ydot_arr * bion, axis=0)
+        if self.include_neutrinos:
+            from castro_tpu.network.neutrino import sneut
+
+            ysum = jnp.maximum(jnp.sum(jnp.stack(
+                [Y[k] for k in range(13)]), axis=0), 1e-300)
+            abar = 1.0 / ysum
+            zbar = abar * jnp.sum(jnp.stack(
+                [_Z[k] * Y[k] for k in range(13)]), axis=0)
+            edot = edot - sneut(rho, T, abar, zbar)
         return xdot, edot

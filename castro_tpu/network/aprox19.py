@@ -90,9 +90,10 @@ def _gamow(z1, z2, a1, a2, T9, s_eff=100.0):
 class Aprox19Network(Network):
     reactive = True
 
-    def __init__(self):
+    def __init__(self, include_neutrinos=True):
         ebin = _B_MEV * C.MeV2erg * C.N_A / _A
         super().__init__(_SPECIES, aion=_A, zion=_Z, ebin=ebin)
+        self.include_neutrinos = include_neutrinos
 
     def _screen_weak(self, rho, T9, Y, z1, z2, _sqrz=None):
         if _sqrz is None:
@@ -232,4 +233,13 @@ class Aprox19Network(Network):
         dm = jnp.asarray(_DM_MEV * C.MeV2erg * C.N_A).reshape(
             (-1,) + (1,) * (xn.ndim - 1))
         edot = -jnp.sum(ydot_arr * dm, axis=0) - enu * C.MeV2erg * C.N_A
+        if self.include_neutrinos:
+            from castro_tpu.network.neutrino import sneut
+
+            ysum = jnp.maximum(jnp.sum(jnp.stack(
+                [Y[k] for k in range(19)]), axis=0), 1e-300)
+            abar = 1.0 / ysum
+            zbar = abar * jnp.sum(jnp.stack(
+                [_Z[k] * Y[k] for k in range(19)]), axis=0)
+            edot = edot - sneut(rho, T, abar, zbar)
         return xdot, edot

@@ -54,9 +54,10 @@ def _rev_fac(q_mev, a1, a2, a12, T9):
 class Iso7Network(Network):
     reactive = True
 
-    def __init__(self):
+    def __init__(self, include_neutrinos=True):
         ebin = _B_MEV * C.MeV2erg * C.N_A / _A
         super().__init__(_SPECIES, aion=_A, zion=_Z, ebin=ebin)
+        self.include_neutrinos = include_neutrinos
 
     def _screen_weak(self, rho, T9, Y, z1, z2):
         """Graboske et al. (1973) weak screening (same as aprox13)."""
@@ -135,4 +136,13 @@ class Iso7Network(Network):
         bion = jnp.asarray(_B_MEV * C.MeV2erg * C.N_A).reshape(
             (-1,) + (1,) * (xn.ndim - 1))
         edot = jnp.sum(ydot_arr * bion, axis=0)
+        if self.include_neutrinos:
+            from castro_tpu.network.neutrino import sneut
+
+            ysum = jnp.maximum(jnp.sum(jnp.stack(
+                [Y[k] for k in range(7)]), axis=0), 1e-300)
+            abar = 1.0 / ysum
+            zbar = abar * jnp.sum(jnp.stack(
+                [_Z[k] * Y[k] for k in range(7)]), axis=0)
+            edot = edot - sneut(rho, T, abar, zbar)
         return xdot, edot

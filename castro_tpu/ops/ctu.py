@@ -227,24 +227,28 @@ def ctu_hydro(u, q, qaux, srcQ, dt, geom: Geometry, layout, cfg: HydroConfig,
             # and the Riemann solve never round-trip through HBM
             from castro_tpu.ops.pallas_kernels import ctu_face_pallas
 
-            def fused_solve(qm_s, qp_s, terms, n):
+            def fused_solve(qm_s, qp_s, terms, n, terms2=None):
                 return ctu_face_pallas(
                     qm_s, qp_s, qaux, n, terms, L, geom.coord,
                     cfg.riemann_solver, cfg.small_dens, cfg.small_pres,
                     cfg.transverse_reset_density, cfg.transverse_reset_rhoe,
-                    bnd_mask=masks[n])
+                    bnd_mask=masks[n], terms2=terms2)
 
             f1d = [fused_solve(states[d][0], states[d][1], [], d)
                    for d in range(3)]
             fint = {}
             for n in range(3):
-                for t in range(3):
-                    if t == n:
-                        continue
-                    term = {"flux": f1d[t][0], "qe": f1d[t][1],
+                t1, t2 = [t for t in range(3) if t != n]
+
+                def term(t):
+                    return {"flux": f1d[t][0], "qe": f1d[t][1],
                             "t_dir": t, "cdtdx": third / dx[t]}
-                    fint[(n, t)] = fused_solve(states[n][0], states[n][1],
-                                               [term], n)
+
+                # both corner-coupling stages with normal n share one
+                # HBM read of (qm, qp, qaux) — paired into one kernel
+                fint[(n, t1)], fint[(n, t2)] = fused_solve(
+                    states[n][0], states[n][1], [term(t1)], n,
+                    terms2=[term(t2)])
             fluxes_qe = []
             for n in range(3):
                 t1, t2 = [d for d in range(3) if d != n]

@@ -354,7 +354,7 @@ def _inblock_shift(a, off, axis):
 
 def ctu_face_pallas(qm, qp, qaux, d, terms, layout, coord, riemann_solver,
                     small_dens, small_pres, reset_density, reset_rhoe,
-                    dt_terms=None, bnd_mask=None, tile=None):
+                    dt_terms=None, bnd_mask=None, tile=None, terms2=None):
     """One fused CTU face stage: [transverse bundle +] trans-apply +
     Riemann + flux assembly in a single VMEM pass.
 
@@ -373,6 +373,11 @@ def ctu_face_pallas(qm, qp, qaux, d, terms, layout, coord, riemann_solver,
     (+1 along t) shifted copies are passed as extra inputs (XLA prepares
     them — the only HBM overhead of the whole stage).
 
+    `terms2` pairs a SECOND corner-coupling stage with the same normal d
+    into the same kernel (the two fint stages F^{d|t1}, F^{d|t2} share
+    qm/qp/qaux — one HBM read instead of two): returns
+    ((flux1, qe1), (flux2, qe2)).
+
     Reference behavior: trans.cpp:15/442 + cmpflx_plus_godunov
     (riemann.cpp:16) chained, as orchestrated by Castro_ctu_hydro.cpp.
     """
@@ -384,32 +389,66 @@ def ctu_face_pallas(qm, qp, qaux, d, terms, layout, coord, riemann_solver,
 
     # choose in-block axes: z (minor) + n; a term with t == 2 is in-block.
     # tile axis: the remaining axis (or the pre-shifted term's axis).
+    # Large grids (d != 2): a (full-d x bt x full-z) block set blows the
+    # VMEM budget, so z is chunked in lane-aligned pieces and tdir==2
+    # terms are demoted to pre-shifted inputs (no in-kernel z shifts).
+    import numpy as _np
+
+    BUDGET = 45 * 1024 * 1024
     in_block = {2, d}
     tile_axis = next(a for a in (0, 1) if a not in in_block)
+    nz = gshape[2]
+    n_stages = 2 if terms2 is not None else 1
+    nterms_tot = len(terms) + (len(terms2) if terms2 is not None else 0)
+    ncomp_wc = (2 * L.NQ + qaux.shape[0]
+                + (1 if bnd_mask is not None else 0)
+                + nterms_tot * (2 * L.NVAR + 4)
+                + n_stages * (L.NVAR + L.NGDNV))
+    itemsize = jnp.dtype(qm.dtype).itemsize
+    bt_floor = 8 if tile_axis == 1 else 1
+    zc = nz
+    if d != 2 and (ncomp_wc * gshape[d] * bt_floor * nz * itemsize
+                   > BUDGET):
+        in_block = {d}
+        for cand in (256, 128, 64, 32):
+            if nz % cand == 0 and (ncomp_wc * gshape[d] * bt_floor * cand
+                                   * itemsize) <= BUDGET:
+                zc = cand
+                break
+        else:
+            zc = nz  # no aligned chunk fits: let the bt clamp handle it
 
     # prepare term inputs
     term_arrays = []   # flat list of input arrays
     term_specs = []    # matching ncomp list
-    term_meta = []     # (t_dir, inblock: bool)
+    term_meta = []     # (t_dir, inblock: bool), per stage
+    term_meta2 = []
     cdtdx_vals = []
-    for t in terms:
-        tdir = t["t_dir"]
-        F = t["flux"]
-        qe = t["qe"]
-        gdu_comp = (L.GDU, L.GDV, L.GDW)[tdir]
-        pg = qe[L.GDPRES][None]
-        ug = qe[gdu_comp][None]
-        cdtdx_vals.append(t["cdtdx"])
-        if tdir in in_block:
-            term_arrays += [F, pg, ug]
-            term_specs += [L.NVAR, 1, 1]
-            term_meta.append((tdir, True))
-        else:
-            ax = 1 + tdir
-            term_arrays += [F, shifted(F, 1, ax), pg, shifted(pg, 1, ax),
-                            ug, shifted(ug, 1, ax)]
-            term_specs += [L.NVAR, L.NVAR, 1, 1, 1, 1]
-            term_meta.append((tdir, False))
+
+    def prep(ts, meta):
+        for t in ts:
+            tdir = t["t_dir"]
+            F = t["flux"]
+            qe = t["qe"]
+            gdu_comp = (L.GDU, L.GDV, L.GDW)[tdir]
+            pg = qe[L.GDPRES][None]
+            ug = qe[gdu_comp][None]
+            cdtdx_vals.append(t["cdtdx"])
+            if tdir in in_block:
+                term_arrays.extend([F, pg, ug])
+                term_specs.extend([L.NVAR, 1, 1])
+                meta.append((tdir, True))
+            else:
+                ax = 1 + tdir
+                term_arrays.extend(
+                    [F, shifted(F, 1, ax), pg, shifted(pg, 1, ax),
+                     ug, shifted(ug, 1, ax)])
+                term_specs.extend([L.NVAR, L.NVAR, 1, 1, 1, 1])
+                meta.append((tdir, False))
+
+    prep(terms, term_meta)
+    if terms2 is not None:
+        prep(terms2, term_meta2)
 
     if tile is None:
         tile = 4 if terms else 8
@@ -427,34 +466,43 @@ def ctu_face_pallas(qm, qp, qaux, d, terms, layout, coord, riemann_solver,
             bt //= 2
         bt = max(bt, 1)
 
-    # VMEM budget: blocks span the two in-block axes fully, so large grids
-    # must narrow the tile instead of falling back to plain XLA (the
-    # round-2 36000-in-block-area cap). ~45MB leaves headroom for the
-    # pipeline's double buffering within the 100MB scoped-VMEM limit.
-    import numpy as _np
-
+    # VMEM budget: blocks span the in-block axes fully, so large grids
+    # must narrow the tile (and/or chunk z, above) instead of falling
+    # back to plain XLA (the round-2 36000-in-block-area cap). ~45MB
+    # leaves headroom for the pipeline's double buffering within the
+    # 100MB scoped-VMEM limit.
     ncomp_total = (2 * L.NQ + qaux.shape[0]
                    + (1 if bnd_mask is not None else 0)
-                   + sum(term_specs) + L.NVAR + L.NGDNV)
-    per_bt = (ncomp_total * (int(_np.prod(gshape)) // nt)
-              * jnp.dtype(qm.dtype).itemsize)
-    bt_max = max(1, (45 * 1024 * 1024) // per_bt)
+                   + sum(term_specs)
+                   + n_stages * (L.NVAR + L.NGDNV))
+    per_bt_cells = (gshape[d] * zc if zc != nz
+                    else int(_np.prod(gshape)) // nt)
+    per_bt = ncomp_total * per_bt_cells * itemsize
+    bt_max = max(1, BUDGET // per_bt)
     if bt > bt_max:
         step = 8 if tile_axis == 1 else 1
         cand = max(step, (bt_max // step) * step)
         while cand > step and nt % cand != 0:
             cand -= step
         bt = cand if nt % cand == 0 else (nt if tile_axis == 1 else 1)
-    grid = (nt // bt,)
+    grid = (nt // bt,) if zc == nz else (nt // bt, nz // zc)
 
     def bs(nc):
         block = [nc] + list(gshape)
         block[1 + tile_axis] = bt
+        if zc != nz:
+            block[3] = zc
 
-        def index(i, *_):
-            idx = [0, 0, 0, 0]
-            idx[1 + tile_axis] = i
-            return tuple(idx)
+            def index(i, j, *_):
+                idx = [0, 0, 0, 0]
+                idx[1 + tile_axis] = i
+                idx[3] = j
+                return tuple(idx)
+        else:
+            def index(i, *_):
+                idx = [0, 0, 0, 0]
+                idx[1 + tile_axis] = i
+                return tuple(idx)
 
         return pl.BlockSpec(tuple(block), index)
 
@@ -472,13 +520,14 @@ def ctu_face_pallas(qm, qp, qaux, d, terms, layout, coord, riemann_solver,
         if with_mask:
             mask = refs[pos][0]
             pos += 1
-        # transverse bundles at cell offset 0 (p-state); m-state = n-shift
-        if terms:
+
+        def apply_terms(meta, pos, kbase):
+            # transverse bundles at cell offset 0 (p-state); m = n-shift
             df = jnp.zeros((L.NVAR,) + qm_b.shape[1:], qm_b.dtype)
             dre = jnp.zeros(qm_b.shape[1:], qm_b.dtype)
             dp = jnp.zeros(qm_b.shape[1:], qm_b.dtype)
-            for k, (tdir, inb) in enumerate(term_meta):
-                cdtdx = cdt_ref[k]
+            for k, (tdir, inb) in enumerate(meta):
+                cdtdx = cdt_ref[kbase + k]
                 if inb:
                     F = refs[pos][...]
                     pg = refs[pos + 1][0]
@@ -506,18 +555,35 @@ def ctu_face_pallas(qm, qp, qaux, d, terms, layout, coord, riemann_solver,
             dre_m = _inblock_shift(dre, -1, n_ax - 1)
             dp_m = _inblock_shift(dp, -1, n_ax - 1)
             qm_c = _trans_apply_block(qm_b, df_m, dre_m, dp_m, L,
-                                      small_pres, reset_density, reset_rhoe)
+                                      small_pres, reset_density,
+                                      reset_rhoe)
             qp_c = _trans_apply_block(qp_b, df, dre, dp, L, small_pres,
                                       reset_density, reset_rhoe)
-        else:
-            qm_c, qp_c = qm_b, qp_b
+            return qm_c, qp_c, pos
+
         gl = _inblock_shift(g_b, -1, n_ax - 1)
         cl = _inblock_shift(c_b, -1, n_ax - 1)
+
+        if terms:
+            qm_c, qp_c, pos = apply_terms(term_meta, pos, 0)
+        else:
+            qm_c, qp_c = qm_b, qp_b
         flux, qgdnv = _riemann_block(qm_c, qp_c, gl, g_b, cl, c_b, d, L,
                                      coord, riemann_solver, small_dens,
                                      small_pres, bnd_mask=mask)
-        refs[pos][...] = flux
-        refs[pos + 1][...] = qgdnv
+        if terms2 is not None:
+            qm_c2, qp_c2, pos = apply_terms(term_meta2, pos,
+                                            len(term_meta))
+            flux2, qgdnv2 = _riemann_block(
+                qm_c2, qp_c2, gl, g_b, cl, c_b, d, L, coord,
+                riemann_solver, small_dens, small_pres, bnd_mask=mask)
+            refs[pos][...] = flux
+            refs[pos + 1][...] = qgdnv
+            refs[pos + 2][...] = flux2
+            refs[pos + 3][...] = qgdnv2
+        else:
+            refs[pos][...] = flux
+            refs[pos + 1][...] = qgdnv
 
     in_specs = [bs(L.NQ), bs(L.NQ), bs(qaux.shape[0])]
     args = [qm, qp, qaux]
@@ -527,19 +593,21 @@ def ctu_face_pallas(qm, qp, qaux, d, terms, layout, coord, riemann_solver,
     in_specs += [bs(nc) for nc in term_specs]
     args += term_arrays
 
-    out_shape = (
-        jax.ShapeDtypeStruct((L.NVAR,) + gshape, qm.dtype),
-        jax.ShapeDtypeStruct((L.NGDNV,) + gshape, qm.dtype),
-    )
+    n_out = 2 if terms2 is None else 4
+    out_shape = tuple(
+        jax.ShapeDtypeStruct(
+            ((L.NVAR if i % 2 == 0 else L.NGDNV),) + gshape, qm.dtype)
+        for i in range(n_out))
     cdt_arr = (jnp.stack([jnp.asarray(v, qm.dtype) for v in cdtdx_vals])
                if cdtdx_vals else jnp.zeros((1,), qm.dtype))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=in_specs,
-        out_specs=[bs(L.NVAR), bs(L.NGDNV)],
+        out_specs=[bs(L.NVAR) if i % 2 == 0 else bs(L.NGDNV)
+                   for i in range(n_out)],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
@@ -547,6 +615,9 @@ def ctu_face_pallas(qm, qp, qaux, d, terms, layout, coord, riemann_solver,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=INTERPRET,
     )(cdt_arr, *args)
+    if terms2 is not None:
+        return (out[0], out[1]), (out[2], out[3])
+    return out[0], out[1]
 
 
 def prim_aux_pallas(u, layout, eos, small_dens, small_temp, dx,
@@ -1148,19 +1219,49 @@ def consup_pallas(hsrc, flux, pg, ug, div_node, u, d, layout, difmag,
 
 
 def _pencil_spec(ncomp, d, gshape, bt):
-    """BlockSpec covering the FULL axis d (the stencil direction) and the
-    full minor axis, tiled by bt along the remaining major axis. The whole
-    characteristic-tracing stencil then lives in VMEM."""
-    ta = 1 if d != 1 else 0  # tile axis: a major axis != d
-    block = [ncomp] + list(gshape)
-    block[1 + ta] = bt
+    """BlockSpec covering the FULL axis d (the stencil direction); BOTH
+    remaining axes are tiled — the sublane-adjacent axis in multiples of
+    8 and the minor (lane) axis in lane-aligned chunks — sized so the
+    block spatial volume stays near the 128^3-grid working point
+    (~131072 cells). Large grids otherwise spill the tracing
+    temporaries out of VMEM (measured: 55MB of register-allocator spill
+    at 192^3 with a full-minor block). Returns (spec, grid_tuple)."""
+    TARGET = 131072  # block spatial cells budget (the proven 128^3 point)
+    nz = gshape[2]
+    if d == 2:
+        # stencil along the minor axis: z stays full, tile x and y
+        by = 8 if gshape[1] % 8 == 0 else gshape[1]
+        bx = max(1, TARGET // (by * nz))
+        while gshape[0] % bx != 0:
+            bx -= 1
+        block = [ncomp, bx, by, nz]
+        grid = (gshape[0] // bx, gshape[1] // by)
 
-    def index(i, *_scalar_refs):
-        idx = [0, 0, 0, 0]
-        idx[1 + ta] = i
-        return tuple(idx)
+        def index(i, j, *_s):
+            return (0, i, j, 0)
+    else:
+        ta = 1 - d  # the other major axis
+        bta = 8 if gshape[ta] % 8 == 0 else gshape[ta]
+        # lane-aligned z chunk fitting the budget
+        zc = nz
+        for cand in (256, 128, 64, 32):
+            if nz % cand == 0 and gshape[d] * bta * cand <= TARGET:
+                zc = cand
+                break
+        if gshape[d] * bta * nz <= TARGET:
+            zc = nz
+        block = [ncomp] + list(gshape)
+        block[1 + ta] = bta
+        block[3] = zc
+        grid = (gshape[ta] // bta, nz // zc)
 
-    return pl.BlockSpec(tuple(block), index), gshape[ta] // bt
+        def index(i, j, *_s):
+            idx = [0, 0, 0, 0]
+            idx[1 + ta] = i
+            idx[3] = j
+            return tuple(idx)
+
+    return pl.BlockSpec(tuple(block), index), grid
 
 
 def trace_ppm_pallas(q, qaux, srcQ, flatn, d, dt, dx_d, layout,
@@ -1175,7 +1276,7 @@ def trace_ppm_pallas(q, qaux, srcQ, flatn, d, dt, dx_d, layout,
     assert dloga is None, "curvilinear tracing stays on the XLA path"
     L = layout
     gshape = q.shape[1:]
-    spec_q, n_blocks = _pencil_spec(L.NQ, d, gshape, bt)
+    spec_q, grid = _pencil_spec(L.NQ, d, gshape, bt)
     spec_aux, _ = _pencil_spec(qaux.shape[0], d, gshape, bt)
     spec_1, _ = _pencil_spec(1, d, gshape, bt)
 
@@ -1203,7 +1304,7 @@ def trace_ppm_pallas(q, qaux, srcQ, flatn, d, dt, dx_d, layout,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_blocks,),
+        grid=grid,
         in_specs=in_specs,
         out_specs=[spec_q, spec_q],
     )

@@ -112,7 +112,7 @@ def make_sharded_step(sim, mesh: Mesh, with_status: bool = True,
         finally:
             sim.keep_fluxes = keep
         if keep_fluxes:
-            u_new, min_rho, bad, _ = out
+            u_new, min_rho, bad = out[0], out[1], out[2]
             # re-derive cell-registered local fluxes is not possible from
             # the trimmed fint; _step_impl's fint along d has n_loc+1 faces
             # (shard-local). Trim the duplicated hi face: global faces are
@@ -124,7 +124,7 @@ def make_sharded_step(sim, mesh: Mesh, with_status: bool = True,
                 trim[1 + d] = slice(0, fint[d].shape[1 + d] - 1)
                 fluxes.append(fint[d][tuple(trim)])
             return (shrink(u_new, ng, L.dim), min_rho, bad, fluxes)
-        u_new, min_rho, bad = out
+        u_new, min_rho, bad = out[0], out[1], out[2]
         return shrink(u_new, ng, L.dim), min_rho, bad
 
     out_fl = [P(None, *names)] * L.dim

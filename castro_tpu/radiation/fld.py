@@ -250,7 +250,7 @@ class FLDRadiation:
                     vals.append(None)
                 elif spec[0] == "value_groups":
                     vals.append(gv)
-                elif spec[0] == "value":
+                elif spec[0] in ("value", "value_arr"):
                     vals.append(spec[1])
                 elif spec[0] == "flux":
                     # fixed inward flux F: D (E_i - E_g)/h = -F_in
@@ -306,16 +306,34 @@ class FLDRadiation:
         return None
 
     def gray_update(self, Er, rho, e, T_guess, cv, dt, axis_names=None,
-                    eos_re=None, metric=None):
+                    eos_re=None, metric=None, bc_override=None,
+                    rhs_extra=None, keep_flux=False):
         """One backward-Euler gray FLD solve with eta-linearized matter
         coupling (reference single_group_update). Returns (Er', e', T').
 
         All interior (ghost-free) arrays; with axis_names (inside
         shard_map) the linear solves are distributed (RadSolve.H:171's
-        Hypre-over-MPI analog)."""
+        Hypre-over-MPI analog).
+
+        AMR composite plumbing (reference Radiation level solves +
+        deferred sync, Radiation.cpp:247-289, RadSolve levelFluxReg):
+        - bc_override=(bvl, bvh): Dirichlet Er on the (window) boundary
+          faces, interpolated from the coarse level, replacing the
+          domain BCs;
+        - rhs_extra: deferred-sync source added to the linear system rhs
+          (the accumulated coarse-fine flux mismatch, scaled);
+        - keep_flux: additionally return the face diffusion fluxes
+          F_d = -D dEr/dxd (cell-registered, face i-1/2 at i) for the
+          flux registers."""
         cl = self.c
         a_r = self.arad
-        bc_lo, bc_hi, spec_lo, spec_hi = self._bc()
+        if bc_override is not None:
+            dim = Er.ndim
+            bc_lo = bc_hi = ("dirichlet",) * dim
+            spec_lo = [("value_arr", v) for v in bc_override[0]]
+            spec_hi = [("value_arr", v) for v in bc_override[1]]
+        else:
+            bc_lo, bc_hi, spec_lo, spec_hi = self._bc()
         rtol = 1e-10 if Er.dtype == jnp.float64 else 1e-6
 
         def outer(carry, _):
@@ -349,6 +367,8 @@ class FLDRadiation:
             S_emit = jnp.minimum(a_r * T_k**4,
                                  rho * e / jnp.maximum(fac, 1e-300))
             rhs = Er + fac * S_emit
+            if rhs_extra is not None:
+                rhs = rhs + rhs_extra
             Er_new, res = mg.solve(
                 rhs, self.geom.dx, acoef=acoef, bcoefs=bcoefs,
                 alpha=1.0, beta=dt, bc_lo=bc_lo, bc_hi=bc_hi,
@@ -372,6 +392,23 @@ class FLDRadiation:
             T_f = jnp.maximum(eos_re(e_f).T, 1e-10)
         else:
             T_f = jnp.maximum(T_guess + (e_f - e) / cv, 1e-10)
+        if keep_flux:
+            # face diffusion fluxes of the converged field (RadSolve
+            # levelFlux analog): F_d = -D (Er_i - Er_{i-1}) / dx_d,
+            # cell-registered (interior faces only; boundary faces unused
+            # by the window flux registers)
+            bcoefs, _ = self.diffusion_coeffs(Er_f, rho, T_f, axis_names)
+            fluxes = []
+            for d in range(Er_f.ndim):
+                n = Er_f.shape[d]
+                lo = Er_f[mg._take(Er_f, d, 0, n - 1)]
+                hi = Er_f[mg._take(Er_f, d, 1, n)]
+                grad = (hi - lo) / self.geom.dx[d]
+                Din = bcoefs[d][mg._take(bcoefs[d], d, 1, n)]
+                F = jnp.zeros_like(Er_f)
+                F = F.at[mg._take(F, d, 1, n)].set(-Din * grad)
+                fluxes.append(F)
+            return Er_f, e_f, T_f, fluxes
         return Er_f, e_f, T_f
 
     def multigroup_update(self, Er_g, rho, e, T_guess, cv, dt, nu_centers,
@@ -488,6 +525,27 @@ class FLDRadiation:
         else:
             T_f = jnp.maximum(T_guess + (e_f - e) / cv, 1e-10)
         return Er_f, e_f, T_f
+
+    def boundary_fluxes(self, Er, rho, T, bvl, bvh):
+        """Diffusion fluxes ON the (window) boundary faces given Dirichlet
+        face values (bvl, bvh): F = -D (Er_first - bc) / (dx/2) at the lo
+        face (outward-positive convention follows the face normal).
+        Returns per-dim (F_lo_plane, F_hi_plane), shaped like one face
+        plane (axis d size 1). Used by the AMR radiation flux registers
+        (reference RadSolve::levelFluxReg)."""
+        bcoefs, _ = self.diffusion_coeffs(Er, rho, T)
+        out = []
+        for d in range(Er.ndim):
+            n = Er.shape[d]
+            h = self.geom.dx[d]
+            D_lo = bcoefs[d][mg._take(bcoefs[d], d, 0, 1)]
+            D_hi = bcoefs[d][mg._take(bcoefs[d], d, n, n + 1)]
+            E_first = Er[mg._take(Er, d, 0, 1)]
+            E_last = Er[mg._take(Er, d, n - 1, n)]
+            F_lo = -D_lo * (E_first - bvl[d]) / (0.5 * h)
+            F_hi = -D_hi * (bvh[d] - E_last) / (0.5 * h)
+            out.append((F_lo, F_hi))
+        return out
 
     def estdt(self, Er, rho, e, cv, T):
         """Radiation dt limiter (reference Radiation::EstTimeStep): limit
