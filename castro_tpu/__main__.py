@@ -37,6 +37,21 @@ def main(argv=None):
         print(__doc__)
         print("problems:", ", ".join(sorted(PROBLEMS)) or "(register first)")
         return 1
+    # persistent XLA compile cache: remote/tunneled TPU compiles take
+    # minutes per program — warm CLI runs must hit disk
+    import os as _os
+
+    import jax as _jax
+
+    try:
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.path.join(_os.path.dirname(_os.path.dirname(
+                _os.path.abspath(__file__))), ".jax_cache"))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
     _register_problems()
 
     inputs_path = None

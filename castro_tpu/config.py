@@ -97,6 +97,9 @@ class CastroParams:
     transverse_use_eos: int = 0
     transverse_reset_density: int = 1
     transverse_reset_rhoe: int = 0
+    #: re-evaluate interface (p, rho e) via the EOS after transverse
+    #: corrections (edge_util.cpp reset_edge_state_thermo)
+    transverse_use_eos: int = 0
     do_ctu: int = 1  # 1 = CTU, 0 = method of lines
     sdc_order: int = 2  # for true SDC (time_integration_method=2)
     time_integration_method: int = 0  # 0=CTU+Strang, 1=(removed), 2=SDC, 3=simplified SDC

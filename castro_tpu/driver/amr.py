@@ -252,29 +252,39 @@ class AmrSimulation:
     def _compute_window(self, l_fine, tags_global_c):
         """Bucketed bounding box (+margin) of tagged level-(l_fine - 1)
         cells, as a level-l_fine window (ilo_f, shape_f). tags_global_c is
-        a dense bool over the COARSE level's full grid."""
+        a dense bool over the COARSE level's full grid. Proper nesting:
+        for l_fine >= 2 the window is clamped inside the PARENT window's
+        footprint (the parent's stored arrays only cover its window)."""
         n_f = tuple(self.params.amr.n_cell[k] * 2**l_fine
                     for k in range(self.dim))
+        if l_fine - 1 > 0 and self.window[l_fine - 1] is not None:
+            p_ilo, p_shape = self.window[l_fine - 1]
+            blo = tuple(2 * int(p_ilo[k]) for k in range(self.dim))
+            bhi = tuple(2 * (int(p_ilo[k]) + p_shape[k])
+                        for k in range(self.dim))
+        else:
+            blo = (0,) * self.dim
+            bhi = n_f
         t = np.asarray(tags_global_c)
         if not t.any():
             # minimal window (keeps shapes static when nothing is tagged)
-            shape = tuple(min(BUCKET, n_f[k]) for k in range(self.dim))
-            return np.zeros(self.dim, int), shape
+            shape = tuple(min(BUCKET, bhi[k] - blo[k])
+                          for k in range(self.dim))
+            return np.asarray(blo, int), shape
         ilo = []
         shape = []
         for k in range(self.dim):
             axes = tuple(a for a in range(self.dim) if a != k)
             proj = t.any(axis=axes) if self.dim > 1 else t
             idx = np.nonzero(proj)[0]
-            lo_f = 2 * idx[0] - MARGIN
-            hi_f = 2 * (idx[-1] + 1) + MARGIN
-            lo_f = max(0, lo_f)
-            hi_f = min(n_f[k], hi_f)
+            lo_f = max(blo[k], 2 * idx[0] - MARGIN)
+            hi_f = min(bhi[k], 2 * (idx[-1] + 1) + MARGIN)
             ext = int(np.ceil((hi_f - lo_f) / BUCKET)) * BUCKET
-            ext = min(ext, n_f[k])
-            lo_f = max(0, min(lo_f - (ext - (hi_f - lo_f)) // 2,
-                              n_f[k] - ext))
+            ext = min(ext, bhi[k] - blo[k])
+            lo_f = max(blo[k], min(lo_f - (ext - (hi_f - lo_f)) // 2,
+                                   bhi[k] - ext))
             lo_f -= lo_f % 2  # even alignment for restriction
+            lo_f = max(blo[k], lo_f)
             ilo.append(int(lo_f))
             shape.append(int(ext))
         return np.asarray(ilo, int), tuple(shape)
@@ -357,22 +367,21 @@ class AmrSimulation:
             lev = self._get_level(l + 1, new_shape)
 
             # build the new window state: prolonged coarse everywhere,
-            # then copy the overlap from the old window
+            # then copy the overlap from the old window. Slices into the
+            # PARENT'S STORED interior are parent-window-relative for
+            # l > 0 (the parent array covers only its window).
             csim = self._sims_at(l)
             c_int = self.u[l][interior_slice(self.ng, self.dim)]
-            csl = tuple(slice(int(new_ilo[k]) // 2,
-                              (int(new_ilo[k]) + new_shape[k]) // 2)
+            base = (np.zeros(self.dim, int) if l == 0
+                    else 2 * np.asarray(self.window[l][0], int))
+            csl = tuple(slice((int(new_ilo[k]) - int(base[k])) // 2,
+                              (int(new_ilo[k]) - int(base[k])
+                               + new_shape[k]) // 2)
                         for k in range(self.dim))
             new_int = prolong(c_int[(slice(None),) + csl], self.dim)
             new_rad = None
             if self._has_rad:
-                base = (np.zeros(self.dim, int) if l == 0
-                        else 2 * np.asarray(self.window[l][0], int))
-                rsl = tuple(slice((int(new_ilo[k]) - int(base[k])) // 2,
-                                  (int(new_ilo[k]) - int(base[k])
-                                   + new_shape[k]) // 2)
-                            for k in range(self.dim))
-                new_rad = prolong(self.u_rad[l][rsl], self.dim,
+                new_rad = prolong(self.u_rad[l][csl], self.dim,
                                   comp_axes=0)
             if self.u[l + 1] is not None and fill_new:
                 old_ilo, old_shape = old

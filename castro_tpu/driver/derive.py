@@ -394,4 +394,6 @@ def registry(sim):
     if getattr(sim, "rad", None) is not None:
         for g in range(max(sim.layout.ngroups, 1)):
             reg[f"rad{g}"] = derive_rad_group(g)
+    # reference Problem_Derives.H hook: problem-supplied derived fields
+    reg.update(getattr(sim, "problem_derives", None) or {})
     return reg

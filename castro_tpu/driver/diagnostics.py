@@ -48,6 +48,10 @@ def sum_integrated_quantities(sim, u_interior=None) -> Dict[str, float]:
         out[f"com_{'xyz'[d]}"] = vsum(rho * x[d]) / m
     for i, name in enumerate(sim.network.spec_names):
         out[f"mass_{name}"] = vsum(u[L.UFS + i])
+    if getattr(sim, "problem_diagnostics", None) is not None:
+        # reference problem_diagnostics.H hook (e.g. wdmerger's custom
+        # sum_integrated_quantities overrides)
+        out.update(sim.problem_diagnostics(sim, u, out))
     return out
 
 

@@ -93,6 +93,11 @@ def write_checkpoint(sim, path: Optional[str] = None, async_writer=None):
         "state_variables": list(sim.layout.cons_names),
         "spec_names": list(sim.network.spec_names),
     }
+    if getattr(sim, "point_mass", 0.0):
+        meta["point_mass"] = sim.point_mass
+    if getattr(sim, "problem_checkpoint", None) is not None:
+        # reference problem_checkpoint.H hook
+        meta["problem"] = sim.problem_checkpoint(sim)
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
     write_job_info(os.path.join(path, "job_info"), sim)
@@ -133,6 +138,11 @@ def restart(sim, path: str, reset_time: Optional[float] = None,
     sim.step_count = meta["step"] if reset_step is None else reset_step
     sim.dt = meta["dt"]
     sim.num_zones_advanced = meta.get("num_zones_advanced", 0)
+    if "point_mass" in meta:
+        sim.point_mass = meta["point_mass"]
+    if getattr(sim, "problem_restart", None) is not None:
+        # reference problem_restart.H hook
+        sim.problem_restart(sim, meta.get("problem"))
     return sim
 
 

@@ -105,11 +105,26 @@ class Simulation:
                  problem_fill: Optional[Callable] = None,
                  source_fns: Optional[List[Callable]] = None,
                  ext_src: Optional[Callable] = None,
-                 geom=None):
+                 geom=None,
+                 problem_checkpoint: Optional[Callable] = None,
+                 problem_restart: Optional[Callable] = None,
+                 problem_diagnostics: Optional[Callable] = None,
+                 problem_derives: Optional[dict] = None):
         """`geom` overrides the params-derived geometry — AMR fine-level
         windows pass a `local_view` of the full fine-level geometry so dx
         (and everything derived from it: estdt, diffusion stencils, the
-        Poisson solve) is the true fine dx, not domain_extent/window_shape."""
+        Poisson solve) is the true fine dx, not domain_extent/window_shape.
+
+        Problem hooks beyond init/fill (reference `Source/problems/*.H`
+        header-injection points): `problem_checkpoint(sim) -> dict` extra
+        state into checkpoint metadata; `problem_restart(sim, dict)` on
+        restore; `problem_diagnostics(sim, u_int, sums) -> dict` merged
+        into the integral diagnostics; `problem_derives` name->fn added
+        to the derived-field registry (Problem_Derives.H)."""
+        self.problem_checkpoint = problem_checkpoint
+        self.problem_restart = problem_restart
+        self.problem_diagnostics = problem_diagnostics
+        self.problem_derives = dict(problem_derives or {})
         self.params = params
         self.network = make_network(params)
         import dataclasses as _dc
@@ -221,6 +236,9 @@ class Simulation:
         # above the (configurable) in-block-area cap they shrink the tile
         # width toward 1 to stay inside VMEM (see ctu_face_pallas); an
         # explicit cap forces the plain-XLA fallback instead.
+        if c.transverse_use_eos:
+            # the EOS re-evaluation rides the XLA trans path
+            self.cfg = self.cfg._replace(use_pallas=False)
         gs = self.grown_shape()
         cap = params.tpu.pallas_max_inblock_area
         if cap > 0 and self.cfg.use_pallas and self.layout.dim == 3:
@@ -487,10 +505,10 @@ class Simulation:
         if c.do_hydro:
             # ctu_hydro folds the conservative update u + dt*hsrc into its
             # last pass (identical math; saves a full-array XLA add)
-            u_new, fluxes, qes, shk = ctu_hydro(u, q, qaux, srcQ, dt,
-                                                ctx.geom, L, cfg,
-                                                div_node=div_node,
-                                                fold_update_dt=dt)
+            u_new, fluxes, qes, shk = ctu_hydro(
+                u, q, qaux, srcQ, dt, ctx.geom, L, cfg,
+                div_node=div_node, fold_update_dt=dt,
+                trans_eos=self.eos if c.transverse_use_eos else None)
         else:  # source-only evolution (reference castro.do_hydro=0)
             fluxes = [jnp.zeros_like(u) for _ in range(L.dim)]
             qes, shk = None, None

@@ -118,7 +118,7 @@ def _dloga(geom: Geometry, ng: int):
 
 
 def ctu_hydro(u, q, qaux, srcQ, dt, geom: Geometry, layout, cfg: HydroConfig,
-              div_node=None, fold_update_dt=None):
+              div_node=None, fold_update_dt=None, trans_eos=None):
     """Compute the CTU hydro update.
 
     All inputs are grown arrays (ng ghost cells), ghost-filled.
@@ -205,14 +205,15 @@ def ctu_hydro(u, q, qaux, srcQ, dt, geom: Geometry, layout, cfg: HydroConfig,
             states[0][0], states[0][1], f1[0], f1[1], qaux, 0, 1,
             hdt / dx[1], L, cfg.small_pres,
             cfg.transverse_reset_density, cfg.transverse_reset_rhoe,
-            geom_terms=geom_z, hdt=hdt, use_pallas=cfg.use_pallas)
+            geom_terms=geom_z, hdt=hdt, use_pallas=cfg.use_pallas,
+            use_eos=trans_eos)
         qym, qyp = trans_single(
             states[1][0], states[1][1], f0[0], f0[1], qaux, 1, 0,
             hdt / dx[0], L, cfg.small_pres,
             cfg.transverse_reset_density, cfg.transverse_reset_rhoe,
             geom_terms=geom_r, hdt=hdt,
             radial_p_fix=rz and not mom_flux_has_p(0, geom.coord),
-            use_pallas=cfg.use_pallas)
+            use_pallas=cfg.use_pallas, use_eos=trans_eos)
         fluxes_qe = [solve(qxm, qxp, 0), solve(qym, qyp, 1)]
 
     else:
@@ -273,7 +274,7 @@ def ctu_hydro(u, q, qaux, srcQ, dt, geom: Geometry, layout, cfg: HydroConfig,
                         qaux, n, t, third / dx[t], L, cfg.small_pres,
                         cfg.transverse_reset_density,
                         cfg.transverse_reset_rhoe,
-                        use_pallas=cfg.use_pallas)
+                        use_pallas=cfg.use_pallas, use_eos=trans_eos)
 
             # intermediate fluxes F^{d|t} from q{d}|{t}
             fint = {}
@@ -290,7 +291,8 @@ def ctu_hydro(u, q, qaux, srcQ, dt, geom: Geometry, layout, cfg: HydroConfig,
                     fint[(t2, t1)][0], fint[(t2, t1)][1],
                     qaux, n, t1, t2, hdt / dx[t1], hdt / dx[t2], L,
                     cfg.small_pres, cfg.transverse_reset_density,
-                    cfg.transverse_reset_rhoe, use_pallas=cfg.use_pallas)
+                    cfg.transverse_reset_rhoe, use_pallas=cfg.use_pallas,
+                    use_eos=trans_eos)
                 fluxes_qe.append(solve(qm_f, qp_f, n))
 
     fluxes = [fq[0] for fq in fluxes_qe]

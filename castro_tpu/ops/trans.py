@@ -28,7 +28,7 @@ from castro_tpu.ops.stencil import shifted
 
 def _trans_apply(q_face, cell_shift, n_ax, terms, qaux, layout,
                  small_pres, transverse_reset_density=True,
-                 transverse_reset_rhoe=False,
+                 transverse_reset_rhoe=False, use_eos=None,
                  radial_p_fix=None):
     """Apply one or two transverse flux-difference corrections.
 
@@ -178,6 +178,17 @@ def _trans_apply(q_face, cell_shift, n_ax, terms, qaux, layout,
     for qc in pass_q:
         comp = rr * q_face[qc] - dpass[qc]
         out = out.at[qc].set(jnp.where(bad, q_face[qc], comp / rrnew))
+
+    if use_eos is not None:
+        # transverse_use_eos=1 (reference edge_util.cpp
+        # reset_edge_state_thermo): recompute the interface (p, rho e)
+        # thermodynamically from (rho, e, X) after the corrections
+        xn = out[L.QFS: L.QFS + L.nspec]
+        es = use_eos.re(rho=out[L.QRHO],
+                        e=jnp.maximum(out[L.QREINT] / out[L.QRHO], 1e-300),
+                        xn=xn)
+        out = out.at[L.QREINT].set(out[L.QRHO] * es.e)
+        out = out.at[L.QPRES].set(jnp.maximum(es.p, small_pres))
     return out
 
 
@@ -222,7 +233,7 @@ def _term_bundle(terms, qaux, n_ax, cell_shift, layout, radial_fix_cdtdx=None):
 def trans_single(qm, qp, flux_t, qe_t, qaux, n_dir, t_dir, cdtdx, layout,
                  small_pres, reset_density=True, reset_rhoe=False,
                  geom_terms: Optional[dict] = None, radial_p_fix=False,
-                 hdt=None, use_pallas=False):
+                 hdt=None, use_pallas=False, use_eos=None):
     """Single transverse correction of both interface states
     (reference `trans_single`, trans.cpp:15)."""
     if use_pallas and geom_terms is None and not radial_p_fix:
@@ -251,16 +262,16 @@ def trans_single(qm, qp, flux_t, qe_t, qaux, n_dir, t_dir, cdtdx, layout,
         base.update(geom_terms)  # keys: area (face-reg along t_ax), vol
 
     qpo = _trans_apply(qp, 0, n_ax, [base], qaux, layout, small_pres,
-                       reset_density, reset_rhoe)
+                       reset_density, reset_rhoe, use_eos=use_eos)
     qmo = _trans_apply(qm, -1, n_ax, [base], qaux, layout, small_pres,
-                       reset_density, reset_rhoe)
+                       reset_density, reset_rhoe, use_eos=use_eos)
     return qmo, qpo
 
 
 def trans_final(qm, qp, flux_t1, qe_t1, flux_t2, qe_t2, qaux,
                 n_dir, t1_dir, t2_dir, cdtdx_t1, cdtdx_t2, layout,
                 small_pres, reset_density=True, reset_rhoe=False,
-                use_pallas=False):
+                use_pallas=False, use_eos=None):
     """Double transverse correction (reference `trans_final`, trans.cpp:442)."""
     if use_pallas:
         from castro_tpu.ops.pallas_kernels import trans_apply_pallas
@@ -285,7 +296,7 @@ def trans_final(qm, qp, flux_t1, qe_t1, flux_t2, qe_t2, qaux,
          "cdtdx": cdtdx_t2, "hdt": None},
     ]
     qpo = _trans_apply(qp, 0, n_dir, terms, qaux, layout, small_pres,
-                       reset_density, reset_rhoe)
+                       reset_density, reset_rhoe, use_eos=use_eos)
     qmo = _trans_apply(qm, -1, n_dir, terms, qaux, layout, small_pres,
                        reset_density, reset_rhoe)
     return qmo, qpo

@@ -5,10 +5,12 @@
   piecewise-constant advective source inside the integrator} (reference
   `Castro_react.cpp:239-480` + `create_source_corrector`,
   `Castro.cpp:3780-3836`).
-- True SDC (time_integration_method=2), sdc_order=2: Gauss-Lobatto
-  trapezoid node update with MOL advection at the nodes and an implicit
-  reaction solve at the new-time node (reference `Source/sdc/
-  Castro_sdc.cpp` ca_sdc_update_o2_lobatto; 4th-order Radau TODO).
+- True SDC (time_integration_method=2): sdc_order=2 Gauss-Lobatto
+  trapezoid node update, and sdc_order=4 three-node Gauss-Lobatto/
+  Simpson with 4th-order MOL advection (reference `Source/sdc/
+  Castro_sdc.cpp` ca_sdc_update_o2_lobatto / o4_lobatto; the Radau
+  quadrature variant is not implemented — Lobatto is the reference
+  default).
 """
 
 from __future__ import annotations

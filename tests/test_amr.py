@@ -238,3 +238,31 @@ def test_amr_with_poisson_gravity():
     m_amr = np.asarray(amr.interior(0))[0].sum() * dx2
     m0 = 0.01 + 0  # just check finite & positive
     assert np.isfinite(m_amr) and m_amr > 0
+
+
+def test_three_level_hierarchy_nesting():
+    """3-level hierarchy: windows properly nested (level-2 window inside
+    level-1's footprint), finite evolution through subcycled advance."""
+    from castro_tpu.problems import sedov
+
+    params = sedov.make_params(n=32, dim=2, r_init=0.15, exp_energy=0.3)
+    params = params.with_ns("amr", max_level=2, regrid_int=2,
+                            n_error_buf=2,
+                            refinement_indicators=("denerr",))
+    params = params.replace(extra={"amr.denerr.field": "density",
+                                   "amr.denerr.relative_gradient": 0.1})
+    amr = AmrSimulation(params, problem_init=sedov.problem_init)
+    amr.init_data()
+    for _ in range(3):
+        dt = amr.estimate_dt()
+        amr.advance(dt)
+        amr.step_count += 1
+        if amr.step_count % 2 == 0:
+            amr.regrid()
+    for l in (1, 2):
+        assert np.all(np.isfinite(np.asarray(amr.u[l])))
+    ilo1, sh1 = amr.window[1]
+    ilo2, sh2 = amr.window[2]
+    for k in range(2):
+        assert int(ilo2[k]) >= 2 * int(ilo1[k])
+        assert int(ilo2[k]) + sh2[k] <= 2 * (int(ilo1[k]) + sh1[k])

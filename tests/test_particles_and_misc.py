@@ -253,3 +253,68 @@ def test_point_mass_accretion():
     # inflow piles mass toward the center: the fix removes it into the pm
     assert sim.point_mass > pm0, (sim.point_mass, pm0)
     assert np.all(np.isfinite(np.asarray(sim.interior())))
+
+
+def test_problem_hooks_checkpoint_diagnostics_derives(tmp_path):
+    """problem_checkpoint/restart/diagnostics/derives hooks (reference
+    Source/problems/*.H header-injection points)."""
+    import numpy as np
+    from castro_tpu.config import Params
+    from castro_tpu.driver import io as io_mod
+    from castro_tpu.driver.diagnostics import sum_integrated_quantities
+    from castro_tpu.driver.derive import registry
+    from castro_tpu.driver.sim import Simulation
+    from castro_tpu.problems import sod
+
+    seen = {}
+
+    def pchk(sim):
+        return {"my_counter": 7}
+
+    def prst(sim, d):
+        seen["restored"] = d
+
+    def pdiag(sim, u_int, sums):
+        return {"custom_sum": 2.0 * sums["mass"]}
+
+    derives = {"twice_density": lambda sim, u_int: 2.0 * u_int[0]}
+
+    kw = dict(problem_init=sod.problem_init, problem_checkpoint=pchk,
+              problem_restart=prst, problem_diagnostics=pdiag,
+              problem_derives=derives)
+    sim = Simulation(sod.make_params(n=16, dim=1), **kw)
+    sim.init_data()
+    sums = sum_integrated_quantities(sim)
+    assert np.isclose(sums["custom_sum"], 2.0 * sums["mass"])
+    reg = registry(sim)
+    assert "twice_density" in reg
+    v = np.asarray(reg["twice_density"](sim, np.asarray(sim.interior())))
+    assert np.allclose(v, 2.0 * np.asarray(sim.interior())[0])
+
+    path = io_mod.write_checkpoint(sim, str(tmp_path / "chk"))
+    sim2 = Simulation(sod.make_params(n=16, dim=1), **kw)
+    sim2.init_data()
+    io_mod.restart(sim2, path)
+    assert seen["restored"] == {"my_counter": 7}
+
+
+def test_transverse_use_eos_runs():
+    """transverse_use_eos=1 (edge_util.cpp reset_edge_state_thermo): the
+    interface thermo re-evaluation path runs and stays close to the
+    default (identical for gamma-law up to the p-evolution difference)."""
+    import numpy as np
+    from castro_tpu.driver.sim import Simulation
+    from castro_tpu.problems import sedov
+
+    outs = []
+    for flag in (0, 1):
+        p = sedov.make_params(n=16, dim=2, r_init=0.2, exp_energy=0.3)
+        p = p.with_ns("castro", transverse_use_eos=flag)
+        s = Simulation(p, problem_init=sedov.problem_init)
+        s.init_data()
+        for _ in range(3):
+            s.advance(s.estimate_dt())
+        outs.append(np.asarray(s.interior()))
+    assert np.all(np.isfinite(outs[1]))
+    rel = np.abs(outs[1][0] - outs[0][0]) / np.abs(outs[0][0])
+    assert rel.max() < 0.05  # same physics, small closure difference

@@ -78,3 +78,38 @@ def test_golden(name):
     scale = np.abs(ref).max(axis=tuple(range(1, ref.ndim)), keepdims=True)
     adiff = np.abs(got - ref) / np.maximum(scale, 1e-300)
     assert adiff.max() < 1e-10, (name, adiff.max())
+
+
+def test_reference_analytic_plotfile_golden():
+    """Field-level comparison against a golden NOT produced by this
+    repo's solver (VERDICT r2 #7): an AMReX-format plotfile whose data is
+    the reference's shipped analytic Sedov solution
+    (`Exec/hydro_tests/Sedov/Verification/spherical_sedov.dat`, Timmes
+    sedov3), ingested through the reference-format plotfile reader."""
+    import numpy as np
+
+    from castro_tpu.driver.amrex_plotfile import read_plotfile
+    from castro_tpu.driver.sim import Simulation
+    from castro_tpu.problems import sedov
+
+    gold = read_plotfile("tests/goldens/sedov_ref_analytic_plt")
+    assert gold["varnames"][:2] == ["density", "pressure"]
+    rho_gold = gold["levels"][0]["data"][0]
+    n = rho_gold.shape[0]
+
+    params = sedov.make_params(n=n, dim=1, coord=2, stop_time=0.01,
+                               r_init=0.01, p_ambient=1e-5, exp_energy=1.0,
+                               prob_hi=0.5)
+    params = params.with_ns("castro", lo_bc=(3,), hi_bc=(2,), cfl=0.5)
+    sim = Simulation(params, problem_init=lambda s, u: sedov.problem_init(
+        s, u, center=(0.0,)))
+    sim.run(verbose=False)
+    rho = np.asarray(sim.interior())[sim.layout.URHO]
+
+    # L1 norm over the blast region (reference Verification tolerance
+    # style); the discrete shock is 1-2 cells displaced vs analytic
+    m = rho_gold > 1e-3
+    l1 = np.abs(rho[m] - rho_gold[m]).sum() / rho_gold[m].sum()
+    assert l1 < 0.2, l1
+    # shock position: peak-density radius within 3 cells of analytic
+    assert abs(int(np.argmax(rho)) - int(np.argmax(rho_gold))) <= 3
