@@ -183,6 +183,11 @@ class CastroParams:
     #: evolve UMR/UML/UMP with their own fluxes (Castro_hybrid.cpp)
     hybrid_hydro: int = 0
     do_scf_initial_model: int = 0
+    scf_maximum_density: float = -1e6
+    scf_equatorial_radius: float = -1e9
+    scf_polar_radius: float = -1e9
+    scf_relax_tol: float = 1e-3
+    scf_max_iterations: int = 30
     ambient_fill_dir: int = -1
     ambient_outflow_vel: int = 0
     clamp_hse_bcs: int = 0  # fill_hse BC usage is via lo/hi_bc codes

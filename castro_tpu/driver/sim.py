@@ -319,6 +319,30 @@ class Simulation:
         rho_i = jnp.maximum(u[L.URHO], 1e-300)
         ke = 0.5 * (u[L.UMX] ** 2 + u[L.UMY] ** 2 + u[L.UMZ] ** 2) / rho_i
         u = u.at[L.UEDEN].set(u[L.UEINT] + ke)
+        c = self.params.castro
+        if c.do_scf_initial_model:
+            # Hachisu SCF relaxation replaces the problem's density field
+            # with the rotating-equilibrium model (reference post_init ->
+            # scf_relaxation, scf_relax.cpp:10)
+            from castro_tpu.ops.stencil import interior_slice as _isl
+            from castro_tpu.scf import scf_relaxation
+
+            inner = _isl(self.ng, L.dim)
+            T0 = float(jnp.max(u[(L.UTEMP,) + inner[1:]]))
+            rho_i, phi_i, w = scf_relaxation(
+                self.params, self.geom, self.layout, self.eos,
+                c.scf_maximum_density, c.scf_equatorial_radius,
+                (c.scf_polar_radius if c.scf_polar_radius > 0 else None),
+                T=T0, tol=c.scf_relax_tol, n_iters=c.scf_max_iterations)
+            es = self.eos.rt(rho=rho_i, T=jnp.full_like(rho_i, T0))
+            u = u.at[(L.URHO,) + inner[1:]].set(rho_i)
+            for comp in (L.UMX, L.UMY, L.UMZ):
+                u = u.at[(comp,) + inner[1:]].set(0.0)
+            u = u.at[(L.UEINT,) + inner[1:]].set(rho_i * es.e)
+            u = u.at[(L.UEDEN,) + inner[1:]].set(rho_i * es.e)
+            u = u.at[(L.UTEMP,) + inner[1:]].set(es.T)
+            u = u.at[(L.UFS,) + inner[1:]].set(rho_i)
+            self.scf_omega = float(w)
         if self.cfg.hybrid_hydro:
             # seed the (authoritative) hybrid momenta from the problem's
             # linear momenta (reference initData -> linear_to_hybrid_momentum,

@@ -48,60 +48,105 @@ def _sample_at(phi_like, geom, point):
 
 
 def scf_relaxation(params, geom, layout, eos, rho_max_target,
-                   r_A, r_B=None, n_iters=40, rho_floor=1e-10):
-    """Relax to an equilibrium star.
+                   r_A, r_B=None, n_iters=None, rho_floor=1e-10,
+                   T=None, xn=None, tol=None, verbose=False):
+    """Full Hachisu SCF relaxation (reference `do_hscf_solve`,
+    scf_relax.cpp:60-737):
 
-    r_A: equatorial surface radius (along the first axis from the center);
-    r_B: polar surface radius (along the last axis); r_B=None or r_B==r_A
-    gives a nonrotating (Omega=0) model.
+      iterate { Poisson phi from rho;
+                sample (phi, psi) at the two fixing points
+                  A = center + scf_equatorial_radius * xhat
+                  B = center + scf_polar_radius * zhat;
+                Omega^2 = -(phi_A - phi_B)/(psi_A - psi_B) with
+                  psi = -R_cyl^2/2, Omega clamped to +-10%/iteration;
+                Bernoulli constant C = phi_A + Omega^2 psi_A;
+                enthalpy h = C - phi - Omega^2 psi, rescaled so its max
+                  equals the target h(scf_maximum_density, T, X);
+                rho = EOS^-1(h) where h > 0;
+                converge on Linf |drho|/rho over rho > 1e-3 rho_max }
 
-    Returns (rho, phi, omega) on the interior grid."""
+    r_A: equatorial surface radius; r_B: polar surface radius (None or
+    == r_A: nonrotating). Returns (rho, phi, omega)."""
     dim = geom.dim
+    c = params.castro
+    tol = tol if tol is not None else getattr(c, "scf_relax_tol", 1e-3)
+    max_iter = (n_iters if n_iters is not None
+                else getattr(c, "scf_max_iterations", 30))
     center = tuple(0.5 * (geom.prob_lo[d] + geom.prob_hi[d]) for d in range(dim))
     grav = Gravity(params, geom, layout, ng=0)
 
-    # cylindrical radius about the rotation axis (last dim)
+    # rotational psi = -R_cyl^2/2 about the rotation (last) axis
+    # (reference fill_rotational_psi)
     R2 = 0.0
     for d in range(dim - 1) if dim > 1 else range(1):
         x = geom.cell_centers(d, 0) - center[d]
         R2 = R2 + x * x
     R2 = jnp.broadcast_to(R2, tuple(geom.n_cell))
+    psi = -0.5 * R2
 
-    rotating = r_B is not None and abs(r_B - r_A) > 1e-12 * r_A
+    rotating = r_B is not None and abs(r_B - r_A) > 1e-6 * abs(r_A)
     ptA = list(center)
     ptA[0] = center[0] + r_A
     ptB = list(center)
     ptB[-1] = center[-1] + (r_B if r_B is not None else r_A)
+
+    # target maximum enthalpy from the requested maximum density and the
+    # (uniform) temperature/composition (scf_relax.cpp:97-146)
+    T_arr = jnp.asarray(1e4 if T is None else T)
+    target_h_max = eos.rt(rho=jnp.asarray(rho_max_target), T=T_arr,
+                          xn=xn).h
 
     # initial guess: uniform sphere of radius r_A
     r = geom.radius(0, center=center)
     r = jnp.broadcast_to(r, tuple(geom.n_cell))
     rho = jnp.where(r < r_A, rho_max_target, rho_floor)
 
-    def iteration(rho, _):
+    @jax.jit
+    def iteration(rho, w_prev):
         g3, phi = grav.grav_vector(rho)
         phiA = _sample_at(phi, geom, ptA)
         phiB = _sample_at(phi, geom, ptB)
-        R2A = (r_A) ** 2
+        psiA = _sample_at(psi, geom, ptA)
+        psiB = _sample_at(psi, geom, ptB)
         if rotating:
-            # C = phiA - 0.5 w2 R2A = phiB  =>  w2 = 2 (phiA - phiB)/R2A
-            w2 = jnp.maximum(2.0 * (phiA - phiB) / R2A, 0.0)
+            # Hachisu eq. 16 (scf_relax.cpp:338)
+            w2 = jnp.maximum(-(phiA - phiB) / (psiA - psiB), 0.0)
+            w = jnp.sqrt(w2)
+            # limit the period change per iteration (:351-354). The
+            # reference clamps to 10% against a USER-SUPPLIED initial
+            # period; starting from the raw first estimate instead, a
+            # tight clamp locks in a slow geometric drift that
+            # oscillates, so the band is wider here (convergence is
+            # measured on the density field either way).
+            w = jnp.where(w_prev > 0.0,
+                          jnp.clip(w, 0.5 * w_prev, 2.0 * w_prev), w)
+            w2 = w * w
         else:
             w2 = jnp.asarray(0.0)
-        Cb = phiB
-        h = Cb - phi + 0.5 * w2 * R2
-        h = jnp.maximum(h, 0.0)
-        # rho(h) via EOS inversion (h is specific enthalpy)
-        hmax = jnp.max(h)
-        es = eos.rh(rho=jnp.maximum(rho, rho_floor), h=jnp.maximum(h, 1e-30))
-        rho_new = jnp.where(h > 0.0, es.rho, rho_floor)
-        # renormalize the central density to the target
-        scale = rho_max_target / jnp.maximum(jnp.max(rho_new), rho_floor)
-        rho_new = jnp.maximum(rho_new * scale, rho_floor)
-        return rho_new, w2
+            w = jnp.asarray(0.0)
+        # Bernoulli constant at point A (:377-450)
+        bern = phiA + w2 * psiA
+        h = bern - phi - w2 * psi
+        # rescale so max h equals the target (:535)
+        h_max = jnp.maximum(jnp.max(h), 1e-300)
+        h_scaled = target_h_max * h / h_max
+        es = eos.rh(rho=jnp.maximum(rho, rho_floor),
+                    h=jnp.maximum(h_scaled, 1e-30), xn=xn)
+        rho_new = jnp.where((h > 0.0) & (rho > 0.0),
+                            jnp.maximum(es.rho, rho_floor), rho_floor)
+        # convergence: Linf over dense zones (:570-576)
+        rho_max = jnp.max(rho_new)
+        drho = jnp.abs(rho_new - rho) / jnp.maximum(rho, rho_floor)
+        linf = jnp.max(jnp.where(rho_new > 1e-3 * rho_max, drho, 0.0))
+        return rho_new, w, linf
 
-    w2 = jnp.asarray(0.0)
-    for _ in range(n_iters):
-        rho, w2 = iteration(rho, None)
+    w = jnp.asarray(0.0)
+    for it in range(max_iter):
+        rho, w, linf = iteration(rho, w)
+        if verbose:
+            print(f"  SCF iter {it + 1}: Linf(drho)={float(linf):.3e} "
+                  f"omega={float(w):.4e}")
+        if float(linf) < tol:
+            break
     g3, phi = grav.grav_vector(rho)
-    return rho, phi, jnp.sqrt(w2)
+    return rho, phi, w

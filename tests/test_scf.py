@@ -68,3 +68,50 @@ def test_scf_rotating_flattens():
     r_eq = np.argmax(eq_profile < 1e-6)
     r_pol = np.argmax(pol_profile < 1e-6)
     assert r_eq > r_pol, (r_eq, r_pol)
+
+
+def test_scf_hachisu_virial_balance():
+    """The converged rotating Hachisu model satisfies the virial theorem:
+    |2T_rot + W + 3 Pi| / |W| small (the standard SCF quality metric;
+    reference scf_relax.cpp prints the same diagnostic)."""
+    R_star = 1.0
+    K = (R_star / np.pi) ** 2 * 2.0 * np.pi * C.Gconst
+    eos = PolytropeEos(K=K, gamma=2.0)
+    # radii consistent with rho_max=1 for this K (the h-rescale and the
+    # prescribed radii over-determine the model otherwise — same
+    # semantics as the reference)
+    p, geom, layout = setup(n=48)
+    rho, phi, omega = scf_relaxation(p, geom, layout, eos, 1.0,
+                                     r_A=1.04, r_B=0.94, n_iters=40,
+                                     tol=1e-6)
+    rho = np.asarray(rho)
+    phi = np.asarray(phi)
+    w2 = float(omega) ** 2
+    dx = np.prod(geom.dx)
+    x = np.asarray(geom.cell_centers_1d(0, 0))
+    X, Y, _ = np.meshgrid(x, x, x, indexing="ij")
+    R2 = X**2 + Y**2
+    es = eos.rt(rho=jnp.asarray(rho), T=jnp.ones_like(jnp.asarray(rho)))
+    P = np.asarray(es.p)
+    m = rho > 1e-6
+    T_rot = 0.5 * w2 * (rho * R2)[m].sum() * dx
+    W = 0.5 * (rho * phi)[m].sum() * dx
+    Pi = P[m].sum() * dx
+    virial = abs(2 * T_rot + W + 3 * Pi) / abs(W)
+    assert virial < 0.05, virial
+    assert float(omega) > 0.0
+
+
+def test_scf_omega_grows_with_flattening():
+    """More flattening (smaller polar/equatorial ratio) requires faster
+    rotation (Hachisu sequence monotonicity)."""
+    R_star = 1.0
+    K = (R_star / np.pi) ** 2 * 2.0 * np.pi * C.Gconst
+    eos = PolytropeEos(K=K, gamma=2.0)
+    omegas = []
+    for rb in (0.9, 0.7):
+        p, geom, layout = setup(n=32)
+        _, _, om = scf_relaxation(p, geom, layout, eos, 1.0,
+                                  r_A=1.0, r_B=rb, n_iters=30)
+        omegas.append(float(om))
+    assert omegas[1] > omegas[0] > 0.0
