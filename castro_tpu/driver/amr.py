@@ -40,6 +40,53 @@ from castro_tpu.ops.stencil import interior_slice
 
 BUCKET = 16   # window extents rounded up to multiples of this (fine cells)
 MARGIN = 8    # unmasked fine-cell ring kept around tags (>= ng + stencil)
+MAX_WINDOWS = 4  # max disjoint windows per level before falling back to hull
+
+
+def _cluster_tags(t: np.ndarray, merge_gap: int) -> List[tuple]:
+    """Connected components of a boolean tag array (unions components
+    whose bounding boxes come within `merge_gap` cells), returned as a
+    list of (lo, hi) index-bound pairs. Pure-numpy label propagation."""
+    if not t.any():
+        return []
+    dim = t.ndim
+    lab = np.full(t.shape, -1, np.int64)
+    lab[t] = np.arange(int(t.sum()))
+    # propagate minimum labels until stable (O(diameter) passes)
+    while True:
+        new = lab.copy()
+        for d in range(dim):
+            for off in (1, -1):
+                sh = np.roll(lab, off, axis=d)
+                edge = [slice(None)] * dim
+                edge[d] = 0 if off == 1 else -1
+                sh[tuple(edge)] = -1
+                np.minimum(new, np.where((new >= 0) & (sh >= 0), sh, new),
+                           out=new)
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    boxes = []
+    for root in np.unique(lab[lab >= 0]):
+        idx = np.nonzero(lab == root)
+        boxes.append((np.array([i.min() for i in idx]),
+                      np.array([i.max() for i in idx])))
+    # merge boxes whose margin-padded extents overlap
+    changed = True
+    while changed:
+        changed = False
+        out = []
+        for lo, hi in boxes:
+            for k, (lo2, hi2) in enumerate(out):
+                if np.all(lo <= hi2 + merge_gap) and \
+                        np.all(lo2 <= hi + merge_gap):
+                    out[k] = (np.minimum(lo, lo2), np.maximum(hi, hi2))
+                    changed = True
+                    break
+            else:
+                out.append((lo, hi))
+        boxes = out
+    return boxes
 
 
 def _level_params(params: Params, level: int,
@@ -185,6 +232,12 @@ class AmrSimulation:
                           if self._has_poisson else None)
         self._cur_grav_bc: Dict[int, object] = {}
 
+        # patch-batch windows (SURVEY §7; reference BoxArray semantics):
+        # disjoint tag clusters at level 1 get their OWN windows beyond
+        # the primary, so separated features don't pay the convex hull.
+        # Each entry: {ilo, shape, u, mask, grav_bc}.
+        self.extra: List[List[dict]] = [[] for _ in range(self.max_level + 1)]
+
         # AMR radiation (gray FLD): per-level Er with composite window
         # solves (coarse-Er Dirichlet BCs) + deferred flux sync into the
         # next coarse solve (reference Radiation flux registers +
@@ -271,14 +324,25 @@ class AmrSimulation:
             shape = tuple(min(BUCKET, bhi[k] - blo[k])
                           for k in range(self.dim))
             return np.asarray(blo, int), shape
-        ilo = []
-        shape = []
+        box_lo = []
+        box_hi = []
         for k in range(self.dim):
             axes = tuple(a for a in range(self.dim) if a != k)
             proj = t.any(axis=axes) if self.dim > 1 else t
             idx = np.nonzero(proj)[0]
-            lo_f = max(blo[k], 2 * idx[0] - MARGIN)
-            hi_f = min(bhi[k], 2 * (idx[-1] + 1) + MARGIN)
+            box_lo.append(idx[0])
+            box_hi.append(idx[-1])
+        return self._box_to_window(np.asarray(box_lo), np.asarray(box_hi),
+                                   blo, bhi)
+
+    def _box_to_window(self, box_lo, box_hi, blo, bhi):
+        """Coarse-cell tag bbox -> bucketed fine window (ilo, shape),
+        clamped to the [blo, bhi) fine-cell bounds."""
+        ilo = []
+        shape = []
+        for k in range(self.dim):
+            lo_f = max(blo[k], 2 * int(box_lo[k]) - MARGIN)
+            hi_f = min(bhi[k], 2 * (int(box_hi[k]) + 1) + MARGIN)
             ext = int(np.ceil((hi_f - lo_f) / BUCKET)) * BUCKET
             ext = min(ext, bhi[k] - blo[k])
             lo_f = max(blo[k], min(lo_f - (ext - (hi_f - lo_f)) // 2,
@@ -289,14 +353,41 @@ class AmrSimulation:
             shape.append(int(ext))
         return np.asarray(ilo, int), tuple(shape)
 
-    def _win_geom(self, l):
-        ilo, shape = self.window[l]
+    def _compute_extra_windows(self, l_fine, tags_global_c):
+        """Disjoint-cluster windows beyond the primary (SURVEY §7 patch
+        batches; reference BoxArray semantics for separated refined
+        regions). Scope: level 1 of a 2-level hierarchy — deeper levels
+        keep the single-hull window. Returns (primary, extras): the
+        primary is the largest cluster's window."""
+        t = np.asarray(tags_global_c)
+        if (l_fine != 1 or self.max_level != 1 or not t.any()):
+            return self._compute_window(l_fine, t), []
+        boxes = _cluster_tags(t, merge_gap=MARGIN)
+        if len(boxes) <= 1 or len(boxes) > MAX_WINDOWS:
+            return self._compute_window(l_fine, t), []
+        n_f = tuple(self.params.amr.n_cell[k] * 2 for k in range(self.dim))
+        blo = (0,) * self.dim
+        wins = [self._box_to_window(lo, hi, blo, n_f) for lo, hi in boxes]
+        # order by volume (primary = largest); drop overlap by merging if
+        # bucketing made any pair overlap after all
+        wins.sort(key=lambda w: -int(np.prod(w[1])))
+        for a in range(len(wins)):
+            for b in range(a + 1, len(wins)):
+                la, sa = wins[a]
+                lb, sb = wins[b]
+                if np.all(la < lb + np.asarray(sb)) and \
+                        np.all(lb < la + np.asarray(sa)):
+                    return self._compute_window(l_fine, t), []
+        return wins[0], wins[1:]
+
+    def _win_geom(self, l, win=None):
+        ilo, shape = win if win is not None else self.window[l]
         return self.geom_full[l].local_view(shape, tuple(int(v) for v in ilo))
 
-    def _coarse_slice(self, l, grow=0):
+    def _coarse_slice(self, l, grow=0, win=None):
         """Slice of the level-(l-1) full interior covered by level l's
         window (coarse cells), optionally grown (clamped)."""
-        ilo, shape = self.window[l]
+        ilo, shape = win if win is not None else self.window[l]
         sl = []
         for k in range(self.dim):
             lo = int(ilo[k]) // 2 - grow
@@ -315,22 +406,36 @@ class AmrSimulation:
             self.u_rad[0] = self.sim0.u_rad
         for l in range(1, self.max_level + 1):
             tags = self._tags_for(l - 1)
-            ilo, shape = self._compute_window(l, tags)
+            if l == 1 and not self._has_rad:
+                (ilo, shape), extras = self._compute_extra_windows(l, tags)
+            else:
+                ilo, shape = self._compute_window(l, tags)
+                extras = []
             self.window[l] = (ilo, shape)
-            lev = self._get_level(l, shape)
-            # exact problem data on the window (position-correct shim)
-            u = jnp.zeros((self.sim0.layout.NVAR,) +
-                          tuple(s + 2 * self.ng for s in shape), self.dtype)
-            if self.problem_init is not None:
-                shim = _GeomShim(lev.sim, self._win_geom(l))
-                u = self.problem_init(shim, u)
-            self.u[l] = lev.jit_clean_fill(u)
+            self.u[l] = self._make_window_state(l, (ilo, shape))
             self.masks[l] = self._window_mask(l, tags)
+            self.extra[l] = [
+                {"ilo": e[0], "shape": e[1],
+                 "u": self._make_window_state(l, e),
+                 "mask": self._window_mask(l, tags, win=e),
+                 "grav_bc": None}
+                for e in extras]
             if self._has_rad:
                 csl = self._parent_rel_slice(l)
                 self.u_rad[l] = prolong(self.u_rad[l - 1][csl], self.dim,
                                         comp_axes=0)
         return self
+
+    def _make_window_state(self, l, win):
+        """Problem data on one window (position-correct shim) + clean."""
+        ilo, shape = win
+        lev = self._get_level(l, shape)
+        u = jnp.zeros((self.sim0.layout.NVAR,) +
+                      tuple(s + 2 * self.ng for s in shape), self.dtype)
+        if self.problem_init is not None:
+            shim = _GeomShim(lev.sim, self._win_geom(l, win=win))
+            u = self.problem_init(shim, u)
+        return lev.jit_clean_fill(u)
 
     def _tags_for(self, l):
         """Dense tags over level l's FULL grid (window tags scattered)."""
@@ -348,72 +453,103 @@ class AmrSimulation:
         return jax.lax.dynamic_update_slice(full, tags_win,
                                             tuple(int(v) for v in ilo))
 
-    def _window_mask(self, l, tags_global_c):
+    def _window_mask(self, l, tags_global_c, win=None):
         """Level-l window mask from coarse-level tags."""
-        ilo, shape = self.window[l]
-        csl = self._coarse_slice(l)
+        csl = self._coarse_slice(l, win=win)
         mask = prolong_mask(tags_global_c[csl], self.dim)
         # mask is over the window (coarse slice x2 == window by construction)
         return mask
 
     # ------------------------------------------------------------------ regrid
-    def regrid(self, fill_new=True):
-        """Re-tag every level; move/resize windows, migrating data
-        (reference Amr regrid + FillCoarsePatch for new regions)."""
-        for l in range(self.max_level):
-            tags = self._tags_for(l)
-            new_ilo, new_shape = self._compute_window(l + 1, tags)
-            old = self.window[l + 1]
-            lev = self._get_level(l + 1, new_shape)
-
-            # build the new window state: prolonged coarse everywhere,
-            # then copy the overlap from the old window. Slices into the
-            # PARENT'S STORED interior are parent-window-relative for
-            # l > 0 (the parent array covers only its window).
-            csim = self._sims_at(l)
-            c_int = self.u[l][interior_slice(self.ng, self.dim)]
-            base = (np.zeros(self.dim, int) if l == 0
-                    else 2 * np.asarray(self.window[l][0], int))
-            csl = tuple(slice((int(new_ilo[k]) - int(base[k])) // 2,
-                              (int(new_ilo[k]) - int(base[k])
-                               + new_shape[k]) // 2)
-                        for k in range(self.dim))
-            new_int = prolong(c_int[(slice(None),) + csl], self.dim)
-            new_rad = None
-            if self._has_rad:
-                new_rad = prolong(self.u_rad[l][csl], self.dim,
-                                  comp_axes=0)
-            if self.u[l + 1] is not None and fill_new:
-                old_ilo, old_shape = old
-                old_int = self.u[l + 1][interior_slice(self.ng, self.dim)]
-                # overlap region in global fine coords
-                lo = np.maximum(new_ilo, old_ilo)
-                hi = np.minimum(new_ilo + np.asarray(new_shape),
-                                old_ilo + np.asarray(old_shape))
+    def _migrate_window(self, l, win, old_wins, fill_new=True):
+        """Build a (new) level-l window's state: prolonged coarse data
+        everywhere, then overlap copies from the old windows' valid
+        (masked) fine data. Returns the grown, cleaned state."""
+        new_ilo, new_shape = win
+        lev = self._get_level(l, new_shape)
+        c_int = self.u[l - 1][interior_slice(self.ng, self.dim)]
+        csl = self._parent_rel_slice(l, win=win)
+        new_int = prolong(c_int[(slice(None),) + csl], self.dim)
+        if fill_new:
+            for old_ilo, old_shape, old_u, old_mask in old_wins:
+                old_int = old_u[interior_slice(self.ng, self.dim)]
+                lo = np.maximum(np.asarray(new_ilo), np.asarray(old_ilo))
+                hi = np.minimum(np.asarray(new_ilo) + np.asarray(new_shape),
+                                np.asarray(old_ilo) + np.asarray(old_shape))
                 if np.all(hi > lo):
                     src = (slice(None),) + tuple(
-                        slice(int(lo[k] - old_ilo[k]), int(hi[k] - old_ilo[k]))
+                        slice(int(lo[k] - old_ilo[k]),
+                              int(hi[k] - old_ilo[k]))
                         for k in range(self.dim))
                     dst = (slice(None),) + tuple(
-                        slice(int(lo[k] - new_ilo[k]), int(hi[k] - new_ilo[k]))
+                        slice(int(lo[k] - new_ilo[k]),
+                              int(hi[k] - new_ilo[k]))
                         for k in range(self.dim))
-                    # only where the OLD mask was valid fine data
-                    old_mask = self.masks[l + 1]
                     m_src = old_mask[src[1:]]
                     new_int = new_int.at[dst].set(
                         jnp.where(m_src[None], old_int[src], new_int[dst]))
-                    if new_rad is not None and self.u_rad[l + 1] is not None:
-                        new_rad = new_rad.at[dst[1:]].set(
-                            jnp.where(m_src, self.u_rad[l + 1][src[1:]],
-                                      new_rad[dst[1:]]))
-            elif self.u[l + 1] is not None and not fill_new:
-                # keep existing data where windows overlap (init path)
-                pass
+        pads = [(0, 0)] + [(self.ng, self.ng)] * self.dim
+        return lev.jit_clean_fill(jnp.pad(new_int, pads))
+
+    def regrid(self, fill_new=True):
+        """Re-tag every level; move/resize windows (incl. the patch-batch
+        extras), migrating data (reference Amr regrid + FillCoarsePatch
+        for new regions)."""
+        for l in range(self.max_level):
+            tags = self._tags_for(l)
+            if l + 1 == 1 and not self._has_rad:
+                (new_ilo, new_shape), new_extras = \
+                    self._compute_extra_windows(l + 1, tags)
+            else:
+                new_ilo, new_shape = self._compute_window(l + 1, tags)
+                new_extras = []
+
+            old_wins = []
+            if self.u[l + 1] is not None:
+                old_wins.append((self.window[l + 1][0],
+                                 self.window[l + 1][1],
+                                 self.u[l + 1], self.masks[l + 1]))
+                old_wins += [(e["ilo"], e["shape"], e["u"], e["mask"])
+                             for e in self.extra[l + 1]]
+
+            new_rad = None
+            if self._has_rad:
+                csl = self._parent_rel_slice(l + 1,
+                                             win=(new_ilo, new_shape))
+                new_rad = prolong(self.u_rad[l][csl], self.dim,
+                                  comp_axes=0)
+                if self.u_rad[l + 1] is not None and fill_new:
+                    old_ilo, old_shape = self.window[l + 1]
+                    lo = np.maximum(new_ilo, old_ilo)
+                    hi = np.minimum(new_ilo + np.asarray(new_shape),
+                                    old_ilo + np.asarray(old_shape))
+                    if np.all(hi > lo):
+                        src = tuple(slice(int(lo[k] - old_ilo[k]),
+                                          int(hi[k] - old_ilo[k]))
+                                    for k in range(self.dim))
+                        dst = tuple(slice(int(lo[k] - new_ilo[k]),
+                                          int(hi[k] - new_ilo[k]))
+                                    for k in range(self.dim))
+                        m_src = self.masks[l + 1][src]
+                        new_rad = new_rad.at[dst].set(
+                            jnp.where(m_src, self.u_rad[l + 1][src],
+                                      new_rad[dst]))
+
+            # primary FIRST (its _parent_rel_slice consults window[l+1]
+            # only through the explicit win argument)
+            u_new = self._migrate_window(l + 1, (new_ilo, new_shape),
+                                         old_wins, fill_new)
+            new_extra_state = [
+                {"ilo": e[0], "shape": e[1],
+                 "u": self._migrate_window(l + 1, e, old_wins, fill_new),
+                 "mask": self._window_mask(l + 1, tags, win=e),
+                 "grav_bc": None}
+                for e in new_extras]
 
             self.window[l + 1] = (new_ilo, new_shape)
-            pads = [(0, 0)] + [(self.ng, self.ng)] * self.dim
-            self.u[l + 1] = lev.jit_clean_fill(jnp.pad(new_int, pads))
+            self.u[l + 1] = u_new
             self.masks[l + 1] = self._window_mask(l + 1, tags)
+            self.extra[l + 1] = new_extra_state
             if new_rad is not None:
                 self.u_rad[l + 1] = new_rad
 
@@ -433,6 +569,10 @@ class AmrSimulation:
             else:
                 dt_l = float(lev.jit_estdt(self.u[l]))
             dt = min(dt, dt_l * self.ref_ratio**l)
+            for e in self.extra[l]:
+                lev_e = self._get_level(l, e["shape"])
+                dt = min(dt, float(lev_e.jit_estdt(e["u"]))
+                         * self.ref_ratio**l)
         if self.step_count == 0:
             dt *= c.init_shrink
         elif self.dt is not None:
@@ -440,22 +580,24 @@ class AmrSimulation:
         return min(dt, c.max_dt)
 
     # ------------------------------------------------------------------ advance
-    def _set_unmasked_from_coarse(self, l, frac):
-        """Fine unmasked window cells := prolonged coarse data
+    def _ring_fill(self, l, frac, win, u_w, mask_w):
+        """One window's unmasked cells := prolonged coarse data
         time-interpolated between the coarse old/new states (FillPatch)."""
         c_interp = (1.0 - frac) * self.u_old[l - 1] + frac * self.u[l - 1]
         c_int = c_interp[interior_slice(self.ng, self.dim)]
-        csl = self._parent_rel_slice(l)  # parent-window (or global) coords
+        csl = self._parent_rel_slice(l, win=win)
         fine = prolong(c_int[(slice(None),) + csl], self.dim)
         idx = interior_slice(self.ng, self.dim)
-        mg = self.masks[l][None]
-        u_int = self.u[l][idx]
-        self.u[l] = self.u[l].at[idx].set(jnp.where(mg, u_int, fine))
+        return u_w.at[idx].set(jnp.where(mask_w[None], u_w[idx], fine))
 
-    def _parent_rel_slice(self, l):
+    def _set_unmasked_from_coarse(self, l, frac):
+        self.u[l] = self._ring_fill(l, frac, self.window[l], self.u[l],
+                                    self.masks[l])
+
+    def _parent_rel_slice(self, l, win=None):
         """Level-l window's footprint inside the PARENT's stored interior
         (parent window coords for l-1>0, global for l-1==0)."""
-        ilo, shape = self.window[l]
+        ilo, shape = win if win is not None else self.window[l]
         if l - 1 == 0:
             base = np.zeros(self.dim, int)
         else:
@@ -477,7 +619,7 @@ class AmrSimulation:
         ilo = jnp.asarray(self.window[l][0])
         return lev.jit_phi(rho, ilo, self._cur_grav_bc.get(l))
 
-    def _window_face_bc(self, l, phi_c):
+    def _window_face_bc(self, l, phi_c, win=None):
         """Dirichlet values of a cell field on level-l window boundary
         faces, linearly interpolated from the parent-level field phi_c
         (parent-local interior array). Used for composite gravity
@@ -485,7 +627,7 @@ class AmrSimulation:
         radiation (coarse-Er boundary data, RadBndry interpolation)."""
         from jax.scipy.ndimage import map_coordinates
 
-        ilo, shape = self.window[l]
+        ilo, shape = win if win is not None else self.window[l]
         base_c = (np.zeros(self.dim, int) if l - 1 == 0
                   else np.asarray(self.window[l - 1][0], int))
         bvl, bvh = [], []
@@ -670,6 +812,9 @@ class AmrSimulation:
                 phi_old = self._solve_phi(l, self.u_old[l])
                 phi_new = self._solve_phi(l, self.u[l])
 
+            extras = self.extra[l + 1]
+            fine_acc_extra = [None] * len(extras)
+
             r = self.ref_ratio
             for i in range(r):
                 frac0 = i / r
@@ -678,6 +823,9 @@ class AmrSimulation:
                     phi_mid = (1.0 - fm) * phi_old + fm * phi_new
                     self._cur_grav_bc[l + 1] = self._window_face_bc(
                         l + 1, phi_mid)
+                    for e in extras:
+                        e["grav_bc"] = self._window_face_bc(
+                            l + 1, phi_mid, win=(e["ilo"], e["shape"]))
                 if self._has_rad:
                     Er_mid = (1.0 - fm) * self.u_rad_old[l] + \
                         fm * self.u_rad[l]
@@ -693,6 +841,18 @@ class AmrSimulation:
                 for d in range(self.dim):
                     fine_acc[d] = fine_acc[d] + coarsen_flux(
                         fine_fluxes[d], d, self.dim) * (dt / r)
+                # patch-batch extras: ring fill + advance + accumulate
+                for kx, e in enumerate(extras):
+                    e["u"] = self._ring_fill(l + 1, frac0,
+                                             (e["ilo"], e["shape"]),
+                                             e["u"], e["mask"])
+                    fl_e = self._advance_extra(l + 1, e, dt / r,
+                                               t_level + i * dt / r)
+                    fc = [coarsen_flux(fl_e[d], d, self.dim) * (dt / r)
+                          for d in range(self.dim)]
+                    fine_acc_extra[kx] = (fc if fine_acc_extra[kx] is None
+                                          else [a + b for a, b in
+                                                zip(fine_acc_extra[kx], fc)])
                 if self._has_rad:
                     frc = []
                     for d in range(self.dim):
@@ -705,6 +865,9 @@ class AmrSimulation:
                                     [a + b for a, b in
                                      zip(fine_acc_rad, frc)])
             self._set_unmasked_from_coarse(l + 1, 1.0)
+            for e in extras:
+                e["u"] = self._ring_fill(l + 1, 1.0, (e["ilo"], e["shape"]),
+                                         e["u"], e["mask"])
             if self._has_rad:
                 self._set_unmasked_rad_from_coarse(l + 1, 1.0)
 
@@ -713,6 +876,11 @@ class AmrSimulation:
             self._reflux(l, f_coarse, fine_acc)
             # avgDown: covered coarse cells from the fine average
             self._avg_down(l)
+            for kx, e in enumerate(extras):
+                self._reflux(l, f_coarse, fine_acc_extra[kx],
+                             fwin=(e["ilo"], e["shape"]), fmask=e["mask"])
+                self._avg_down(l, fwin=(e["ilo"], e["shape"]),
+                               fmask=e["mask"], fu=e["u"])
             if self._has_rad:
                 # deferred sync: mismatch feeds the NEXT level-l implicit
                 # solve's rhs (Radiation::deferred_sync semantics)
@@ -722,14 +890,33 @@ class AmrSimulation:
 
         return fluxes, rad_fluxes
 
-    def _reflux(self, l, f_coarse, fine_acc):
+    def _advance_extra(self, l, e, dt, t_level):
+        """Advance one patch-batch extra window by dt (same per-shape
+        compiled program cache as the primary window)."""
+        lev = self._get_level(l, e["shape"])
+        ilo = jnp.asarray(e["ilo"])
+        out = lev.jit_step(e["u"], dt, t_level, ilo,
+                           grav_bc=e.get("grav_bc"))
+        u_new, min_rho, bad = out[0], out[1], out[2]
+        fluxes = out[3]
+        if bool(bad) or float(min_rho) <= 0.0:
+            raise RuntimeError(
+                f"AMR advance failed (extra window) at level {l}, "
+                f"t={t_level} (min_rho={float(min_rho)})")
+        idx = interior_slice(self.ng, self.dim)
+        keep = jnp.where(e["mask"][None], u_new[idx], e["u"][idx])
+        e["u"] = e["u"].at[idx].set(keep)
+        return fluxes
+
+    def _reflux(self, l, f_coarse, fine_acc, fwin=None, fmask=None):
         """fine_acc: window-coarsened fine-flux sums (over the level-(l+1)
         window's coarse footprint); f_coarse: full (or parent-window)
         coarse fluxes. All corrections live inside the window footprint."""
         sim = self._sims_at(l)
         dim = self.dim
-        csl = self._parent_rel_slice(l + 1)
-        cmask = restrict_mask(self.masks[l + 1], dim)
+        csl = self._parent_rel_slice(l + 1, win=fwin)
+        cmask = restrict_mask(fmask if fmask is not None
+                              else self.masks[l + 1], dim)
         idx = interior_slice(self.ng, dim)
         u_int = self.u[l][idx]
         win = u_int[(slice(None),) + csl]
@@ -761,11 +948,13 @@ class AmrSimulation:
         u_int = u_int.at[(slice(None),) + csl].set(win)
         self.u[l] = self.u[l].at[idx].set(u_int)
 
-    def _avg_down(self, l):
+    def _avg_down(self, l, fwin=None, fmask=None, fu=None):
         dim = self.dim
-        csl = self._parent_rel_slice(l + 1)
-        cmask = restrict_mask(self.masks[l + 1], dim)
-        f_int = self.u[l + 1][interior_slice(self.ng, dim)]
+        csl = self._parent_rel_slice(l + 1, win=fwin)
+        cmask = restrict_mask(fmask if fmask is not None
+                              else self.masks[l + 1], dim)
+        f_int = (fu if fu is not None
+                 else self.u[l + 1])[interior_slice(self.ng, dim)]
         c_from_f = restrict(f_int, dim)
         idx = interior_slice(self.ng, dim)
         u_int = self.u[l][idx]
@@ -787,12 +976,14 @@ class AmrSimulation:
         snap_masks = list(self.masks)
         snap_rad = list(self.u_rad)
         snap_sync = dict(self._rad_sync_rhs)
+        snap_extra = [[dict(e) for e in lvl] for lvl in self.extra]
 
         def restore():
             self.u = list(snap_u)
             self.masks = list(snap_masks)
             self.u_rad = list(snap_rad)
             self._rad_sync_rhs = dict(snap_sync)
+            self.extra = [[dict(e) for e in lvl] for lvl in snap_extra]
 
         try:
             self._advance_level(0, dt, self.t)
@@ -829,6 +1020,8 @@ class AmrSimulation:
         zones = int(np.prod(self.sim0.geom.n_cell))
         for l in range(1, self.max_level + 1):
             zones += int(np.prod(self.window[l][1])) * self.ref_ratio**l
+            for e in self.extra[l]:
+                zones += int(np.prod(e["shape"])) * self.ref_ratio**l
         self.num_zones_advanced += zones * nsub
         return zones
 
@@ -879,11 +1072,14 @@ class AmrSimulation:
         out = self.interior(0)
         for l in range(1, self.max_level + 1):
             out = prolong(out, self.dim, conservative=False)
-            ilo, shape = self.window[l]
-            fine = self.interior(l)
-            blk_sl = (slice(None),) + tuple(
-                slice(int(ilo[k]), int(ilo[k]) + shape[k])
-                for k in range(self.dim))
-            blk = jnp.where(self.masks[l][None], fine, out[blk_sl])
-            out = out.at[blk_sl].set(blk)
+            wins = [(self.window[l], self.u[l], self.masks[l])] + [
+                ((e["ilo"], e["shape"]), e["u"], e["mask"])
+                for e in self.extra[l]]
+            for (ilo, shape), u_w, m_w in wins:
+                fine = u_w[interior_slice(self.ng, self.dim)]
+                blk_sl = (slice(None),) + tuple(
+                    slice(int(ilo[k]), int(ilo[k]) + shape[k])
+                    for k in range(self.dim))
+                blk = jnp.where(m_w[None], fine, out[blk_sl])
+                out = out.at[blk_sl].set(blk)
         return out
