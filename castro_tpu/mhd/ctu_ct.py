@@ -328,6 +328,128 @@ def _hlld_with_passives(sl, sr, Bn, gamma, pass_specific):
 # ---------------------------------------------------------------------------
 # characteristic PLM (mhd_plm.cpp)
 
+def ppm_mhd(qx, cs, srcQ, flatn, b, d, dt, dx_d, L, eos, small_dens,
+            small_pres):
+    """PPM interface states for the CTU-CT scheme (reference
+    `mhd_ppm.cpp:509`): parabolic reconstruction of the 7 eigen fields,
+    per-wave integrals under the parabola with the Stone et al. (2008)
+    eq. 44-45 piecewise-linear fallback for waves moving away from the
+    interface, and fastest-wave reference states."""
+    from castro_tpu.ops.ppm import ppm_reconstruct, ppm_int_profile_single
+
+    QMG, _ = ext_layout(L)
+    t1, t2 = _taxes(d)
+    VEL = (L.QU, L.QV, L.QW)
+    dtdx = dt / dx_d
+    hdt = 0.5 * dt
+
+    rho = qx[L.QRHO]
+    as2 = cs * cs
+    Bn_c = qx[QMG[d]]
+    Bt1_c = qx[QMG[t1]]
+    Bt2_c = qx[QMG[t2]]
+    un = qx[VEL[d]]
+
+    fields = [qx[L.QRHO], qx[VEL[d]], qx[VEL[t1]], qx[VEL[t2]],
+              qx[L.QPRES], Bt1_c, Bt2_c]
+
+    lam = mhd_evals(as2, un, rho, Bn_c, Bt1_c, Bt2_c)
+    leig, reig = mhd_evecs(as2, rho, Bn_c, Bt1_c, Bt2_c)
+
+    # magnetic cross-talk sources (Miniati eq. 32-33), as in plm_mhd
+    dBn = (shifted(b[d], 1, d) - b[d]) / dx_d
+    smhd = [jnp.zeros_like(rho),
+            [qx[QMG[0]], qx[QMG[1]], qx[QMG[2]]][d] / rho,
+            [qx[QMG[0]], qx[QMG[1]], qx[QMG[2]]][t1] / rho,
+            [qx[QMG[0]], qx[QMG[1]], qx[QMG[2]]][t2] / rho,
+            qx[QMG[0]] * qx[L.QU] + qx[QMG[1]] * qx[L.QV]
+            + qx[QMG[2]] * qx[L.QW],
+            qx[VEL[t1]], qx[VEL[t2]]]
+    smhd = [s * dBn for s in smhd]
+
+    # parabolae + per-wave integrals (Ip[n][ii], Im[n][ii])
+    Ip = [[None] * NEIGN for _ in range(NEIGN)]
+    Im = [[None] * NEIGN for _ in range(NEIGN)]
+    ref_l = [None] * NEIGN
+    ref_r = [None] * NEIGN
+    for n in range(NEIGN):
+        sm, sp = ppm_reconstruct(fields[n], flatn, d)
+        slope = 0.5 * dtdx * (sp - sm)
+        for ii in range(NEIGN):
+            Ipt, Imt = ppm_int_profile_single(sm, sp, fields[n], lam[ii],
+                                              dtdx)
+            # Stone et al. eq. 44-45: waves moving away from the
+            # interface get a piecewise-linear slope instead
+            Ip[n][ii] = jnp.where(lam[ii] >= 0.0, Ipt, slope)
+            Im[n][ii] = jnp.where(lam[ii] <= 0.0, Imt, slope)
+        # reference states: fastest wave toward each interface
+        ref_l[n] = ppm_int_profile_single(sm, sp, fields[n],
+                                          lam[NEIGN - 1], dtdx)[0]
+        ref_r[n] = ppm_int_profile_single(sm, sp, fields[n], lam[0],
+                                          dtdx)[1]
+
+    def char_sum(ref, I, plus):
+        summ = [jnp.zeros_like(rho) for _ in range(NEIGN)]
+        lam_ref = lam[NEIGN - 1] if plus else lam[0]
+        for ii in range(NEIGN):
+            toward = (lam[ii] >= 0.0) if plus else (lam[ii] <= 0.0)
+            LdQ = 0.0
+            for n in range(NEIGN):
+                LdQ = LdQ + jnp.where(
+                    toward, leig[ii][n] * (ref[n] - I[n][ii]),
+                    (lam_ref - lam[ii]) * leig[ii][n] * I[n][ii])
+            for n in range(NEIGN):
+                summ[n] = summ[n] + LdQ * reig[n][ii]
+        return summ
+
+    summ_p = char_sum(ref_l, Ip, True)
+    summ_m = char_sum(ref_r, Im, False)
+
+    def build(ref, summ, face_Bn, left):
+        comps = [None] * (L.NQ + 3)
+        comps[L.QRHO] = jnp.maximum(
+            small_dens, ref[IRHO] - summ[IRHO] + hdt * smhd[IRHO])
+        comps[VEL[d]] = ref[IU] - summ[IU] + hdt * smhd[IU]
+        comps[VEL[t1]] = ref[IV] - summ[IV] + hdt * smhd[IV]
+        comps[VEL[t2]] = ref[IW] - summ[IW] + hdt * smhd[IW]
+        comps[L.QPRES] = jnp.maximum(
+            small_pres, ref[IP] - summ[IP] + hdt * smhd[IP])
+        comps[QMG[d]] = face_Bn
+        comps[QMG[t1]] = ref[IBT] - summ[IBT] + hdt * smhd[IBT]
+        comps[QMG[t2]] = ref[IBTT] - summ[IBTT] + hdt * smhd[IBTT]
+        # species advect under the entropy (u) wave
+        for i in range(L.nspec):
+            X = qx[L.QFS + i]
+            smX, spX = ppm_reconstruct(X, flatn, d)
+            IpX, ImX = ppm_int_profile_single(smX, spX, X, un, dtdx)
+            comps[L.QFS + i] = IpX if left else ImX
+        return comps
+
+    ql_comps = build(ref_l, summ_p, shifted(b[d], 1, d), True)
+    qr_comps = build(ref_r, summ_m, b[d], False)
+
+    def finish(comps):
+        xn = jnp.stack([comps[L.QFS + i] for i in range(L.nspec)]) \
+            if L.nspec else jnp.zeros((0,) + rho.shape, rho.dtype)
+        es = eos.rp(rho=comps[L.QRHO], p=comps[L.QPRES], xn=xn)
+        comps[L.QREINT] = es.e * comps[L.QRHO]
+        if srcQ is not None:
+            comps[L.QRHO] = jnp.maximum(
+                small_dens, comps[L.QRHO] + hdt * srcQ[L.QRHO])
+            for c in (L.QU, L.QV, L.QW, L.QPRES, L.QREINT):
+                comps[c] = comps[c] + hdt * srcQ[c]
+        for i, cv in enumerate(comps):
+            if cv is None:
+                comps[i] = jnp.zeros_like(rho)
+        return jnp.stack(comps)
+
+    ql = finish(ql_comps)
+    qr = finish(qr_comps)
+    qm = shifted(ql, -1, 1 + d)
+    qp = qr
+    return qm, qp
+
+
 def plm_mhd(qx, cs, srcQ, flatn, b, d, dt, dx_d, L, eos, small_dens,
             small_pres, limit_characteristic=True):
     """Interface states (qleft_ext at face from cell i-1 -> our qm; qright

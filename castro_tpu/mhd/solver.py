@@ -280,10 +280,17 @@ class MhdSolver:
         ur = {}
         limit_char = bool(getattr(sim.params.castro,
                                   "mhd_limit_characteristic", 1))
+        use_ppm = sim.params.castro.ppm_type >= 1
         for d in range(3):
-            m, p_ = cc.plm_mhd(qx, cs, srcQ, flatn, b, d, dt,
-                               dx[d], L, eos, small_dens, small_pres,
-                               limit_characteristic=limit_char)
+            if use_ppm:
+                # PPM reconstruction (reference mhd_ppm.cpp:509; the
+                # reference default ppm_type=1 selects it for MHD too)
+                m, p_ = cc.ppm_mhd(qx, cs, srcQ, flatn, b, d, dt,
+                                   dx[d], L, eos, small_dens, small_pres)
+            else:
+                m, p_ = cc.plm_mhd(qx, cs, srcQ, flatn, b, d, dt,
+                                   dx[d], L, eos, small_dens, small_pres,
+                                   limit_characteristic=limit_char)
             m = jax.lax.optimization_barrier(m)
             p_ = jax.lax.optimization_barrier(p_)
             qm[d], qp[d] = m, p_

@@ -96,6 +96,101 @@ class TracerParticles:
         self.x = self._jit_advance(self.x, self.sim.u, dt)
         return self.x
 
+    # -- AMR: level ownership + redistribution ------------------------------
+    def redistribute(self, asim):
+        """Assign each particle to the finest level whose refined (masked)
+        region covers it (reference AmrTracerParticleContainer::
+        Redistribute() after regrid, CastroParticles.cpp). Returns the
+        per-particle level array (also stored as self.level)."""
+        x = np.asarray(self.x)
+        n = x.shape[0]
+        dim = asim.dim
+        level = np.zeros(n, np.int32)
+        for l in range(1, asim.max_level + 1):
+            dxl = asim.geom_full[l].dx
+            wins = [asim.window[l]] + [(e["ilo"], e["shape"])
+                                       for e in asim.extra[l]]
+            masks = [asim.masks[l]] + [e["mask"] for e in asim.extra[l]]
+            for (ilo, shape), mask in zip(wins, masks):
+                m = np.asarray(mask)
+                idx = []
+                inside = np.ones(n, bool)
+                for d in range(dim):
+                    f = ((x[:, d] - asim.geom_full[l].prob_lo[d])
+                         / dxl[d]).astype(int) - int(ilo[d])
+                    inside &= (f >= 0) & (f < shape[d])
+                    idx.append(np.clip(f, 0, shape[d] - 1))
+                covered = inside & m[tuple(idx)]
+                level = np.where(covered, l, level)
+        self.level = level
+        return level
+
+    def advance_amr(self, asim, dt):
+        """Advect with the finest-available velocity field: particles
+        inside refined regions use the fine-window data (the reference
+        advances particles per level on their owning grids)."""
+        if not hasattr(self, "level"):
+            self.redistribute(asim)
+        x = self.x
+        # level-0 advance for everyone, then overwrite refined particles
+        x0 = self._jit_advance(x, asim.u[0], dt)
+        if asim.max_level == 0:
+            self.x = x0
+            return self.x
+        lev1 = jnp.asarray(self.level >= 1)
+        wins = [asim.window[1]] + [(e["ilo"], e["shape"])
+                                   for e in asim.extra[1]]
+        us = [asim.u[1]] + [e["u"] for e in asim.extra[1]]
+        xf = x0
+        for (ilo, shape), u_w in zip(wins, us):
+            xw = self._advance_window(x, u_w, ilo, shape,
+                                      asim.geom_full[1], dt)
+            inside = jnp.ones(x.shape[0], bool)
+            for d in range(asim.dim):
+                lo = (asim.geom_full[1].prob_lo[d]
+                      + int(ilo[d]) * asim.geom_full[1].dx[d])
+                hi = lo + shape[d] * asim.geom_full[1].dx[d]
+                inside = inside & (x[:, d] >= lo) & (x[:, d] < hi)
+            xf = jnp.where((lev1 & inside)[:, None], xw, xf)
+        self.x = xf
+        return self.x
+
+    def _advance_window(self, x, u_w, ilo, shape, geom_l, dt):
+        """RK2 advance against one fine window's grown state."""
+        sim = self.sim
+        dim = sim.layout.dim
+        origin = [geom_l.prob_lo[d] + int(ilo[d]) * geom_l.dx[d]
+                  for d in range(dim)]
+
+        def vel_at(pts):
+            L = sim.layout
+            rho = u_w[L.URHO]
+            vels = [u_w[L.momentum_index(d)] / rho for d in range(dim)]
+            idx_f = []
+            for d in range(dim):
+                f = (pts[:, d] - origin[d]) / geom_l.dx[d] - 0.5 + sim.ng
+                idx_f.append(jnp.clip(f, 0.0, u_w.shape[1 + d] - 1.001))
+            i0 = [jnp.floor(f).astype(jnp.int32) for f in idx_f]
+            w = [f - i for f, i in zip(idx_f, i0)]
+            out = []
+            for v in vels:
+                acc = 0.0
+                for corner in range(2**dim):
+                    wt = 1.0
+                    idx = []
+                    for d in range(dim):
+                        bit = (corner >> d) & 1
+                        idx.append(i0[d] + bit)
+                        wt = wt * jnp.where(bit == 1, w[d], 1.0 - w[d])
+                    acc = acc + wt * v[tuple(idx)]
+                out.append(acc)
+            return jnp.stack(out, axis=-1)
+
+        v1 = vel_at(x)
+        xh = x + 0.5 * dt * v1
+        v2 = vel_at(xh)
+        return x + dt * v2
+
     # -- I/O -------------------------------------------------------------------
     def checkpoint(self, path):
         np.savez_compressed(os.path.join(path, "particles.npz"),

@@ -318,3 +318,33 @@ def test_transverse_use_eos_runs():
     assert np.all(np.isfinite(outs[1]))
     rel = np.abs(outs[1][0] - outs[0][0]) / np.abs(outs[0][0])
     assert rel.max() < 0.05  # same physics, small closure difference
+
+
+def test_particle_amr_redistribution():
+    """Particles are assigned to the finest covering level after regrid
+    (reference Redistribute()) and refined particles advect with the
+    fine-window velocity field."""
+    import numpy as np
+    from castro_tpu.driver.amr import AmrSimulation
+    from castro_tpu.particles import TracerParticles
+    from tests.test_multiwindow_amr import (_two_blob_init,
+                                            _two_blob_params)
+
+    amr = AmrSimulation(_two_blob_params(), problem_init=_two_blob_init)
+    amr.init_data()
+
+    # a particle in each refined blob (one in the extra window), one in
+    # the ambient region
+    pts = np.array([[0.22, 0.22], [0.78, 0.78], [0.5, 0.1]])
+    tp = TracerParticles(amr.sim0, pts)
+    lev = tp.redistribute(amr)
+    assert lev[0] == 1 and lev[1] == 1 and lev[2] == 0, lev
+
+    for _ in range(2):
+        dt = amr.estimate_dt()
+        amr.advance(dt)
+        tp.advance_amr(amr, dt)
+    amr.regrid()
+    lev2 = tp.redistribute(amr)
+    assert lev2.shape == (3,)
+    assert np.all(np.isfinite(np.asarray(tp.x)))
