@@ -280,6 +280,13 @@ class RadiationParams:
     # comoving-frame f-space advection flavor (Castro_ctu_rad.cpp:42)
     fspace_advection_type: int = 1
     comoving: int = 1
+    # radiation flattening threshold (radiation::flatten_pp_threshold,
+    # Castro_ctu_hydro.cpp:241)
+    flatten_pp_threshold: float = -1.0
+    # 1 = characteristic CTU rad-hydro coupling (trace_ppm_rad +
+    # ctu_rad_consup, the reference scheme); 0 = operator-split Er
+    # advection (kept for AMR-window and sharded paths)
+    hydro_coupling: int = 1
     # Purser spatial filters (Radiation.cpp:53-136 / filter.H)
     filter_lambda_T: int = 0
     filter_lambda_S: int = -1  # accepted for parity; S=0 members built in

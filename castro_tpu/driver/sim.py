@@ -681,11 +681,12 @@ class Simulation:
         return lam
 
     def _rad_ctu_step_impl(self, u, Er, dt, t):
-        """1D gray characteristic rad-hydro step: radiation in the CTU
-        eigensystem (reference trace_ppm_rad + ctu_rad_consup) followed by
-        the implicit FLD matter coupling (final_radiation_call)."""
+        """Characteristic rad-hydro step (any dim): radiation in the CTU
+        eigensystem (reference trace_ppm_rad + the RADIATION transverse
+        branches of trans.cpp + ctu_rad_consup) followed by the implicit
+        FLD matter coupling (final_radiation_call)."""
         from castro_tpu.ops.advection_util import ctoprim as _ctoprim
-        from castro_tpu.ops.rad_hydro import ctu_rad_hydro_1d
+        from castro_tpu.ops.rad_hydro import ctu_rad_hydro
 
         L = self.layout
         c = self.params.castro
@@ -706,13 +707,12 @@ class Simulation:
 
         Er_int = Er[None] if Er.ndim == L.dim else Er  # already interior
         rp = self.params.radiation
-        u_new, Er_new = ctu_rad_hydro_1d(u, Er_int, q, qaux, srcQ, dt,
-                                         self.geom, L, self.cfg,
-                                         self.rad.limiter, 3,
-                                         nugroup=self.rad.nugroup,
-                                         dlognu=self.rad.dlognu,
-                                         fspace_type=rp.fspace_advection_type,
-                                         comoving=rp.comoving)
+        u_new, Er_new = ctu_rad_hydro(
+            u, Er_int, q, qaux, srcQ, dt, self.geom, L, self.cfg,
+            self.rad.limiter, rp.closure,
+            nugroup=self.rad.nugroup, dlognu=self.rad.dlognu,
+            fspace_type=rp.fspace_advection_type, comoving=rp.comoving,
+            flatten_pp_threshold=rp.flatten_pp_threshold)
         if src_old is not None:
             u_new = u_new + dt * src_old
 
@@ -751,8 +751,10 @@ class Simulation:
     def _rad_step_impl(self, u, Er, dt, t, ctx: Optional[StepCtx] = None,
                        rad_bc=None, rad_rhs_extra=None, keep_rad_flux=False):
         """Hydro step + Er advection + implicit FLD update (reference
-        do_advance_ctu then final_radiation_call). 1D gray runs use the
-        full characteristic coupling; multi-D falls back to the
+        do_advance_ctu then final_radiation_call). Cartesian runs (any
+        dim) use the full characteristic coupling
+        (radiation.hydro_coupling=1, the reference scheme); AMR-window,
+        flux-keeping, and curvilinear multi-D runs fall back to the
         operator-split advection.
 
         AMR plumbing (gray): `rad_bc` = window-boundary Dirichlet Er from
@@ -763,7 +765,8 @@ class Simulation:
 
         L = self.layout
         ctx = ctx or self._default_ctx
-        if (L.dim == 1 and self.params.castro.do_hydro
+        if (self.params.radiation.hydro_coupling
+                and self.params.castro.do_hydro
                 and self.geom.coord.value == 0
                 and ctx is self._default_ctx and rad_bc is None
                 and not self.keep_fluxes

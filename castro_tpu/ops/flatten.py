@@ -17,11 +17,15 @@ DZCUT = 1.0 / (ZCUT2 - ZCUT1)
 SMALL_PRES = 1.0e-200
 
 
-def uflatten(q, layout):
-    """Return flatn[grid] in [0,1]; 1 = no flattening."""
+def uflatten(q, layout, pres_comp=None):
+    """Return flatn[grid] in [0,1]; 1 = no flattening.
+
+    `pres_comp` selects the pressure used for shock detection (default
+    QPRES; radiation runs also flatten on QPTOT, Castro_ctu_hydro.cpp:236-239).
+    """
     L = layout
     dim = L.dim
-    p = q[L.QPRES]
+    p = q[L.QPRES if pres_comp is None else pres_comp]
     base_ndim = p.ndim
     flatn = jnp.ones_like(p)
 

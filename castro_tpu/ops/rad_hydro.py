@@ -407,132 +407,316 @@ def rad_flux_and_qe(gd, qm, qp, d, layout, coord, limiter, closure,
     return flux, rad_flux, qgdnv
 
 
-def ctu_rad_hydro_1d(u, Er, q, qaux, srcQ, dt, geom: Geometry, layout, cfg,
-                     limiter, closure, nugroup=None, dlognu=None,
-                     fspace_type=1, comoving=1):
-    """One 1D CTU radiation-hydro advance: characteristic tracing with the
-    rad eigensystem, rad Riemann solve, gas conservative update + the
-    ctu_rad_consup radiation terms. Returns (u_new, Er_new) with Er the
-    INTERIOR per-group array [ng, n]."""
+def rad_flatten(q, layout, flatten_pp_threshold=-1.0):
+    """Radiation flattening: the product of the gas-pressure and
+    total-pressure flattening profiles, with the optional pp-threshold
+    zeroing in converging flow (Castro_ctu_hydro.cpp:234-258)."""
     from castro_tpu.ops.flatten import uflatten
+
+    L = layout
+    flatn = uflatten(q, L) * uflatten(q, L, pres_comp=L.QPTOT)
+    if flatten_pp_threshold > 0.0:
+        conv = 0.0
+        for d in range(L.dim):
+            vel = q[L.velocity_index(d)]
+            ax = vel.ndim - L.dim + d
+            conv = conv + shifted(vel, -1, ax) - shifted(vel, 1, ax)
+        zero = (conv > 0.0) & (q[L.QPRES] <
+                               flatten_pp_threshold * q[L.QPTOT])
+        flatn = jnp.where(zero, 0.0, flatn)
+    return flatn
+
+
+def apply_av_rad(rflux, d, div_node, er_grown, layout, difmag, dx):
+    """Artificial viscosity on the per-group radiation flux
+    (reference `apply_av_rad`, advection_util.cpp:533-573)."""
+    L = layout
+    dim = L.dim
+    base_ndim = er_grown.ndim - 1
+    ax = base_ndim - dim + d
+    div1 = div_node
+    for od in range(dim):
+        if od == d:
+            continue
+        oax = base_ndim - dim + od
+        div1 = 0.5 * (div1 + shifted(div1, 1, oax))
+    coeff = difmag * jnp.minimum(div1, 0.0) * dx[d]
+    der = er_grown - shifted(er_grown, -1, ax + 1)
+    return rflux + coeff[None] * der
+
+
+def ctu_rad_consup(u_new, Er, rfluxes, qes, dt, geom: Geometry, layout, ng,
+                   limiter, closure, fspace_type, comoving,
+                   nugroup=None, dlognu=None):
+    """Multi-D radiation conservative update (`Castro::ctu_rad_consup`,
+    Castro_ctu_rad.cpp:13-340): per-group Er flux divergence, the
+    sum-lambda-grad-Er radiation pressure gradient on every momentum with
+    kinetic-energy bookkeeping on UEDEN, and (comoving frame) the
+    -(f1 div u + f2 nn:grad u) Er work terms with fspace type-1
+    u . grad(f1 Er) transport, followed by frequency-space advection for
+    multigroup.
+
+    `u_new` is the grown hydro-updated state (modified interior in the
+    return); `Er` is the INTERIOR per-group array; `rfluxes`/`qes` are
+    grown face-registered per-dim arrays. Returns (u_new, Er_out)."""
     from castro_tpu.ops.stencil import interior_slice
 
     L = layout
-    ng_ghost = cfg.ng
-    dx = geom.dx[0]
-    grid_shape = q.shape[1:]
-    dtype = q.dtype
+    dim = L.dim
+    ngr = L.ngroups
+    dx = geom.dx
+    grid_shape = u_new.shape[1:]
+    inner = interior_slice(ng, dim)
+    sl = inner[1:]
 
-    flatn = uflatten(q, L) if cfg.use_flattening else \
-        jnp.ones(grid_shape, dtype)
+    vol = jnp.broadcast_to(geom.volume(ng), grid_shape)[sl]
 
-    qm, qp = trace_ppm_rad(q, qaux, srcQ, flatn, 0, dt, dx, L,
-                           cfg.small_dens, cfg.small_pres)
-    gd = riemannus_rad(qm, qp, qaux, 0, L, cfg.small_dens, cfg.small_pres)
-    flux, rad_flux, qe = rad_flux_and_qe(gd, qm, qp, 0, L, geom.coord,
-                                         limiter, closure)
+    # ---- Er flux divergence (Castro_ctu_rad.cpp:72-85) ------------------
+    Er_out = Er
+    for d in range(dim):
+        area = geom.face_area(d, ng)
+        rf = rfluxes[d]
+        aF_lo = jnp.broadcast_to(area, grid_shape)[None] * rf
+        if geom.coord != CoordSys.CARTESIAN and d == 0:
+            aF_hi = jnp.broadcast_to(shifted(area, 1, d),
+                                     grid_shape)[None] * shifted(rf, 1, 1 + d)
+        else:
+            aF_hi = shifted(aF_lo, 1, 1 + d)
+        Er_out = Er_out + dt * (aF_lo[(slice(None),) + sl] -
+                                aF_hi[(slice(None),) + sl]) / vol[None]
 
-    # artificial viscosity on the gas flux (same as pure hydro)
-    from castro_tpu.ops import advection_util as au
+    # ---- face-registered lam/er/u at the cell's lo/hi faces -------------
+    def faces(arr, d):
+        lo = arr[sl]
+        hi = shifted(arr, 1, arr.ndim - dim + d)[sl]
+        return lo, hi
 
-    div_node = au.divu_node(q, geom.dx, L)
-    flux = au.apply_av(flux, 0, div_node, u, L, cfg.difmag, geom.dx)
-    flux = au.normalize_species_fluxes(flux, L)
+    lam_f = [[faces(qes[d][L.GDLAMS + g], d) for d in range(dim)]
+             for g in range(ngr)]
+    er_f = [[faces(qes[d][L.GDERADS + g], d) for d in range(dim)]
+            for g in range(ngr)]
 
-    # gas conservative update (Cartesian/spherical areas)
-    vol = geom.volume(ng_ghost)
-    volinv = 1.0 / vol
-    area = geom.face_area(0, ng_ghost)
-    aF = area * flux
-    aF_hi = shifted(aF, 1, 1)
-    if geom.coord != CoordSys.CARTESIAN:
-        aF_hi = shifted(area, 1, 0) * shifted(flux, 1, 1)
-    hsrc = (aF - aF_hi) * volinv
-    gdu = qe[L.GDU]
-    gdp = qe[L.GDPRES]
-    if geom.coord != CoordSys.CARTESIAN:
-        a_lo, a_hi = area, shifted(area, 1, 0)
-    else:
-        a_lo = a_hi = area
-    pdivu = 0.5 * (shifted(gdp, 1, 0) + gdp) * (
-        shifted(gdu, 1, 0) * a_hi - gdu * a_lo) * volinv
-    hsrc = hsrc.at[L.UEINT].add(-pdivu)
-    hsrc = hsrc.at[L.UTEMP].set(0.0)
-    from castro_tpu.ops.riemann import mom_flux_has_p
+    lamc = [sum(lo + hi for lo, hi in lam_f[g]) / (2.0 * dim)
+            for g in range(ngr)]
 
-    if not mom_flux_has_p(0, geom.coord):
-        hsrc = hsrc.at[L.UMX].add(-(shifted(gdp, 1, 0) - gdp) / dx)
-    u_new = u + dt * hsrc
+    # ---- radiation pressure gradient on the momenta ---------------------
+    dprd = []
+    for d in range(dim):
+        acc = 0.0
+        for g in range(ngr):
+            lo, hi = er_f[g][d]
+            acc = acc + lamc[g] * (hi - lo) / dx[d]
+        dprd.append(acc)
 
-    inner = interior_slice(ng_ghost, 1)
-    sl = inner[1]
-
-    # --- radiation terms (ctu_rad_consup) on the interior -----------------
-    a_int = jnp.broadcast_to(area, grid_shape)
-    v_int = jnp.broadcast_to(vol, grid_shape)
-    rf_lo = rad_flux[:, sl]
-    rf_hi = shifted(rad_flux, 1, 1)[:, sl]
-    A_lo = a_int[sl]
-    A_hi = jnp.broadcast_to(shifted(area, 1, 0), grid_shape)[sl]
-    Er_out = Er + dt * (rf_lo * A_lo - rf_hi * A_hi) / v_int[sl]
-
-    lam_lo = qe[L.GDLAMS:L.GDLAMS + L.ngroups, sl]
-    lam_hi = shifted(qe, 1, 1)[L.GDLAMS:L.GDLAMS + L.ngroups, sl]
-    er_lo = qe[L.GDERADS:L.GDERADS + L.ngroups, sl]
-    er_hi = shifted(qe, 1, 1)[L.GDERADS:L.GDERADS + L.ngroups, sl]
-    lamc = 0.5 * (lam_lo + lam_hi)
-    dprdx = jnp.sum(lamc * (er_hi - er_lo), axis=0) / dx
-
-    # momentum + kinetic-energy bookkeeping
-    umx1 = u_new[(L.UMX,) + (sl,)]
-    urho = u_new[(L.URHO,) + (sl,)]
-    ek1 = (umx1**2 + u_new[(L.UMY,) + (sl,)]**2 +
-           u_new[(L.UMZ,) + (sl,)]**2) / (2.0 * urho)
-    umx2 = umx1 - dt * dprdx
-    u_new = u_new.at[(L.UMX,) + (sl,)].set(umx2)
-    ek2 = (umx2**2 + u_new[(L.UMY,) + (sl,)]**2 +
-           u_new[(L.UMZ,) + (sl,)]**2) / (2.0 * urho)
+    urho = u_new[(L.URHO,) + sl]
+    moms = [u_new[(L.momentum_index(c),) + sl] for c in range(3)]
+    ek1 = (moms[0] ** 2 + moms[1] ** 2 + moms[2] ** 2) / (2.0 * urho)
+    for d in range(dim):
+        moms[d] = moms[d] - dt * dprd[d]
+        u_new = u_new.at[(L.momentum_index(d),) + sl].set(moms[d])
+    ek2 = (moms[0] ** 2 + moms[1] ** 2 + moms[2] ** 2) / (2.0 * urho)
     dek = ek2 - ek1
-    u_new = u_new.at[(L.UEDEN,) + (sl,)].add(dek)
+    u_new = u_new.at[(L.UEDEN,) + sl].add(dek)
 
     if not comoving:
-        # mixed frame (single group, Castro_ctu_rad.cpp:162-165): the
-        # lab-frame Er absorbs the kinetic-energy exchange; no comoving
-        # work terms or frequency advection
+        # mixed frame (single group): the lab-frame Er absorbs the
+        # kinetic-energy exchange (Castro_ctu_rad.cpp:162-166)
         Er_out = Er_out.at[0].add(-dek)
         return u_new, jnp.maximum(Er_out, 0.0)
 
-    # comoving-frame work terms: -(f1 div u + f2 nn:grad u) Er  +
-    # fspace type-1 u . grad(f1 Er) (gray)
-    ux_lo = qe[L.GDU, sl]
-    ux_hi = shifted(qe, 1, 1)[L.GDU, sl]
-    ux = 0.5 * (ux_lo + ux_hi)
-    divu = (ux_hi - ux_lo) / dx
+    # ---- comoving-frame work terms (Castro_ctu_rad.cpp:171-325) ---------
+    ubar = []
+    dud = [[0.0] * 3 for _ in range(dim)]  # dud[j][c] = d(u_c)/dx_j
+    for j in range(dim):
+        for c in range(3):
+            lo, hi = faces(qes[j][L.GDU + c], j)
+            if c == j:
+                ubar.append(0.5 * (lo + hi))
+            dud[j][c] = (hi - lo) / dx[j]
+    divu = sum(dud[j][j] for j in range(dim))
+
     af = []
-    for g in range(L.ngroups):
+    for g in range(ngr):
+        nhat = [(er_f[g][c][1] - er_f[g][c][0]) / dx[c] for c in range(dim)]
+        GnDotu = [sum(nhat[c] * dud[j][c] for c in range(dim))
+                  for j in range(dim)]
+        nn = sum(nhat[j] * GnDotu[j] for j in range(dim)) / (
+            sum(h * h for h in nhat) + 1.0e-50)
         eddf = edd_factor(lamc[g], limiter, closure)
         f1 = 0.5 * (1.0 - eddf)
         f2 = 0.5 * (3.0 * eddf - 1.0)
-        # nn:grad u with nhat along grad(Er_g) (Castro_ctu_rad.cpp:216-235;
-        # in 1D this is du/dx wherever the group gradient is nonzero)
-        dE = (er_hi[g] - er_lo[g]) / dx
-        nncgu = dE * dE * divu / (dE * dE + 1.0e-50)
-        af.append(-(f1 * divu + f2 * nncgu))
-        if fspace_type == 1:
-            # comoving work terms: + u d(f1 Er)/dx - f2 <Er> nn:grad u
-            # (Castro_ctu_rad.cpp:254-303)
-            f1_lo = 0.5 * (1.0 - edd_factor(lam_lo[g], limiter, closure))
-            f1_hi = 0.5 * (1.0 - edd_factor(lam_hi[g], limiter, closure))
-            Gf1E = (f1_hi * er_hi[g] - f1_lo * er_lo[g]) / dx
-            Egdc = 0.5 * (er_lo[g] + er_hi[g])
-            Er_out = Er_out.at[g].add(dt * ux * Gf1E -
-                                      dt * f2 * Egdc * nncgu)
+        af.append(-(f1 * divu + f2 * nn))
 
-    # multigroup: advect the spectrum through log-frequency space
-    # (Castro_ctu_rad.cpp:306-325 + RadHydro.H update_one_species)
-    if L.ngroups > 1 and dlognu is not None:
+        if fspace_type == 1:
+            adv = 0.0
+            for d in range(dim):
+                lam_lo, lam_hi = lam_f[g][d]
+                f1_lo = 0.5 * (1.0 - edd_factor(lam_lo, limiter, closure))
+                f1_hi = 0.5 * (1.0 - edd_factor(lam_hi, limiter, closure))
+                er_lo, er_hi = er_f[g][d]
+                Gf1E = (f1_hi * er_hi - f1_lo * er_lo) / dx[d]
+                adv = adv + ubar[d] * Gf1E
+            Egdc = sum(lo + hi for lo, hi in er_f[g]) / (2.0 * dim)
+            Er_out = Er_out.at[g].add(dt * adv - dt * f2 * Egdc * nn)
+
+    if ngr > 1 and dlognu is not None:
         from castro_tpu.radiation.fspace import advect_in_fspace
 
         Er_out, _ = advect_in_fspace(Er_out, jnp.stack(af), nugroup,
                                      dlognu, dt, fspace_type)
     return u_new, jnp.maximum(Er_out, 0.0)
+
+
+def ctu_rad_hydro(u, Er, q, qaux, srcQ, dt, geom: Geometry, layout, cfg,
+                  limiter, closure, nugroup=None, dlognu=None,
+                  fspace_type=1, comoving=1, flatten_pp_threshold=-1.0):
+    """Dimension-generic CTU radiation-hydro advance: characteristic
+    tracing with the radiation eigensystem in every direction, the rad
+    Riemann solve, radiation-aware transverse corrections (2D single-pass,
+    3D full corner coupling — the RADIATION branches of trans.cpp), the
+    gas conservative update, and the ctu_rad_consup radiation terms.
+
+    Mirrors the pure-hydro `ctu_hydro` stage structure
+    (Castro_ctu_hydro.cpp with RADIATION defined). Returns
+    (u_new grown, Er_new interior [ngroups, n...])."""
+    from castro_tpu.ops import advection_util as au
+    from castro_tpu.ops.riemann import mom_flux_has_p
+    from castro_tpu.ops.trans import trans_final, trans_single
+
+    L = layout
+    dim = L.dim
+    ng = cfg.ng
+    dx = geom.dx
+    grid_shape = q.shape[1:]
+    dtype = q.dtype
+
+    flatn = rad_flatten(q, L, flatten_pp_threshold) if cfg.use_flattening \
+        else jnp.ones(grid_shape, dtype)
+
+    rad = dict(limiter=limiter, closure=closure, fspace_t=fspace_type,
+               comov=comoving)
+
+    def trace(d):
+        return trace_ppm_rad(q, qaux, srcQ, flatn, d, dt, dx[d], L,
+                             cfg.small_dens, cfg.small_pres)
+
+    def solve(qm, qp, d):
+        gd = riemannus_rad(qm, qp, qaux, d, L, cfg.small_dens,
+                           cfg.small_pres)
+        return rad_flux_and_qe(gd, qm, qp, d, L, geom.coord, limiter,
+                               closure, fspace_type)
+
+    states = [trace(d) for d in range(dim)]
+
+    if dim == 1:
+        sol = [solve(states[0][0], states[0][1], 0)]
+
+    elif dim == 2:
+        f0 = solve(states[0][0], states[0][1], 0)
+        f1 = solve(states[1][0], states[1][1], 1)
+        hdt = 0.5 * dt
+        rz = geom.coord == CoordSys.CYLINDRICAL
+        if rz:
+            geom_r = {"area": geom.face_area(0, ng), "vol": geom.volume(ng)}
+            geom_z = {"area": geom.face_area(1, ng), "vol": geom.volume(ng)}
+        else:
+            geom_r = geom_z = None
+        qxm, qxp = trans_single(
+            states[0][0], states[0][1], f1[0], f1[2], qaux, 0, 1,
+            hdt / dx[1], L, cfg.small_pres,
+            cfg.transverse_reset_density, cfg.transverse_reset_rhoe,
+            geom_terms=geom_z, hdt=hdt, rflux_t=f1[1], rad=rad)
+        qym, qyp = trans_single(
+            states[1][0], states[1][1], f0[0], f0[2], qaux, 1, 0,
+            hdt / dx[0], L, cfg.small_pres,
+            cfg.transverse_reset_density, cfg.transverse_reset_rhoe,
+            geom_terms=geom_r, hdt=hdt,
+            radial_p_fix=rz and not mom_flux_has_p(0, geom.coord),
+            rflux_t=f0[1], rad=rad)
+        sol = [solve(qxm, qxp, 0), solve(qym, qyp, 1)]
+
+    else:
+        third = dt / 3.0
+        hdt = 0.5 * dt
+        f1d = [solve(states[d][0], states[d][1], d) for d in range(3)]
+        fint = {}
+        for n in range(3):
+            for t in range(3):
+                if t == n:
+                    continue
+                qm_c, qp_c = trans_single(
+                    states[n][0], states[n][1], f1d[t][0], f1d[t][2],
+                    qaux, n, t, third / dx[t], L, cfg.small_pres,
+                    cfg.transverse_reset_density, cfg.transverse_reset_rhoe,
+                    rflux_t=f1d[t][1], rad=rad)
+                fint[(n, t)] = solve(qm_c, qp_c, n)
+        sol = []
+        for n in range(3):
+            t1, t2 = [d for d in range(3) if d != n]
+            qm_f, qp_f = trans_final(
+                states[n][0], states[n][1],
+                fint[(t1, t2)][0], fint[(t1, t2)][2],
+                fint[(t2, t1)][0], fint[(t2, t1)][2],
+                qaux, n, t1, t2, hdt / dx[t1], hdt / dx[t2], L,
+                cfg.small_pres, cfg.transverse_reset_density,
+                cfg.transverse_reset_rhoe,
+                rflux_t1=fint[(t1, t2)][1], rflux_t2=fint[(t2, t1)][1],
+                rad=rad)
+            sol.append(solve(qm_f, qp_f, n))
+
+    fluxes = [s[0] for s in sol]
+    rfluxes = [s[1] for s in sol]
+    qes = [s[2] for s in sol]
+
+    # artificial viscosity (gas + radiation) + species normalization
+    div_node = au.divu_node(q, dx, L)
+    er_grown = q[L.QRAD:L.QRAD + L.ngroups]
+    for d in range(dim):
+        fluxes[d] = au.apply_av(fluxes[d], d, div_node, u, L, cfg.difmag,
+                                dx)
+        rfluxes[d] = apply_av_rad(rfluxes[d], d, div_node, er_grown, L,
+                                  cfg.difmag, dx)
+        fluxes[d] = au.normalize_species_fluxes(fluxes[d], L)
+
+    # gas conservative update (consup_hydro behavior)
+    vol = geom.volume(ng)
+    volinv = 1.0 / vol
+    hsrc = jnp.zeros_like(u)
+    pdivu = jnp.zeros(grid_shape, dtype)
+    for d in range(dim):
+        area = geom.face_area(d, ng)
+        aF = area * fluxes[d]
+        aF_hi = shifted(aF, 1, 1 + d)
+        if geom.coord != CoordSys.CARTESIAN and d == 0:
+            aF_hi = shifted(area, 1, d) * shifted(fluxes[d], 1, 1 + d)
+        hsrc = hsrc + (aF - aF_hi) * volinv
+
+        gdu = qes[d][(L.GDU, L.GDV, L.GDW)[d]]
+        gdp = qes[d][L.GDPRES]
+        if geom.coord != CoordSys.CARTESIAN and d == 0:
+            a_lo, a_hi = area, shifted(area, 1, d)
+        else:
+            a_lo = a_hi = area
+        pdivu = pdivu + 0.5 * (shifted(gdp, 1, d) + gdp) * (
+            shifted(gdu, 1, d) * a_hi - gdu * a_lo) * volinv
+
+    hsrc = hsrc.at[L.UEINT].add(-pdivu)
+    hsrc = hsrc.at[L.UTEMP].set(0.0)
+    if not mom_flux_has_p(0, geom.coord):
+        gdp0 = qes[0][L.GDPRES]
+        hsrc = hsrc.at[L.UMX].add(-(shifted(gdp0, 1, 0) - gdp0) / dx[0])
+    u_new = u + dt * hsrc
+
+    return ctu_rad_consup(u_new, Er, rfluxes, qes, dt, geom, L, ng,
+                          limiter, closure, fspace_type, comoving,
+                          nugroup=nugroup, dlognu=dlognu)
+
+
+def ctu_rad_hydro_1d(u, Er, q, qaux, srcQ, dt, geom: Geometry, layout, cfg,
+                     limiter, closure, nugroup=None, dlognu=None,
+                     fspace_type=1, comoving=1):
+    """Backwards-compatible 1D entry: delegates to the dimension-generic
+    driver and returns (u_new, Er_new interior)."""
+    return ctu_rad_hydro(u, Er, q, qaux, srcQ, dt, geom, layout, cfg,
+                         limiter, closure, nugroup=nugroup, dlognu=dlognu,
+                         fspace_type=fspace_type, comoving=comoving)

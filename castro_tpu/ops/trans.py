@@ -29,7 +29,7 @@ from castro_tpu.ops.stencil import shifted
 def _trans_apply(q_face, cell_shift, n_ax, terms, qaux, layout,
                  small_pres, transverse_reset_density=True,
                  transverse_reset_rhoe=False, use_eos=None,
-                 radial_p_fix=None):
+                 radial_p_fix=None, rad=None):
     """Apply one or two transverse flux-difference corrections.
 
     terms: list of dicts with keys:
@@ -44,7 +44,14 @@ def _trans_apply(q_face, cell_shift, n_ax, terms, qaux, layout,
       radial_p_fix : subtract cdtdx*(pgp-pgm) from the radial momentum when
                the radial flux lacks the pressure term (2D RZ,
                trans.cpp:303-306)
-    """
+      rflux  : [ngroups, grid] face-registered radiation flux (rad only)
+
+    rad: None for pure hydro; else a dict {limiter, closure, fspace_t,
+    comov} enabling the RADIATION branches of trans.cpp — the lambda-
+    weighted rad pressure on the transverse momentum, the u.lamge work
+    term on the energy, the comoving der[g] terms, and the per-group Er
+    interface update with QPTOT/QREITOT reassembly (trans.cpp:192-268,
+    313-334, 419-436, 676-722 behavior)."""
     L = layout
 
     def C(arr, t_ax=None, t_off=0):
@@ -87,7 +94,16 @@ def _trans_apply(q_face, cell_shift, n_ax, terms, qaux, layout,
     for qc in pass_q:
         dpass[qc] = 0.0
 
-    gamc = C(qaux[L.QGAMC])
+    # with radiation the p-evolution equation uses the GAS gamma_1
+    # (trans.cpp:216-222)
+    gamc = C(qaux[L.QGAMCG if rad is not None else L.QGAMC])
+    ngr = L.ngroups if rad is not None else 0
+    if rad is not None:
+        lam_c = [C(qaux[L.QLAMS + g]) for g in range(ngr)]
+        ern = [q_face[L.QRAD + g] for g in range(ngr)]
+        dmom = [0.0, 0.0, 0.0]   # per-direction lambda-grad-Er momentum
+        dre_rad = 0.0
+        dern = [0.0] * ngr
 
     for t in terms:
         F = t["flux"]
@@ -142,11 +158,58 @@ def _trans_apply(q_face, cell_shift, n_ax, terms, qaux, layout,
         if t.get("radial_p_fix", False):
             dru = dru + cdtdx * (pgp - pgm)
 
+        if rad is not None:
+            # RADIATION transverse terms (trans.cpp:192-268). We apply the
+            # lambda grad-Er momentum term to the TRANSVERSE direction's
+            # momentum (matching the 2D branch and trans_final; the
+            # reference 3D trans_single adds it to UMX unconditionally —
+            # vestigial, normalized here).
+            from castro_tpu.ops.rad_hydro import edd_factor as _edf
+
+            # dmom/dre_rad/dern are ADDED to the conserved interface state
+            # (reference sign convention: dmom = -cdtdx lamge, etc.)
+            rF = t["rflux"]
+            uav = 0.5 * (ugp + ugm)
+            for g in range(ngr):
+                ergm = C(qe[L.GDERADS + g], t_ax=t_ax, t_off=0)
+                ergp = C(qe[L.GDERADS + g], t_ax=t_ax, t_off=1)
+                lamge = lam_c[g] * (ergp - ergm)
+                luge = uav * lamge
+                if volinv is not None and t["t_dir"] == 0:
+                    # RZ radial transverse: area-weighted form
+                    # (trans.cpp:315-321)
+                    dmom[0] = dmom[0] - 0.5 * t["hdt"] * (
+                        area_hi + area_lo) * lamge * volinv
+                else:
+                    dmom[t["t_dir"]] = dmom[t["t_dir"]] - cdtdx * lamge
+                dre_rad = dre_rad - cdtdx * luge
+                eddf = _edf(lam_c[g], rad["limiter"], rad["closure"])
+                f1 = 0.5 * (1.0 - eddf)
+                if rad["fspace_t"] == 1 and rad["comov"]:
+                    der = cdtdx * uav * f1 * (ergp - ergm)
+                elif rad["fspace_t"] == 2:
+                    der = cdtdx * f1 * 0.5 * (ergp + ergm) * (ugm - ugp)
+                else:  # mixed frame
+                    der = cdtdx * luge
+                rflo = C(rF[g], t_ax=t_ax, t_off=0)
+                rfhi = C(rF[g], t_ax=t_ax, t_off=1)
+                if volinv is not None:
+                    dern[g] = dern[g] - t["hdt"] * (
+                        area_hi * rfhi - area_lo * rflo) * volinv + der
+                else:
+                    dern[g] = dern[g] - cdtdx * (rfhi - rflo) + der
+
     rrnew = rr - drr
     runew = ru - dru
     rvnew = rv - drv
     rwnew = rw - drw
     renew = re - dre_tot
+    if rad is not None:
+        runew = runew + dmom[0]
+        rvnew = rvnew + dmom[1]
+        rwnew = rwnew + dmom[2]
+        renew = renew + dre_rad
+        ernew = [ern[g] + dern[g] for g in range(ngr)]
 
     # negative-density reset (trans.cpp:355-372)
     bad = (rrnew < 0.0) if transverse_reset_density else jnp.zeros_like(rr, dtype=bool)
@@ -178,6 +241,19 @@ def _trans_apply(q_face, cell_shift, n_ax, terms, qaux, layout,
     for qc in pass_q:
         comp = rr * q_face[qc] - dpass[qc]
         out = out.at[qc].set(jnp.where(bad, q_face[qc], comp / rrnew))
+
+    if rad is not None:
+        # per-group Er + total-pressure/energy reassembly
+        # (trans.cpp:419-436, 843-857)
+        ptot = out[L.QPRES]
+        reitot = out[L.QREINT]
+        for g in range(ngr):
+            er_g = jnp.where(bad, ern[g], ernew[g])
+            out = out.at[L.QRAD + g].set(er_g)
+            ptot = ptot + lam_c[g] * er_g
+            reitot = reitot + er_g
+        out = out.at[L.QPTOT].set(ptot)
+        out = out.at[L.QREITOT].set(reitot)
 
     if use_eos is not None:
         # transverse_use_eos=1 (reference edge_util.cpp
@@ -233,10 +309,12 @@ def _term_bundle(terms, qaux, n_ax, cell_shift, layout, radial_fix_cdtdx=None):
 def trans_single(qm, qp, flux_t, qe_t, qaux, n_dir, t_dir, cdtdx, layout,
                  small_pres, reset_density=True, reset_rhoe=False,
                  geom_terms: Optional[dict] = None, radial_p_fix=False,
-                 hdt=None, use_pallas=False, use_eos=None):
+                 hdt=None, use_pallas=False, use_eos=None,
+                 rflux_t=None, rad=None):
     """Single transverse correction of both interface states
     (reference `trans_single`, trans.cpp:15)."""
-    if use_pallas and geom_terms is None and not radial_p_fix:
+    if use_pallas and geom_terms is None and not radial_p_fix \
+            and rad is None:
         from castro_tpu.ops.pallas_kernels import trans_apply_pallas
 
         term = {"flux": flux_t, "qe": qe_t, "t_ax": t_dir, "t_dir": t_dir,
@@ -257,23 +335,25 @@ def trans_single(qm, qp, flux_t, qe_t, qaux, n_dir, t_dir, cdtdx, layout,
         "cdtdx": cdtdx,
         "hdt": hdt,
         "radial_p_fix": radial_p_fix,
+        "rflux": rflux_t,
     }
     if geom_terms:
         base.update(geom_terms)  # keys: area (face-reg along t_ax), vol
 
     qpo = _trans_apply(qp, 0, n_ax, [base], qaux, layout, small_pres,
-                       reset_density, reset_rhoe, use_eos=use_eos)
+                       reset_density, reset_rhoe, use_eos=use_eos, rad=rad)
     qmo = _trans_apply(qm, -1, n_ax, [base], qaux, layout, small_pres,
-                       reset_density, reset_rhoe, use_eos=use_eos)
+                       reset_density, reset_rhoe, use_eos=use_eos, rad=rad)
     return qmo, qpo
 
 
 def trans_final(qm, qp, flux_t1, qe_t1, flux_t2, qe_t2, qaux,
                 n_dir, t1_dir, t2_dir, cdtdx_t1, cdtdx_t2, layout,
                 small_pres, reset_density=True, reset_rhoe=False,
-                use_pallas=False, use_eos=None):
+                use_pallas=False, use_eos=None,
+                rflux_t1=None, rflux_t2=None, rad=None):
     """Double transverse correction (reference `trans_final`, trans.cpp:442)."""
-    if use_pallas:
+    if use_pallas and rad is None:
         from castro_tpu.ops.pallas_kernels import trans_apply_pallas
 
         terms_p = [
@@ -291,12 +371,12 @@ def trans_final(qm, qp, flux_t1, qe_t1, flux_t2, qe_t2, qaux,
         return out[1], out[0]
     terms = [
         {"flux": flux_t1, "qe": qe_t1, "t_ax": t1_dir, "t_dir": t1_dir,
-         "cdtdx": cdtdx_t1, "hdt": None},
+         "cdtdx": cdtdx_t1, "hdt": None, "rflux": rflux_t1},
         {"flux": flux_t2, "qe": qe_t2, "t_ax": t2_dir, "t_dir": t2_dir,
-         "cdtdx": cdtdx_t2, "hdt": None},
+         "cdtdx": cdtdx_t2, "hdt": None, "rflux": rflux_t2},
     ]
     qpo = _trans_apply(qp, 0, n_dir, terms, qaux, layout, small_pres,
-                       reset_density, reset_rhoe, use_eos=use_eos)
+                       reset_density, reset_rhoe, use_eos=use_eos, rad=rad)
     qmo = _trans_apply(qm, -1, n_dir, terms, qaux, layout, small_pres,
-                       reset_density, reset_rhoe)
+                       reset_density, reset_rhoe, rad=rad)
     return qmo, qpo

@@ -104,3 +104,113 @@ def test_rad_acoustic_wave_speed():
                       (k * t[selm]))
     # the gas-only speed would give c_fit ~ 1.0; rad-stiffened ~ 1.80
     assert abs(c_fit - c_tot) / c_tot < 0.10, (c_fit, c_tot, cg)
+
+
+def _mk_nd(n_cell, kappa_r=1e8, kappa_p=0.0):
+    dim = len(n_cell)
+    p = Params()
+    p = p.with_ns("amr", n_cell=tuple(n_cell))
+    p = p.with_ns("geometry", prob_lo=(0.0,) * 3, prob_hi=(1.0,) * 3)
+    p = p.with_ns("castro", lo_bc=(0,) * dim, hi_bc=(0,) * dim,
+                  do_radiation=1, small_dens=1e-12, small_temp=1e-12,
+                  small_pres=1e-15, check_cfl_violation=0)
+    p = p.with_ns("radiation", const_kappa_p=kappa_p, const_kappa_r=kappa_r,
+                  limiter=2)
+    p = p.with_ns("eos", eos_gamma=5.0 / 3.0)
+    p = p.with_ns("tpu", dtype="float64")
+    return p
+
+
+def test_rad_ctu_2d_matches_1d_along_axis():
+    """A y-uniform radiating shock tube stepped with the 2D characteristic
+    coupling must stay y-uniform and reproduce the 1D answer along x
+    (the reference scheme is dimension-agnostic, trace_ppm_rad.cpp +
+    Castro_ctu_rad.cpp)."""
+    n = 64
+
+    def init1(sim, u):
+        x = sim.geom.cell_centers(0, sim.ng)
+        rho = jnp.where(x < 0.5, 1.0, 0.25)
+        pres = jnp.where(x < 0.5, 1.0, 0.3)
+        return fill_from_prim(sim, u, rho, (0.0, 0.0, 0.0), p=pres)
+
+    def init2(sim, u):
+        x = sim.geom.cell_centers(0, sim.ng)
+        rho = jnp.broadcast_to(jnp.where(x < 0.5, 1.0, 0.25),
+                               sim.grown_shape())
+        pres = jnp.broadcast_to(jnp.where(x < 0.5, 1.0, 0.3),
+                                sim.grown_shape())
+        return fill_from_prim(sim, u, rho, (0.0, 0.0, 0.0), p=pres)
+
+    sim1 = Simulation(_mk_nd((n,)), problem_init=init1)
+    sim1.init_data()
+    sim1.u_rad = sim1.u_rad * 0.0 + 0.5
+
+    sim2 = Simulation(_mk_nd((n, 8)), problem_init=init2)
+    sim2.init_data()
+    sim2.u_rad = sim2.u_rad * 0.0 + 0.5
+
+    dt = 2e-3
+    u1, E1 = sim1.u, sim1.u_rad
+    u2, E2 = sim2.u, sim2.u_rad
+    for _ in range(10):
+        u1, E1, _, bad1 = sim1._jit_rad_step(u1, E1, dt, 0.0)
+        u2, E2, _, bad2 = sim2._jit_rad_step(u2, E2, dt, 0.0)
+        assert not bool(bad1) and not bool(bad2)
+
+    L = sim1.layout
+    a1 = np.asarray(sim1.interior(u1))
+    a2 = np.asarray(sim2.interior(u2))
+    E1n = np.asarray(E1)
+    E2n = np.asarray(E2)
+
+    # y-uniformity of the 2D run
+    assert np.max(np.abs(a2 - a2[..., :1])) < 1e-10
+    assert np.max(np.abs(E2n - E2n[..., :1])) < 1e-10
+
+    # Match the 1D answer along the axis. Not bit-exact: the 2D path is a
+    # different XLA program, and a last-ulp rounding difference can flip a
+    # discrete threshold (flattening / shock-detect) at the shock after a
+    # few steps — observed ~1e-7 at one shock cell from step 5 on, with Er
+    # still bit-identical.
+    for comp in (L.URHO, L.UMX, L.UEDEN, L.UEINT):
+        assert np.allclose(a2[comp, :, 0], a1[comp], rtol=1e-5,
+                           atol=1e-6), comp
+    assert np.allclose(E2n[..., 0], E1n, rtol=1e-5, atol=1e-6)
+
+
+def test_rad_ctu_3d_symmetric_pulse():
+    """3D characteristic coupling: an isotropic Er pulse on a uniform gas
+    stays finite, conserves symmetry across the three axes, and pushes
+    matter outward through the radiation pressure gradient."""
+    n = 16
+
+    def init(sim, u):
+        return fill_from_prim(sim, u, 1.0, (0.0, 0.0, 0.0), p=1.0)
+
+    sim = Simulation(_mk_nd((n, n, n), kappa_r=1e4), problem_init=init)
+    sim.init_data()
+    # cell_centers already returns the per-axis broadcast shape (n,1,1) etc.
+    r2 = sum((sim.geom.cell_centers(d, 0) - 0.5) ** 2 for d in range(3))
+    sim.u_rad = sim.u_rad * 0.0 + 1e-6 + 5.0 * jnp.exp(-r2 / 0.02)[None]
+
+    dt = 2e-3
+    u, Er = sim.u, sim.u_rad
+    for _ in range(5):
+        u, Er, _, bad = sim._jit_rad_step(u, Er, dt, 0.0)
+        assert not bool(bad)
+
+    L = sim.layout
+    ui = np.asarray(sim.interior(u))
+    Ern = np.asarray(Er)
+    if Ern.ndim == 4:  # leading group axis
+        Ern = Ern[0]
+    assert np.all(np.isfinite(ui)) and np.all(np.isfinite(Ern))
+    # symmetry: x/y/z axes are interchangeable for this initial state
+    assert np.allclose(ui[L.URHO], ui[L.URHO].transpose(1, 0, 2), atol=1e-11)
+    assert np.allclose(ui[L.URHO], ui[L.URHO].transpose(2, 1, 0), atol=1e-11)
+    assert np.allclose(Ern, Ern.transpose(1, 0, 2), atol=1e-11)
+    # radiation pressure drives outflow: momentum away from the center
+    mid = n // 2
+    assert float(ui[L.UMX][-2, mid, mid]) > 0.0
+    assert float(ui[L.UMX][1, mid, mid]) < 0.0
