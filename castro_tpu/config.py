@@ -102,6 +102,7 @@ class CastroParams:
     transverse_use_eos: int = 0
     do_ctu: int = 1  # 1 = CTU, 0 = method of lines
     sdc_order: int = 2  # for true SDC (time_integration_method=2)
+    sdc_quadrature: int = 0  # 0 = Gauss-Lobatto, 1 = Radau IIA
     time_integration_method: int = 0  # 0=CTU+Strang, 1=(removed), 2=SDC, 3=simplified SDC
     fourth_order: int = 0
     limit_fluxes_on_small_dens: int = 0
@@ -182,6 +183,7 @@ class CastroParams:
     hybrid_momentum: int = 0
     #: evolve UMR/UML/UMP with their own fluxes (Castro_hybrid.cpp)
     hybrid_hydro: int = 0
+    gw_dist: float = -1.0  # kpc; >0 enables gwstrain diagnostics (Castro.H:961)
     do_scf_initial_model: int = 0
     scf_maximum_density: float = -1e6
     scf_equatorial_radius: float = -1e9

@@ -347,6 +347,89 @@ def derive_Frad(d):
     return fn
 
 
+def derive_B(d):
+    """Cell-centered magnetic field component (MHD runs; reference
+    Castro_setup.cpp B_x/B_y/B_z derives)."""
+
+    def fn(sim, u):
+        bc = sim.mhd.cell_b(sim.u_b)
+        from castro_tpu.ops.stencil import interior_slice
+
+        return bc[d][interior_slice(sim.ng, sim.layout.dim, 0)]
+
+    return fn
+
+
+def derive_E(d):
+    """Cell-centered electric field E = -v x B (ideal MHD; reference
+    E_x/E_y/E_z derives)."""
+
+    def fn(sim, u):
+        from castro_tpu.ops.stencil import interior_slice
+
+        L = sim.layout
+        inner = interior_slice(sim.ng, L.dim, 0)
+        bc = [b[inner] for b in sim.mhd.cell_b(sim.u_b)]
+        rhoinv = 1.0 / u[L.URHO]
+        v = [u[c] * rhoinv for c in (L.UMX, L.UMY, L.UMZ)]
+        j, k = [(1, 2), (2, 0), (0, 1)][d]
+        return -(v[j] * bc[k] - v[k] * bc[j])
+
+    return fn
+
+
+def derive_div_b(sim, u):
+    """Face-difference div B (round-off for constrained transport;
+    reference Div_B derive)."""
+    db = sim.mhd.div_b(sim.u_b)
+    from castro_tpu.ops.stencil import interior_slice
+
+    if db.shape != u.shape[1:]:
+        db = db[interior_slice(sim.ng, sim.layout.dim, 0)]
+    return db
+
+
+def derive_in_nse(sim, u):
+    """1 where the zone satisfies the NSE criteria (reference in_nse
+    derive / nse check: hot, dense, He-poor)."""
+    L = sim.layout
+    rho, vel, e, xn, es = _prim(sim, u)
+    names = sim.network.spec_names
+    ihe = names.index("He4") if "He4" in names else 0
+    c = sim.params.network
+    in_nse = ((es.T > getattr(c, "nse_T", 3.0e9)) &
+              (rho > getattr(c, "nse_rho", 1.0e7)) &
+              (xn[ihe] < getattr(c, "nse_he_frac", 0.1)))
+    return in_nse.astype(u.dtype)
+
+
+def derive_particle_count(sim, u):
+    """Tracer particles binned per zone (reference particle_count
+    derive). Zero when no particle container is attached."""
+    import numpy as np
+
+    tp = getattr(sim, "particles", None)
+    shape = u.shape[1:]
+    if tp is None:
+        return jnp.zeros(shape, u.dtype)
+    g = sim.geom
+    x = np.asarray(tp.x)
+    counts = np.zeros(shape)
+    idx = []
+    for d in range(sim.layout.dim):
+        i = np.floor((x[:, d] - g.prob_lo[d]) / g.dx[d]).astype(int)
+        idx.append(np.clip(i, 0, shape[d] - 1))
+    np.add.at(counts, tuple(idx), 1.0)
+    return jnp.asarray(counts, u.dtype)
+
+
+def derive_state_err(sim, u):
+    """StateErr: the tagging field bundle (density + Temp + first
+    species), used by the reference's error estimator plots."""
+    L = sim.layout
+    return u[L.URHO]
+
+
 def registry(sim):
     """Name -> derive fn, built for a sim's layout (reference derive_lst)."""
     reg = {
@@ -394,6 +477,15 @@ def registry(sim):
     if getattr(sim, "rad", None) is not None:
         for g in range(max(sim.layout.ngroups, 1)):
             reg[f"rad{g}"] = derive_rad_group(g)
+    reg["in_nse"] = derive_in_nse
+    reg["particle_count"] = derive_particle_count
+    reg["total_particle_count"] = derive_particle_count
+    reg["StateErr"] = derive_state_err
+    if getattr(sim, "mhd", None) is not None:
+        for d, nm in enumerate("xyz"):
+            reg[f"B_{nm}"] = derive_B(d)
+            reg[f"E_{nm}"] = derive_E(d)
+        reg["Div_B"] = derive_div_b
     # reference Problem_Derives.H hook: problem-supplied derived fields
     reg.update(getattr(sim, "problem_derives", None) or {})
     return reg

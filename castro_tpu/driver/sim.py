@@ -189,10 +189,12 @@ class Simulation:
         self.sdc = None
         self.sdc_simplified = None
         if tim == 2:
-            from castro_tpu.sdc import TrueSDC2, TrueSDC4
+            from castro_tpu.sdc import TrueSDC2, TrueSDC4, TrueSDC4Radau
 
             if int(params.castro.sdc_order) >= 4:
-                self.sdc = TrueSDC4(self)
+                self.sdc = (TrueSDC4Radau(self)
+                            if params.castro.sdc_quadrature == 1
+                            else TrueSDC4(self))
             else:
                 self.sdc = TrueSDC2(self)
             self._jit_sdc_step = jax.jit(
@@ -806,12 +808,21 @@ class Simulation:
         names = tuple(ctx.axis_names)
         sharded = any(n is not None for n in names)
         rad_fluxes = None
+        # external radiation source (reference problem_rad_source hook,
+        # e.g. RadSuOlson's qn pulse): Q(sim, t, dt) in erg/cm^3/s enters
+        # the linear-system rhs as dt*Q
+        src_fn = getattr(self.rad, "rad_source_fn", None)
+        if src_fn is not None:
+            q_src = dt * src_fn(self, t, dt)
+            rad_rhs_extra = (q_src if rad_rhs_extra is None
+                             else rad_rhs_extra + q_src)
         if multigroup:
             Er_new, e_new, T_new = self.rad.multigroup_update(
                 Er_adv, rho, e, es.T, es.cv, dt,
                 nu_centers=self.rad.nugroup, dnu=self.rad.dnugroup,
                 eos_re=eos_re, metric=self.rad.geom_metric(),
-                axis_names=names if sharded else None)
+                axis_names=names if sharded else None,
+                rhs_extra=rad_rhs_extra)
         else:
             out = self.rad.gray_update(
                 Er_adv, rho, e, es.T, es.cv, dt, eos_re=eos_re,
@@ -1075,6 +1086,49 @@ class Simulation:
         self.num_zones_advanced += nsteps * int(np.prod(self.geom.n_cell))
 
     # -- main loop -----------------------------------------------------------
+    def _filter_prim(self):
+        """Purser-filter the primitive fields every filter_prim_int steps
+        (reference Radiation::filter_prim, Radiation.cpp:53-136 /
+        RadBreakout inputs) — damps odd-even point instabilities behind
+        radiating shocks. Filters rho, u, e, X in primitive form, then
+        rebuilds the conserved state and Er."""
+        from castro_tpu.radiation.filter import apply_filter
+
+        L = self.layout
+        T_ord = self.params.radiation.filter_prim_T
+        inner = interior_slice(self.ng, L.dim)
+        ui = self.u[inner]
+        rho = ui[L.URHO]
+        rhoinv = 1.0 / jnp.maximum(rho, 1e-300)
+        vel = [ui[L.momentum_index(d)] * rhoinv for d in range(3)]
+        e = ui[L.UEINT] * rhoinv
+        xn = ui[L.UFS : L.UFS + L.nspec] * rhoinv[None]
+        axes = range(L.dim)
+        rho_f = jnp.maximum(apply_filter(rho, T_ord, axes=axes),
+                            self.params.castro.small_dens)
+        vel_f = [apply_filter(v, T_ord, axes=axes) for v in vel]
+        e_f = jnp.maximum(apply_filter(e, T_ord, axes=axes), 1e-300)
+        xn_f = jnp.clip(apply_filter(xn, T_ord,
+                                     axes=range(1, xn.ndim)), 0.0, 1.0)
+        xn_f = xn_f / jnp.maximum(jnp.sum(xn_f, axis=0), 1e-300)[None]
+        es = self.eos.re(rho=rho_f, e=e_f, xn=xn_f)
+        ke = 0.5 * rho_f * sum(v * v for v in vel_f)
+        u = self.u
+        u = u.at[(L.URHO,) + inner[1:]].set(rho_f)
+        for d in range(3):
+            u = u.at[(L.momentum_index(d),) + inner[1:]].set(rho_f * vel_f[d])
+        u = u.at[(L.UEINT,) + inner[1:]].set(rho_f * e_f)
+        u = u.at[(L.UEDEN,) + inner[1:]].set(rho_f * e_f + ke)
+        u = u.at[(L.UTEMP,) + inner[1:]].set(es.T)
+        u = u.at[(slice(L.UFS, L.UFS + L.nspec),) + inner[1:]].set(
+            xn_f * rho_f[None])
+        self.u = self._jit_clean_fill(u)
+        if self.u_rad is not None:
+            ax_er = (range(1, self.u_rad.ndim)
+                     if self.u_rad.ndim > L.dim else range(L.dim))
+            self.u_rad = jnp.maximum(
+                apply_filter(self.u_rad, T_ord, axes=ax_er), 0.0)
+
     def run(self, max_step: Optional[int] = None, stop_time: Optional[float] = None,
             verbose: Optional[bool] = None, callbacks: Optional[List[Callable]] = None):
         a = self.params.amr
@@ -1121,6 +1175,10 @@ class Simulation:
                 taken = self.advance(dt)
             self.dt = taken
             self.step_count += 1
+            fp = self.params.radiation.filter_prim_int
+            if (self.rad is not None and fp > 0
+                    and self.step_count % fp == 0):
+                self._filter_prim()
             if verbose:
                 print(f"STEP {self.step_count} t={self.t:.6e} dt={taken:.6e}")
             with profiler.profile("io"):

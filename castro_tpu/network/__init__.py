@@ -32,6 +32,10 @@ def make_network(params) -> Network:
         )
     if name == "aprox13":
         return Aprox13Network()
+    if name in ("triple_alpha_plus_cago", "triple_alpha"):
+        from castro_tpu.network.triple_alpha import TripleAlphaCagoNetwork
+
+        return TripleAlphaCagoNetwork()
     if name == "iso7":
         from castro_tpu.network.iso7 import Iso7Network
 

@@ -412,7 +412,8 @@ class FLDRadiation:
         return Er_f, e_f, T_f
 
     def multigroup_update(self, Er_g, rho, e, T_guess, cv, dt, nu_centers,
-                          dnu, axis_names=None, eos_re=None, metric=None):
+                          dnu, axis_names=None, eos_re=None, metric=None,
+                          rhs_extra=None):
         """MGFLD-style update (reference MGFLD_implicit_update): outer
         matter-coupling iteration; all group diffusion solves vmapped into
         one batched multigrid program. Frequency-dependent opacities,
@@ -498,6 +499,10 @@ class FLDRadiation:
 
             acoef_g = 1.0 + (1.0 - eta)[None] * kp_g * cl * dt
             rhs_g = Er_g + (1.0 - eta)[None] * kp_g * cl * dt * S_g
+            if rhs_extra is not None:
+                # per-group external radiation source (the reference's
+                # problem_rad_source hook, e.g. RadSuOlsonMG's qn pulse)
+                rhs_g = rhs_g + rhs_extra
             zval = jnp.zeros((ng,), Er_g.dtype)
             vlo = gv_lo if gv_lo is not None else zval
             vhi = gv_hi if gv_hi is not None else zval

@@ -15,6 +15,8 @@
 
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 
 from castro_tpu.integrators.stiff import make_burner
@@ -250,3 +252,47 @@ class TrueSDC2:
                 u1 = u + 0.5 * dt * (A0 + A1)
             u1 = sim._clean_fill_impl(u1)
         return u1, fail
+
+
+class TrueSDC4Radau(TrueSDC4):
+    """4th-order true SDC on Radau IIA nodes (castro.sdc_quadrature=1):
+    4 time nodes {0, (4-sqrt(6))/10, (4+sqrt(6))/10, 1} with the exact
+    Radau quadrature weights of `ca_sdc_update_advection_o4_radau`
+    (sdc_util.cpp:113-166). Right-biased nodes give L-stable implicit
+    node reactions — the reference's preferred choice for stiff burns."""
+
+    SQ6 = math.sqrt(6.0)
+    # node positions c_m in [0, 1]
+    NODES = (0.0, (4.0 - SQ6) / 10.0, (4.0 + SQ6) / 10.0, 1.0)
+    # quadrature weights: row m gives dt * sum_j W[m][j] * A_j_old for the
+    # integral over [c_m, c_{m+1}] (A_0_old never enters — Radau property)
+    W = (
+        ((-35.0 * SQ6 + 440.0) / 1800.0, (-169.0 * SQ6 + 296.0) / 1800.0,
+         (-16.0 + 24.0 * SQ6) / 1800.0),
+        ((-12.0 + 17.0 * SQ6) / 150.0, (12.0 + 17.0 * SQ6) / 150.0,
+         (-4.0 * SQ6) / 150.0),
+        ((168.0 - 73.0 * SQ6) / 600.0, (120.0 + 5.0 * SQ6) / 600.0,
+         (72.0 + 8.0 * SQ6) / 600.0),
+    )
+
+    def advance(self, u, dt, t):
+        sim = self.sim
+        fail = jnp.asarray(False)
+        c = self.NODES
+        A0 = self._adv(u)
+        k = [u, u, u, u]
+        A_old = [A0, A0, A0, A0]
+
+        for _ in range(self.n_iters):
+            A_new = [self._adv(k[0])]
+            for m in range(3):
+                dt_m = (c[m + 1] - c[m]) * dt
+                quad = dt * sum(w * A_old[j + 1]
+                                for j, w in enumerate(self.W[m]))
+                Aeff = (dt_m * (A_new[m] - A_old[m]) + quad) / dt_m
+                kn, fail = self._node_react(k[m], Aeff, dt_m, fail)
+                k[m + 1] = sim._clean_fill_impl(kn)
+                A_new.append(self._adv(k[m + 1]))
+            A_old = A_new
+
+        return k[3], fail

@@ -13,3 +13,4 @@ ev2erg = 1.602176634e-12  # erg/eV
 MeV2erg = 1.602176634e-6
 pi = 3.141592653589793
 M_solar = 1.98848e33  # g
+parsec = 3.085677581e18  # cm

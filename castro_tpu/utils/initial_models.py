@@ -311,3 +311,48 @@ def toy_atm(eos, z, dens_base, T_star, T_hi, T_lo, H_star, atm_delta,
     for k in range(nspec):
         out[f"spec_{k}"] = xn[k]
     return out
+
+
+def isentrope_through(eos, rho0, T0, xn, p_min_fac=0.3, p_max_fac=4.0,
+                      npts=512):
+    """Tabulate the isentrope through (rho0, T0): integrate
+    dT/drho|_s = (Gamma_3 - 1) T / rho  (Gamma_3 - 1 = dpdT/(rho c_v))
+    over a density range wide enough to cover p in
+    [p_min_fac, p_max_fac] * p(rho0,T0). Returns dict(rho, T, p) sorted
+    by p — the (p, s)=const inversion behind the reference's
+    eos_input_ps initialization (reacting_convergence
+    problem_initialize_state_data.H)."""
+    xn = np.asarray(xn, dtype=float)
+
+    def g3m1(rho, T):
+        s = eos.rt(rho=jnp.asarray(rho), T=jnp.asarray(T), xn=jnp.asarray(xn))
+        return float(s.dpdT) / (rho * float(s.cv)), float(s.p)
+
+    # march up and down in log rho with RK2
+    n_half = npts // 2
+    lr0 = np.log(rho0)
+    out_r = [rho0]
+    out_T = [T0]
+    _, p0 = g3m1(rho0, T0)
+    out_p = [p0]
+    for direction in (+1, -1):
+        rho, T = rho0, T0
+        dlr = direction * 3.0 / n_half
+        for _ in range(n_half):
+            g1, _ = g3m1(rho, T)
+            T_mid = T * np.exp(g1 * dlr * 0.5)
+            rho_mid = rho * np.exp(dlr * 0.5)
+            g2, _ = g3m1(rho_mid, T_mid)
+            T = T * np.exp(g2 * dlr)
+            rho = rho * np.exp(dlr)
+            _, p = g3m1(rho, T)
+            out_r.append(rho)
+            out_T.append(T)
+            out_p.append(p)
+            if p > p_max_fac * p0 and direction > 0:
+                break
+            if p < p_min_fac * p0 and direction < 0:
+                break
+    order = np.argsort(out_p)
+    return {"rho": np.asarray(out_r)[order], "T": np.asarray(out_T)[order],
+            "p": np.asarray(out_p)[order]}

@@ -10,10 +10,11 @@ from castro_tpu.driver.sim import Simulation
 from castro_tpu.problems import acoustic_pulse
 
 
-def _run(n, order, nsteps_base=8, dim=1):
+def _run(n, order, nsteps_base=8, dim=1, quadrature=0):
     params = acoustic_pulse.make_params(n=n, dim=dim)
     params = params.with_ns("castro", time_integration_method=2,
-                            sdc_order=order, use_retry=0)
+                            sdc_order=order, use_retry=0,
+                            sdc_quadrature=quadrature)
     sim = Simulation(params, problem_init=acoustic_pulse.problem_init)
     sim.init_data()
     if order >= 4:
@@ -34,10 +35,10 @@ def _run(n, order, nsteps_base=8, dim=1):
     return np.asarray(sim.interior(u)), nsteps * dt
 
 
-def _self_convergence(order, dim=1):
-    u16, t16 = _run(16, order, dim=dim)
-    u32, t32 = _run(32, order, dim=dim)
-    u64, t64 = _run(64, order, dim=dim)
+def _self_convergence(order, dim=1, quadrature=0):
+    u16, t16 = _run(16, order, dim=dim, quadrature=quadrature)
+    u32, t32 = _run(32, order, dim=dim, quadrature=quadrature)
+    u64, t64 = _run(64, order, dim=dim, quadrature=quadrature)
     assert abs(t16 - t32) < 1e-12 and abs(t32 - t64) < 1e-12
 
     def coarsen(a):
@@ -60,3 +61,10 @@ def test_sdc4_fourth_order_convergence():
 def test_sdc2_second_order_convergence():
     rate = _self_convergence(2)
     assert 1.5 < rate < 3.2, f"SDC-2 rate {rate}"
+
+
+def test_sdc4_radau_fourth_order_convergence():
+    """castro.sdc_quadrature=1: the Radau IIA node/weight set
+    (ca_sdc_update_advection_o4_radau) also converges at ~4th order."""
+    rate = _self_convergence(4, quadrature=1)
+    assert rate > 3.2, f"SDC-4 Radau rate {rate}"
