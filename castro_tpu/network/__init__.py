@@ -44,6 +44,18 @@ def make_network(params) -> Network:
         from castro_tpu.network.aprox19 import Aprox19Network
 
         return Aprox19Network()
+    if name == "rprox":
+        from castro_tpu.network.rprox import RproxNetwork
+
+        return RproxNetwork()
+    if name == "nova":
+        from castro_tpu.network.nova import NovaNetwork
+
+        return NovaNetwork()
+    if name == "subch":
+        from castro_tpu.network.subch import SubchNetwork
+
+        return SubchNetwork()
     raise ValueError(f"unknown network '{name}'")
 
 

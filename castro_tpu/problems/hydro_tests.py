@@ -280,3 +280,51 @@ def rotating_torus_init(sim, u):
     vx = jnp.where(inside, -vphi * y / Rsafe, 0.0)
     vy = jnp.where(inside, vphi * x / Rsafe, 0.0)
     return fill_from_prim(sim, u, rho, (vx, vy, 0.0), p=pres)
+
+
+# ---------------------------------------------------------------------------
+# Vortices_LWAcoustics (Exec/hydro_tests/Vortices_LWAcoustics): sound
+# generation by a co-rotating vortex pair (Lee & Koo 1995 benchmark)
+
+LWA_DEFAULTS = dict(p_ref=1.0, r_0=0.25, mach=0.07960, ratio_c=0.15,
+                    r_circ=1.0)
+
+
+def lw_acoustics_params(n=128, **prob):
+    merged = dict(LWA_DEFAULTS)
+    merged.update(prob)
+    p = _base((n, n), (0.0, 0.0), (50.0, 50.0), (2, 2), (2, 2),
+              gamma=1.4, **merged)
+    return p
+
+
+def lw_acoustics_init(sim, u):
+    """Two co-rotating point vortices with algebraically-regularized
+    cores separated by 2 r_0 about the domain center; isentropic
+    background rho_0 = p_ref^(1/gamma)
+    (`problem_initialize.H:16-38`, `problem_initialize_state_data.H`)."""
+    pp = dict(LWA_DEFAULTS)
+    pp.update(sim.params.problem)
+    gamma = sim.params.eos.eos_gamma
+    x, y, shape = _xy(sim, u)
+    hi = sim.params.geometry.prob_hi
+
+    rho0 = pp["p_ref"] ** (1.0 / gamma)
+    c0 = np.sqrt(gamma * pp["p_ref"] / rho0)
+    r_c = pp["ratio_c"] * pp["r_0"]
+    circ = pp["r_circ"] * pp["r_0"] * c0
+    xc, yc = 0.5 * hi[0], 0.5 * hi[1]
+    centers = ((xc, yc + pp["r_0"]), (xc, yc - pp["r_0"]))
+
+    vx = jnp.zeros(shape, u.dtype)
+    vy = jnp.zeros(shape, u.dtype)
+    for cx, cy in centers:
+        r = jnp.sqrt((x - cx) ** 2 + (y - cy) ** 2)
+        vth = circ * r / (2.0 * np.pi * (r_c * r_c + r * r))
+        rs = jnp.maximum(r, 1e-300)
+        vx = vx + vth * (y - cy) / rs
+        vy = vy - vth * (x - cx) / rs
+
+    rho = jnp.full(shape, rho0, u.dtype)
+    pres = jnp.full(shape, pp["p_ref"], u.dtype)
+    return fill_from_prim(sim, u, rho, (vx, vy, 0.0), p=pres)

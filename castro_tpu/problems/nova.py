@@ -3,7 +3,8 @@ on a CO white-dwarf surface building toward a CNO runaway, with optional
 seed velocity vortices.  The reference reads the Glasner HSE model
 (`glasner_T5_Gconst_Snone.hse`); here the layered envelope is generated
 with the toy_atm builder (CO substrate -> solar-composition envelope)
-through the Helmholtz EOS and aprox19 (CNO at the n14(p,g) bottleneck).
+through the Helmholtz EOS and the hot-CNO nova network
+(`network/nova.py`), as the reference (`GNUmakefile` NETWORK_DIR).
 """
 
 from __future__ import annotations
@@ -20,7 +21,9 @@ DEFAULTS = dict(dens_base=3.0e4, T_star=3.0e7, T_hi=6.0e7, T_lo=1.0e6,
                 num_vortices=2)
 G_CONST = -8.0e8  # GM/R^2 for a ~1.1 Msun WD
 
-IH1, IHE3, IHE4, IC12, IN14, IO16 = 0, 1, 2, 3, 4, 5
+# nova-network indices (network/nova.py _SPECIES)
+(IH1, IHE3, IHE4, IC12, IC13, IN13, IN14, IN15, IO14, IO15, IO16, IO17,
+ IF17, IF18) = range(14)
 
 
 def make_params(n=(64, 128), **prob):
@@ -35,7 +38,7 @@ def make_params(n=(64, 128), **prob):
     p = p.with_ns("gravity", gravity_type="ConstantGrav",
                   const_grav=G_CONST)
     p = p.with_ns("eos", eos_name="helmholtz")
-    p = p.with_ns("network", network_name="aprox19", nspec=19)
+    p = p.with_ns("network", network_name="nova", nspec=14)
     p = p.with_ns("tpu", dtype="float64")
     return p.replace(problem=merged)
 

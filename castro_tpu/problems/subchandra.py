@@ -29,8 +29,8 @@ DEFAULTS = dict(
     rho_cutoff=1.0e-4,
 )
 
-# iso7 composition indices: He4, C12, O16, ...
-IHE4, IC12, IO16 = 0, 1, 2
+# subch composition indices (network/subch.py: aprox13 order + N14/F18/Ne21/H1)
+IHE4, IC12, IO16, IN14 = 0, 1, 2, 13
 
 
 def make_params(n=(128, 256), dim=2, **prob):
@@ -53,7 +53,7 @@ def make_params(n=(128, 256), dim=2, **prob):
                   sponge_timescale=1e-3)
     p = p.with_ns("gravity", gravity_type="MonopoleGrav")
     p = p.with_ns("eos", eos_name="helmholtz")
-    p = p.with_ns("network", network_name="iso7", nspec=7)
+    p = p.with_ns("network", network_name="subch", nspec=17)
     p = p.with_ns("tpu", dtype="float64")
     return p.replace(problem=merged)
 
@@ -73,7 +73,8 @@ def build_model(sim, nshell=1024):
     co[IC12] = 0.5
     co[IO16] = 0.5
     he = np.zeros(L.nspec)
-    he[IHE4] = 1.0
+    he[IHE4] = 0.99
+    he[IN14] = 0.01          # N14 admixture driving the subch bypass
     co_j, he_j = jnp.asarray(co), jnp.asarray(he)
 
     def xn_of_m(m):

@@ -2,8 +2,8 @@
 a neutron-star surface — the toy_xrb accreted layer (hot ash substrate,
 tanh transition to an H/He fuel column, isentropic top) with optional
 seed velocity vortices (`problem.apply_vel_field`,
-`problem_initialize_state_data.H`).  The reference burns with rprox;
-here aprox19 supplies the H-burning (hot-CNO-adjacent) physics.
+`problem_initialize_state_data.H`).  Burns with rprox
+(`network/rprox.py`), as the reference (`GNUmakefile` NETWORK_DIR).
 Inputs mirrored: g = -2.45e14, box 1536 x 4608 cm."""
 
 from __future__ import annotations
@@ -20,9 +20,8 @@ DEFAULTS = dict(dens_base=3.43e6, T_star=1.0e9, T_hi=2.0e8, T_lo=8.0e6,
                 num_vortices=4)
 G_CONST = -2.45e14
 
-# aprox19 indices
-IH1, IHE3, IHE4, IC12, IN14, IO16 = 0, 1, 2, 3, 4, 5
-IFE54 = 15
+# rprox indices (network/rprox.py _SPECIES)
+IC12, IO14, IO15, IO16, IF17, IMG22, IS30, INI56, IHE4, IH1 = range(10)
 
 
 def make_params(n=(64, 192), **prob):
@@ -38,7 +37,7 @@ def make_params(n=(64, 192), **prob):
     p = p.with_ns("gravity", gravity_type="ConstantGrav",
                   const_grav=G_CONST)
     p = p.with_ns("eos", eos_name="helmholtz")
-    p = p.with_ns("network", network_name="aprox19", nspec=19)
+    p = p.with_ns("network", network_name="rprox", nspec=10)
     p = p.with_ns("tpu", dtype="float64")
     return p.replace(problem=merged)
 
@@ -55,12 +54,11 @@ def problem_init(sim, u):
     z1 = np.asarray(g.cell_centers_1d(1, sim.ng))
 
     xn_star = np.zeros(L.nspec)
-    xn_star[IFE54] = 1.0          # NS-surface ash substrate
+    xn_star[INI56] = 1.0          # NS-surface ash substrate
     xn_base = np.zeros(L.nspec)
     xn_base[IH1] = 0.7            # accreted solar-ish fuel
     xn_base[IHE4] = 0.28
-    xn_base[IC12] = 0.01
-    xn_base[IN14] = 0.01
+    xn_base[IC12] = 0.02
 
     model = toy_atm(sim.eos, z1, pp["dens_base"], pp["T_star"],
                     pp["T_hi"], pp["T_lo"], pp["H_star"],

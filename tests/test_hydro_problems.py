@@ -117,3 +117,58 @@ def test_oddeven_hybrid_riemann_stable():
     L = sim.layout
     # colliding flows produce a high-density central slab
     assert ui[L.URHO].max() > 3.0
+
+
+def test_lw_acoustics_vortex_pair_corotation():
+    """Vortices_LWAcoustics (Lee & Koo 1995): a co-rotating pair of
+    vortices separated by 2 r_0 spins about its centroid at
+    omega = circ / (4 pi r_0^2) (point-vortex mutual induction).  The
+    reference inputs resolve the r_c = 0.0375 cores with 5 AMR levels;
+    here the pair is rescaled (r_0 = 5, ratio_c = 0.3) so a flat 96^2
+    grid resolves it, and the measured rotation rate and sense
+    (clockwise for the reference sign convention) are checked."""
+    n = 96
+    r_0, ratio_c, r_circ = 5.0, 0.3, 2.0
+    sim = Simulation(ht.lw_acoustics_params(n=n, r_0=r_0, ratio_c=ratio_c,
+                                            r_circ=r_circ),
+                     problem_init=ht.lw_acoustics_init)
+    sim.init_data()
+    L = sim.layout
+    dx = sim.geom.dx[0]
+    xc = 0.5 * sim.params.geometry.prob_hi[0]
+
+    def vortex_angle(u):
+        q = np.asarray(sim.interior(u))
+        vx = q[L.UMX] / q[L.URHO]
+        vy = q[L.UMY] / q[L.URHO]
+        wz = np.gradient(vy, dx, axis=0) - np.gradient(vx, dx, axis=1)
+        core = wz < 0.5 * wz.min()          # clockwise cores: wz < 0
+        xi = (np.arange(n) + 0.5) * dx
+        X, Y = np.meshgrid(xi, xi, indexing="ij")
+        # centroid of the upper-half core (one vortex of the pair)
+        sel = core & (Y > xc)
+        w = -wz * sel
+        x0 = (X * w).sum() / w.sum()
+        y0 = (Y * w).sum() / w.sum()
+        return np.arctan2(y0 - xc, x0 - xc)
+
+    th0 = vortex_angle(sim.u)
+    u = sim.u
+    t = 0.0
+    for _ in range(60):
+        d = float(sim._jit_estdt(u)) * 0.5
+        u, _, bad = sim._jit_step(u, d, t)
+        t += d
+        assert not bool(bad)
+    th1 = vortex_angle(u)
+    dth = (th1 - th0 + np.pi) % (2.0 * np.pi) - np.pi
+
+    gamma = 1.4
+    p_ref = ht.LWA_DEFAULTS["p_ref"]
+    rho0 = p_ref ** (1.0 / gamma)
+    c0 = np.sqrt(gamma * p_ref / rho0)
+    circ = r_circ * r_0 * c0
+    omega = circ / (4.0 * np.pi * r_0 ** 2)
+    expected = -omega * t  # clockwise
+    assert dth < -0.05, (dth, expected)
+    assert abs(dth - expected) < 0.5 * abs(expected), (dth, expected)

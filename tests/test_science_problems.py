@@ -52,7 +52,8 @@ def test_subchandra_model_mass_and_shell():
     he = model["spec_0"]
     c12 = model["spec_1"]
     assert c12[0] == pytest.approx(0.5)  # CO core center
-    assert he.max() == pytest.approx(1.0)  # pure-He shell
+    # He shell with the 1% N14 admixture that drives the subch bypass
+    assert he.max() == pytest.approx(0.99)
     assert model["R_shell_base"] > 1e8
 
 
