@@ -66,16 +66,19 @@ class StepCtx:
     ubiquitous `ParallelDescriptor` calls — SURVEY.md §2.8 P1/P2)."""
 
     __slots__ = ("fill", "pmin", "pany", "psum", "geom", "axis_names",
-                 "grav_bc", "point_mass")
+                 "grav_bc", "point_mass", "fill_b")
 
     def __init__(self, fill, pmin, pany, psum, geom, axis_names=(),
-                 grav_bc=None, point_mass=None):
+                 grav_bc=None, point_mass=None, fill_b=None):
         self.fill = fill
         self.pmin = pmin
         self.pany = pany
         self.psum = psum
         self.geom = geom
         self.axis_names = axis_names
+        # MHD face-field ghost fill (halo exchange under shard_map);
+        # None = the solver's own single-device _fill_b
+        self.fill_b = fill_b
         # composite AMR gravity: (bvl, bvh) Dirichlet phi values on the
         # window boundary faces, interpolated from the coarse-level solve
         # (reference Gravity.cpp:418-487 level solve with coarse boundary
@@ -454,7 +457,7 @@ class Simulation:
 
     # -- the step --------------------------------------------------------------
     def _step_impl(self, u, dt, t, ctx: Optional[StepCtx] = None,
-                   src_pred=None, point_mass=None):
+                   src_pred=None, point_mass=None, phase="all"):
         """One CTU step with Strang-free source handling (reference
         do_advance_ctu, Castro_advance_ctu.cpp:16): old-time sources are
         applied and traced into interface states; new-time sources apply a
@@ -466,7 +469,17 @@ class Simulation:
         dS/dt from the previous step (create_source_corrector,
         Castro.cpp:3780-3836); the old-time source becomes
         S^n + dt/2 dS/dt ~ S^{n+1/2} for tracing and application, and the
-        step additionally returns the new dS/dt for the next step."""
+        step additionally returns the new dS/dt for the next step.
+
+        phase: "all" traces the whole step into one program; "burn"
+        traces just a half-dt Strang burn + clean/fill and returns
+        (u, burn_fail); "mid" traces everything between the two burn
+        halves and returns (u_new, min_rho, nan_flag, ...). Splitting a
+        full-physics step into burn/mid/burn programs jitted separately
+        compiles the burner ONCE (reused for both halves) and keeps each
+        XLA module small — monolithic full-physics modules take many
+        minutes of cold CPU compile (XLA compile time is superlinear in
+        program size)."""
         # invariant: on the default (single-device) path the state is always
         # ghost-filled on entry — init_data and every step exit run
         # clean+fill — and physical BC fills are t-independent unless a
@@ -477,7 +490,8 @@ class Simulation:
         ctx = ctx or self._default_ctx
         if point_mass is not None:
             ctx = StepCtx(ctx.fill, ctx.pmin, ctx.pany, ctx.psum, ctx.geom,
-                          ctx.axis_names, ctx.grav_bc, point_mass)
+                          ctx.axis_names, ctx.grav_bc, point_mass,
+                          ctx.fill_b)
         L = self.layout
         c = self.params.castro
         cfg = self.cfg
@@ -488,11 +502,13 @@ class Simulation:
             u = ctx.fill(u, t)
 
         burn_fail = jnp.asarray(False)
-        if self.reactor is not None:
+        if phase in ("all", "burn") and self.reactor is not None:
             shk = u[L.USHK] if L.shock_var else None
             u, _, _, bf = self.reactor.react(u, 0.5 * dt, shk)
             burn_fail = burn_fail | bf
             u = self._clean_fill_impl(u, ctx, t)
+        if phase == "burn":
+            return u, ctx.pany(burn_fail)
 
         div_node = None
         courant = None
@@ -514,12 +530,17 @@ class Simulation:
             q, qaux = ctoprim(u, L, self.eos, self.cfg.small_dens,
                               max(c.small_temp, 1e-200))
 
-        # old-time sources S(U^n)
+        # old-time sources S(U^n); per-fn terms kept so the corrector pass
+        # can subtract them without re-tracing the source (for gravity a
+        # re-trace is a whole extra multigrid solve in the program)
         src_old = None
+        src_old_terms = {}
         if self.source_fns:
             src_old = jnp.zeros_like(u)
             for fn in self.source_fns:
-                src_old = src_old + fn(self, u, q, qaux, t, dt, ctx=ctx)
+                term = fn(self, u, q, qaux, t, dt, ctx=ctx)
+                src_old_terms[id(fn)] = term
+                src_old = src_old + term
         src_eff = src_old
         if (src_pred is not None and c.source_term_predictor == 1
                 and src_old is not None):
@@ -598,8 +619,7 @@ class Simulation:
                                        fluxes=fluxes)
                     corr = cfn if corr is None else corr + cfn
                     # remove this fn's old-time term from the generic pair
-                    src_old_generic = src_old_generic - fn(
-                        self, u, q, qaux, t, dt, ctx=ctx)
+                    src_old_generic = src_old_generic - src_old_terms[id(fn)]
                 else:
                     src_new = src_new + fn(self, u_new, q2, qaux2, t + dt,
                                            dt, ctx=ctx)
@@ -618,7 +638,7 @@ class Simulation:
                         2.0 * newtime[comp] / dt)
             u_new = self._clean_fill_impl(u_new, ctx, t + dt)
 
-        if self.reactor is not None:
+        if phase == "all" and self.reactor is not None:
             shk2 = u_new[L.USHK] if L.shock_var else None
             u_new, self_wdot, _, bf2 = self.reactor.react(u_new, 0.5 * dt, shk2)
             burn_fail = burn_fail | bf2
@@ -894,29 +914,32 @@ class Simulation:
         L = self.layout
         c = self.params.castro
         u = ctx.fill(u, t)
-        b = tuple(self.mhd._fill_b(bb, d) for d, bb in enumerate(b))
+        b = self.mhd.fill_b_all(b, ctx)
 
         burn_fail = jnp.asarray(False)
         if self.reactor is not None:
             shk = u[L.USHK] if L.shock_var else None
             u, _, _, bf = self.reactor.react(u, 0.5 * dt, shk)
             burn_fail = burn_fail | bf
-            u = self.mhd._clean(u, b)
+            u = self.mhd._clean(u, b, ctx)
 
         q, qaux = ctoprim(u, L, self.eos, self.cfg.small_dens,
                           max(c.small_temp, 1e-200))
         src_old = None
+        src_old_terms = {}
         if self.source_fns:
             src_old = jnp.zeros_like(u)
             for fn in self.source_fns:
-                src_old = src_old + fn(self, u, q, qaux, t, dt, ctx=ctx)
+                term = fn(self, u, q, qaux, t, dt, ctx=ctx)
+                src_old_terms[id(fn)] = term
+                src_old = src_old + term
         srcQ = None if src_old is None else src_to_prim(q, qaux, src_old, L)
 
         if L.dim == 3 and c.mhd_ctu:
             (u_new, b_new), fluxes = self.mhd.step_ctu(
-                MhdState(u, b), dt, srcQ=srcQ, keep_fluxes=True)
+                MhdState(u, b), dt, srcQ=srcQ, keep_fluxes=True, ctx=ctx)
         else:
-            u_new, b_new = self.mhd.step_rk2(MhdState(u, b), dt)
+            u_new, b_new = self.mhd.step_rk2(MhdState(u, b), dt, ctx=ctx)
             fluxes = None
         if src_old is not None:
             u_new = u_new + dt * src_old
@@ -936,8 +959,7 @@ class Simulation:
                     cfn = fn.corrector(self, u, u_new, t, dt, ctx=ctx,
                                        fluxes=fluxes)
                     corr = cfn if corr is None else corr + cfn
-                    src_old_generic = src_old_generic - fn(
-                        self, u, q, qaux, t, dt, ctx=ctx)
+                    src_old_generic = src_old_generic - src_old_terms[id(fn)]
                 else:
                     src_new = src_new + fn(self, u_new, q2, qaux2, t + dt,
                                            dt, ctx=ctx)
@@ -950,7 +972,7 @@ class Simulation:
             u_new, _, _, bf2 = self.reactor.react(u_new, 0.5 * dt, shk2)
             burn_fail = burn_fail | bf2
 
-        u_new = self.mhd._clean(u_new, b_new)
+        u_new = self.mhd._clean(u_new, b_new, ctx)
         burn_fail = ctx.pany(burn_fail)
         return u_new, b_new, min_rho, nan_flag | burn_fail
 

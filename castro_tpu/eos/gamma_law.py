@@ -58,11 +58,16 @@ class GammaLawEos(Eos):
         zbar = abar * zsum
         return abar, zbar
 
+    # k_B/m_u folded at f64 host precision: dividing by (mu*m_u) ~ 1e-24
+    # on-device makes the autodiff JVP divide by its square ~ 1e-47,
+    # which underflows float32 and NaNs the burner Jacobian
+    _KB_OVER_MU = float(C.k_B) / float(C.m_u)
+
     def _fill(self, rho, T, xn):
         g = self.gamma
         mu = self.mu_from_xn(xn)
         abar, zbar = self._abar_zbar(xn)
-        cv = C.k_B / (mu * C.m_u * (g - 1.0))
+        cv = self._KB_OVER_MU / (mu * (g - 1.0))
         e = cv * T
         p = rho * e * (g - 1.0)
         h = e + p / rho
@@ -94,7 +99,7 @@ class GammaLawEos(Eos):
     def re(self, rho, e, xn=None) -> EosState:
         g = self.gamma
         mu = self.mu_from_xn(xn)
-        cv = C.k_B / (mu * C.m_u * (g - 1.0))
+        cv = self._KB_OVER_MU / (mu * (g - 1.0))
         T = e / cv
         return self._fill(rho, T, xn)
 

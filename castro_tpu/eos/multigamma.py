@@ -20,10 +20,10 @@ class MultigammaEos(GammaLawEos):
         """Effective gamma: cv-weighted mixture."""
         a = self.network.aion.reshape((-1,) + (1,) * (xn.ndim - 1))
         g = self.gammas.reshape((-1,) + (1,) * (xn.ndim - 1))
-        cv_k = C.k_B / (a * C.m_u * (g - 1.0))
+        cv_k = (float(C.k_B) / float(C.m_u)) / (a * (g - 1.0))
         cv = jnp.sum(xn * cv_k, axis=0)
         # p = sum_k rho X_k kT/(A_k m_u) ; e = cv T  => gamma_eff = 1 + R_mix/cv
-        R_mix = jnp.sum(xn * C.k_B / (a * C.m_u), axis=0)
+        R_mix = jnp.sum(xn * (float(C.k_B) / float(C.m_u)) / a, axis=0)
         return 1.0 + R_mix / cv
 
     def rt(self, rho, T, xn=None) -> EosState:
@@ -31,7 +31,7 @@ class MultigammaEos(GammaLawEos):
             return super().rt(rho, T, xn)
         g = self._gamma_eff(xn)
         mu = self.mu_from_xn(xn)
-        cv = C.k_B / (mu * C.m_u * (g - 1.0))
+        cv = (float(C.k_B) / float(C.m_u)) / (mu * (g - 1.0))
         e = cv * T
         p = rho * e * (g - 1.0)
         abar, zbar = self._abar_zbar(xn)
@@ -51,7 +51,7 @@ class MultigammaEos(GammaLawEos):
             return super().re(rho, e, xn)
         g = self._gamma_eff(xn)
         mu = self.mu_from_xn(xn)
-        cv = C.k_B / (mu * C.m_u * (g - 1.0))
+        cv = (float(C.k_B) / float(C.m_u)) / (mu * (g - 1.0))
         return self.rt(rho, e / cv, xn)
 
     def rp(self, rho, p, xn=None) -> EosState:

@@ -31,7 +31,7 @@ class PolytropeEos(GammaLawEos):
         p = self.K * rho ** g
         e = p / (rho * (g - 1.0))
         mu = self.mu_from_xn(xn)
-        cv = C.k_B / (mu * C.m_u * (g - 1.0))
+        cv = (float(C.k_B) / float(C.m_u)) / (mu * (g - 1.0))
         T = e / cv
         st = super()._fill(rho, T, xn)
         return st

@@ -254,10 +254,18 @@ class Gravity:
                 bvh.append(self._face_phi(mtot, center, d, "hi", geom))
             return bvl, bvh
 
-        # source moments q_i = sum rho vol r^l Y_i(theta, phi)
+        # source moments q_i = sum rho vol (r/r_ref)^l Y_i(theta, phi).
+        # Radii are normalized by a domain scale so the moments stay in
+        # f32 range (rho*vol*r^2 ~ 1e43 cgs overflows float32; the
+        # production TPU dtype); the face evaluation divides the same
+        # scale back out.
+        r_ref = max(0.5 * (self.geom.prob_hi[d] - self.geom.prob_lo[d])
+                    for d in range(geom.dim))
+
         def angles(xyz, rr):
             z = xyz[2] if geom.dim == 3 else jnp.zeros_like(rr)
-            cost = jnp.where(rr > 0, z / jnp.maximum(rr, 1e-300), 0.0)
+            pos = rr > 0
+            cost = jnp.where(pos, z / jnp.where(pos, rr, 1.0), 0.0)
             phi_ang = jnp.arctan2(xyz[1], xyz[0])
             return cost, phi_ang
 
@@ -272,7 +280,7 @@ class Gravity:
         Ys = _real_sph_harm(lnum, cost, phi_ang)
         moments = []
         for l, Y in Ys:
-            q = jnp.sum(rho * vol * r ** l * Y)
+            q = jnp.sum(rho * vol * (r / r_ref) ** l * Y)
             if ctx is not None:
                 q = ctx.psum(q)
             moments.append((l, q))
@@ -298,13 +306,17 @@ class Gravity:
             while len(fx) < 3:
                 fx.append(jnp.zeros(target, geom.dtype))
             rr = jnp.sqrt(sum(c * c for c in fx))
-            rr = jnp.maximum(rr, 1e-300)
+            rr = jnp.maximum(rr, 1e-3 * r_ref)
             cost_f, phi_f = angles(fx, rr)
             Yf = _real_sph_harm(lnum, cost_f, phi_f)
+            # phi = -G sum 4pi/(2l+1) q_norm Y / (rr * (rr/r_ref)^l):
+            # the r_ref^l normalization of the moments divides back out
+            # through the scaled radius, keeping every factor in f32 range
+            s = rr / r_ref
             phi_val = 0.0
             for (l, q), (_, Y) in zip(moments, Yf):
                 phi_val = phi_val - C.Gconst * (4.0 * math.pi / (2 * l + 1)) \
-                    * q * Y / rr ** (l + 1)
+                    * q * Y / (rr * s ** l)
             return phi_val
 
         bvl = [face_vals(d, "lo") for d in range(geom.dim)]

@@ -96,14 +96,19 @@ def make_burner(network, eos, rtol=1e-6, atol_x=1e-8, atol_e=1e-6,
         # derive from rho_f so the carry stays axis-varying under shard_map
         t0 = (rho_f * 0).astype(y0.dtype)
         h0 = t0 + dt / 16.0
+        # completion threshold in units of the WORKING dtype's epsilon:
+        # with f32 state, t accumulates ~eps_f32 roundoff per substep, so
+        # an f64-idiom (1 - 1e-12) margin flags converged zones as failed
+        eps = float(jnp.finfo(y0.dtype).eps)
+        t_done = dt * (1.0 - 100.0 * eps)
 
         def cond(state):
             t, h, y, it = state
-            return (it < max_substeps) & jnp.any(t < dt * (1 - 1e-12))
+            return (it < max_substeps) & jnp.any(t < t_done)
 
         def body(state):
             t, h, y, it = state
-            active = t < dt * (1 - 1e-12)
+            active = t < t_done
             h_eff = jnp.where(active, jnp.minimum(h, dt - t), h)
             y_new, err = rosenbrock_step(y, rho_f, h_eff, force)
 
@@ -126,7 +131,7 @@ def make_burner(network, eos, rtol=1e-6, atol_x=1e-8, atol_e=1e-6,
             return t, h, y, it + 1
 
         t, h, y, it = lax.while_loop(cond, body, (t0, h0, y0, 0))
-        fail = (t < dt * (1 - 1e-12)).reshape(shape)
+        fail = (t < t_done).reshape(shape)
 
         xn_new = jnp.clip(y[:, :nspec].T.reshape((nspec,) + shape), 0.0, 1.0)
         ssum = jnp.sum(xn_new, axis=0)

@@ -190,23 +190,32 @@ class MhdSolver:
             dudt = dudt - (shifted(Fgas, 1, 1 + d) - Fgas) / self.geom.dx[d]
         return dudt, FB_all
 
-    def step_rk2(self, state: MhdState, dt):
-        sim = self.sim
+    def fill_u(self, u, ctx=None, t=0.0):
+        return ctx.fill(u, t) if ctx is not None else self.sim._fill(u, t)
+
+    def fill_b_all(self, b, ctx=None):
+        """Face-field ghost fill: the ctx hook (halo exchange under
+        shard_map) when present, else the single-device _fill_b."""
+        if ctx is not None and ctx.fill_b is not None:
+            return ctx.fill_b(b)
+        return tuple(self._fill_b(bb, d) for d, bb in enumerate(b))
+
+    def step_rk2(self, state: MhdState, dt, ctx=None):
         u, b = state
-        u = sim._fill(u)
-        b = tuple(self._fill_b(bb, d) for d, bb in enumerate(b))
+        u = self.fill_u(u, ctx)
+        b = self.fill_b_all(b, ctx)
 
         dudt1, FB1 = self.rhs(u, b)
         u1 = u + dt * dudt1
         b1 = self.emf_update(b, FB1, dt)
-        u1 = self._clean(u1, b1)
-        b1 = tuple(self._fill_b(bb, d) for d, bb in enumerate(b1))
+        u1 = self._clean(u1, b1, ctx)
+        b1 = self.fill_b_all(b1, ctx)
 
         dudt2, FB2 = self.rhs(u1, b1)
         u2 = 0.5 * (u + u1 + dt * dudt2)
         b2h = self.emf_update(b1, FB2, dt)
         b2 = tuple(0.5 * (b[d] + b2h[d]) for d in range(len(b)))
-        u2 = self._clean(u2, b2)
+        u2 = self._clean(u2, b2, ctx)
         return MhdState(u2, b2)
 
     # -- CTU-CT (corner-coupled constrained transport, 3D) -------------------
@@ -233,7 +242,8 @@ class MhdSolver:
                 comps[i] = jnp.zeros_like(rho)
         return jnp.stack(comps), es.cs
 
-    def step_ctu(self, state: "MhdState", dt, srcQ=None, keep_fluxes=False):
+    def step_ctu(self, state: "MhdState", dt, srcQ=None, keep_fluxes=False,
+                 ctx=None):
         """One CTU-CT step (reference construct_ctu_mhd_source,
         `Source/mhd/Castro_mhd.cpp:7-724`; Miniati & Martin algorithm:
         12 HLLD solves + 3 rounds of Gardiner-Stone edge EMFs). 3D only;
@@ -256,8 +266,8 @@ class MhdSolver:
         small_pres = sim.cfg.small_pres
 
         u, b = state
-        u = sim._fill(u)
-        b = tuple(self._fill_b(bb, d) for d, bb in enumerate(b))
+        u = self.fill_u(u, ctx)
+        b = self.fill_b_all(b, ctx)
 
         qx, cs = self.ctoprim_ext(u, b)
         QMG, UMG = cc.ext_layout(L)
@@ -381,15 +391,15 @@ class MhdSolver:
         b_new[2] = b[2] + dt * (
             (shifted(E3[0], 1, 1) - E3[0]) / dx[1]
             - (shifted(E3[1], 1, 0) - E3[1]) / dx[0])
-        b_new = tuple(self._fill_b(bb, d) for d, bb in enumerate(b_new))
+        b_new = self.fill_b_all(tuple(b_new), ctx)
 
-        u_new = self._clean(u_new, b_new)
+        u_new = self._clean(u_new, b_new, ctx)
         if keep_fluxes:
             return MhdState(u_new, b_new), [flxf[d][:L.NVAR]
                                             for d in range(3)]
         return MhdState(u_new, b_new)
 
-    def _clean(self, u, b):
+    def _clean(self, u, b, ctx=None):
         """MHD clean_state: density floor, dual-energy reset with the
         magnetic contribution removed (reference add_magnetic_e /
         reset logic, `Source/driver/Castro.H:823-850`), temperature."""
@@ -410,7 +420,7 @@ class MhdSolver:
         xn = u[L.UFS:L.UFS + L.nspec] / rho[None]
         es = sim.eos.re(rho=rho, e=eint / rho, xn=xn)
         u = u.at[L.UTEMP].set(es.T)
-        return sim._fill(u)
+        return self.fill_u(u, ctx)
 
     def _b_1d_update(self, b, FB_all, dt):
         """1D: Bx constant; By/Bz evolve from the x-flux (stored as cell

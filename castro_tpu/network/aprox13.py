@@ -121,14 +121,30 @@ def _rev_2body(T9, q_mev, a1, a2, a3, a4):
         jnp.maximum(-q_mev * 11.6045 / T9, -200.0))
 
 
+def _exp_rate(lograte):
+    """exp of a log-space rate, clamped to f32-safe range: underflow to
+    zero is physical (cold zones), overflow must not reach inf because a
+    downstream inf*0 makes NaN (the f32 full-physics failure mode)."""
+    return jnp.exp(jnp.clip(lograte, -200.0, 85.0))
+
+
 def _cf88_rates(T9):
-    """The CF88 analytic fits (N_A<sigma v>, cm^3/mol/s). Returns a dict."""
+    """The CF88 analytic fits (N_A<sigma v>, cm^3/mol/s). Returns a dict.
+
+    The heavy-ion fusion fits carry prefactors up to 7.1e36; evaluated
+    directly, `prefactor * T9^{-2/3}` overflows float32 at low T9 and the
+    subsequent multiply by the underflowed exp() factor yields NaN — so
+    every rate with a prefactor near the f32 ceiling is evaluated in log
+    space (the production TPU dtype is f32)."""
+    import math as _m
+
     T913 = T9 ** (1.0 / 3.0)
     T923 = T913 * T913
     T932 = T9 * jnp.sqrt(T9)
     T9m13 = 1.0 / T913
     T9m23 = 1.0 / T923
     T9m32 = 1.0 / T932
+    lnT9 = jnp.log(T9)
 
     r = {}
 
@@ -141,21 +157,24 @@ def _cf88_rates(T9):
     t4 = 1.43e-2 * T9 ** 5 * jnp.exp(-15.541 / T9)
     r["c12ag"] = 1.7 * (t1 + t2 + t3 + t4)
 
-    # c12 + c12 -> ne20 + a — CF88
+    # c12 + c12 -> ne20 + a — CF88 (log form)
     T9a = T9 / (1.0 + 0.0396 * T9)
-    r["c12c12"] = 4.27e26 * T9a ** (5.0 / 6.0) * T9m32 * \
-        jnp.exp(-84.165 / T9a ** (1.0 / 3.0) - 2.12e-3 * T9 ** 3)
+    r["c12c12"] = _exp_rate(
+        _m.log(4.27e26) + (5.0 / 6.0) * jnp.log(T9a) - 1.5 * lnT9
+        - 84.165 / T9a ** (1.0 / 3.0) - 2.12e-3 * T9 ** 3)
 
-    # c12 + o16 -> mg24 + a — CF88 (T9 > 0.5 fit)
+    # c12 + o16 -> mg24 + a — CF88 (T9 > 0.5 fit; log form)
     T9b = T9 / (1.0 + 0.055 * T9)
-    r["c12o16"] = 1.72e31 * T9b ** (5.0 / 6.0) * T9m32 * \
-        jnp.exp(-106.594 / T9b ** (1.0 / 3.0)) / (
-            jnp.exp(-0.18 * T9b * T9b) + 1.06e-3 * jnp.exp(
-                2.562 * T9b ** (2.0 / 3.0)))
+    den_co = jnp.exp(-0.18 * T9b * T9b) + 1.06e-3 * jnp.exp(
+        jnp.minimum(2.562 * T9b ** (2.0 / 3.0), 85.0))
+    r["c12o16"] = _exp_rate(
+        _m.log(1.72e31) + (5.0 / 6.0) * jnp.log(T9b) - 1.5 * lnT9
+        - 106.594 / T9b ** (1.0 / 3.0) - jnp.log(den_co))
 
-    # o16 + o16 -> si28 + a — CF88
-    r["o16o16"] = 7.10e36 * T9m23 * jnp.exp(
-        -135.93 * T9m13 - 0.629 * T923 - 0.445 * T923 * T923 +
+    # o16 + o16 -> si28 + a — CF88 (log form)
+    r["o16o16"] = _exp_rate(
+        _m.log(7.10e36) - (2.0 / 3.0) * lnT9
+        - 135.93 * T9m13 - 0.629 * T923 - 0.445 * T923 * T923 +
         0.0103 * T9 * T9)
 
     # o16(a,g)ne20 — CF88

@@ -68,7 +68,10 @@ _LAM_O15 = _LN2 / 122.24
 _LAM_F17 = _LN2 / 64.49
 # mean neutrino energy per decay [MeV]
 _ENU_N13 = 0.706
-_ENU_O14 = 0.5 * (8.00736 - 2.86342 - 1.022)   # equipartition of <Q_e+>
+# O14 beta+ goes >99% to the 2.313 MeV excited state of N14 (the
+# superallowed branch, endpoint 1.81 MeV), so <E_nu> ~ equipartition of
+# the EXCITED-state branch Q, ~0.8 MeV — not half the ground-state Q
+_ENU_O14 = 0.8
 _ENU_O15 = 1.00
 _ENU_F17 = 0.97
 
@@ -253,7 +256,7 @@ class NovaNetwork(Network):
         if self.include_neutrinos:
             from castro_tpu.network.neutrino import sneut
 
-            ysum = jnp.maximum(jnp.sum(ydot_arr * 0.0 + Y, axis=0), 1e-300)
+            ysum = jnp.maximum(jnp.sum(Y, axis=0), 1e-300)
             abar = 1.0 / ysum
             zbar = abar * jnp.sum(Y * self.zion.reshape(sh), axis=0)
             edot = edot - sneut(rho, T, abar, zbar)

@@ -25,10 +25,12 @@ Effective links (bottleneck in brackets):
   f17 + 2p -> o15 + he4 + e+nu      [f17 beta+, t1/2 = 64.49 s] then
                                     o17(p,a)n14(p,g)o15
   o15 + a + 3p -> mg22 + e+nu       [o15(a,g)ne19, WW81 scale]
-  mg22 + 2a -> s30 + 2 e+nu         [slowest (a,p) in the chain,
-                                    Gamow form on Mg22; WW81 lambda1]
-  s30 + 6a + 2p -> ni56 + 4 e+nu    [slowest (a,p) in the chain,
-                                    Gamow form on S30; WW81 lambda2]
+  mg22 + 2a -> s30                  [slowest (a,p) in the chain,
+                                    Gamow form on Mg22; WW81 lambda1;
+                                    Z-balanced: zero beta+]
+  s30 + 6a + 2p -> ni56 + 2 e+nu    [slowest (a,p) in the chain,
+                                    Gamow form on S30; WW81 lambda2;
+                                    Z: 30 -> 28, two beta+]
 
 CF88 fits come from `nova.cno_rates` / `aprox13._cf88_rates`; the WW81
 effective upper-chain links use non-resonant Gamow-window forms with
@@ -169,8 +171,12 @@ class RproxNetwork(Network):
         lam_opg = cno["o16pg"] * scr(1.0, 8.0)
         fwd = rho * Yp * Y[IO16] * lam_opg
         q_f17 = 0.600  # p separation energy of F17 [MeV]
-        rev = 9.8685e9 * T9 ** 1.5 * (16.0 / 17.0) ** 1.5 * jnp.exp(
-            jnp.maximum(-q_f17 * 11.6045 / T9, -200.0)) * lam_opg * Y[IF17]
+        # detailed balance including the spin/partition factor
+        # g_p g_O16 / g_F17 = 2*1/6 = 1/3 (F17 g.s. is 5/2+): the reverse
+        # coefficient is ~3.04e9, not the bare 9.8685e9 kinematic factor
+        rev = (1.0 / 3.0) * 9.8685e9 * T9 ** 1.5 * (16.0 / 17.0) ** 1.5 * \
+            jnp.exp(jnp.maximum(-q_f17 * 11.6045 / T9, -200.0)) * \
+            lam_opg * Y[IF17]
         add([(IH1, -1.0), (IO16, -1.0), (IF17, 1.0)], fwd - rev)
 
         # breakout
@@ -186,13 +192,16 @@ class RproxNetwork(Network):
         add([(IO15, -1.0), (IHE4, -1.0), (IH1, -3.0), (IMG22, 1.0)], r_brk)
         enu = enu + 1.0 * r_brk
 
-        # upper chain to ni56 (WW81 lambda1/lambda2 bottlenecks)
+        # upper chain to ni56 (WW81 lambda1/lambda2 bottlenecks).
+        # beta+ counts follow the net charge change of each collapsed
+        # link: mg22 + 2a -> s30 is exactly Z-balanced (12+4 = 16, zero
+        # betas, no nu loss); s30 + 6a + 2p -> ni56 requires exactly 2
+        # beta+ (Z: 16+12+2 = 30 -> 28), ~1 MeV mean nu energy each.
         r1 = rho * Ya * Y[IMG22] * rp["mg22_chain"] * scr(2.0, 12.0)
         add([(IMG22, -1.0), (IHE4, -2.0), (IS30, 1.0)], r1)
-        enu = enu + 2.0 * r1
         r2 = rho * Ya * Y[IS30] * rp["s30_chain"] * scr(2.0, 16.0)
         add([(IS30, -1.0), (IHE4, -6.0), (IH1, -2.0), (INI56, 1.0)], r2)
-        enu = enu + 4.0 * r2
+        enu = enu + 2.0 * r2
 
         ydot_arr = jnp.stack(ydot)
         sh = (-1,) + (1,) * (xn.ndim - 1)

