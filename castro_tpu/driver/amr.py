@@ -34,13 +34,14 @@ from castro_tpu.config import Params
 from castro_tpu.driver.sim import Simulation, StepCtx
 from castro_tpu.driver.tagging import tag_cells
 from castro_tpu.geometry import geometry_from_params
-from castro_tpu.ops.interlevel import (coarsen_flux, prolong, prolong_mask,
-                                       restrict, restrict_mask)
+from castro_tpu.ops.interlevel import (coarsen_flux, prolong, prolong_face,
+                                       prolong_mask, restrict, restrict_edge,
+                                       restrict_face, restrict_mask)
 from castro_tpu.ops.stencil import interior_slice
 
 BUCKET = 16   # window extents rounded up to multiples of this (fine cells)
 MARGIN = 8    # unmasked fine-cell ring kept around tags (>= ng + stencil)
-MAX_WINDOWS = 4  # max disjoint windows per level before falling back to hull
+MAX_WINDOWS = 8  # max disjoint windows per level before falling back to hull
 
 
 def _cluster_tags(t: np.ndarray, merge_gap: int) -> List[tuple]:
@@ -134,8 +135,58 @@ class _Level:
             return sim._step_impl(u, dt, t, ctx=ctx)
 
         self.jit_step = jax.jit(step)
+        # batched patch program (SURVEY §7: equal-shape windows step as
+        # ONE [npatch, ...] vmapped program — the BoxArray analog; XLA
+        # tiles the batch onto the hardware, and under a mesh the batch
+        # axis is sharded so patches DISTRIBUTE instead of replicating)
+        self.jit_step_batch = jax.jit(jax.vmap(
+            lambda u, dt, t, ilo: step(u, dt, t, ilo),
+            in_axes=(0, None, None, 0)))
         self.jit_estdt = jax.jit(sim._estdt_impl)
         self.jit_clean_fill = jax.jit(sim._clean_fill_impl)
+
+        if sim.sdc is not None:
+            # SDC x AMR (reference: do_advance_sdc runs per level under
+            # the Amr recursion, Castro_advance_sdc.cpp:26): the window's
+            # step is the true-SDC advance — the MOL node evaluations read
+            # only dx from the (dx-correct) window geometry, the ring
+            # carries the coarse-fine data exactly as for CTU, and the
+            # quadrature-averaged node fluxes feed the flux registers.
+            ng_ = sim.ng
+            dim_ = sim.layout.dim
+
+            def sdc_step(u, dt, t, ilo, grav_bc=None):
+                u_new, fail, fl = sim.sdc.advance(u, dt, t,
+                                                  keep_fluxes=True)
+                inner = interior_slice(ng_, dim_)
+                min_rho = jnp.min(u_new[inner][sim.layout.URHO])
+                bad = ~jnp.isfinite(jnp.sum(u_new[inner])) | fail
+                fint = []
+                for d in range(dim_):
+                    idx = [slice(None)] + [slice(ng_, -ng_)] * dim_
+                    idx[1 + d] = slice(ng_, u.shape[1 + d] - ng_ + 1)
+                    fint.append(fl[d][tuple(idx)])
+                return u_new, min_rho, bad, fint
+
+            self.jit_step = jax.jit(sdc_step)
+
+        self.jit_mhd_step = None
+        if sim.mhd is not None:
+            def mhd_step(u, b, dt, t, ilo, grav_bc=None):
+                geom = geom_full.local_view(self.shape, tuple(ilo))
+                ctx = StepCtx(fill=sim._fill, pmin=jnp.min,
+                              pany=lambda x: x, psum=lambda x: x,
+                              geom=geom, axis_names=(), grav_bc=grav_bc)
+                return sim._mhd_step_impl(u, b, dt, t, ctx=ctx,
+                                          keep_ct=True)
+
+            self.jit_mhd_step = jax.jit(mhd_step)
+            self.jit_estdt = jax.jit(sim._mhd_estdt_impl)
+            self.jit_mhd_clean = jax.jit(
+                lambda u, b: sim.mhd._clean(u, b))
+            self.jit_fill_b = jax.jit(
+                lambda b: tuple(sim.mhd._fill_b(bb, d)
+                                for d, bb in enumerate(b)))
 
         grav = next((fn.gravity for fn in sim.source_fns
                      if getattr(fn, "name", "") == "grav"), None)
@@ -190,6 +241,32 @@ class AmrSimulation:
         self.sim0 = Simulation(_level_params(params, 0),
                                problem_init=problem_init, **sim_kw)
         self.sim0.keep_fluxes = self.max_level > 0
+        if self.sim0.sdc is not None:
+            # SDC x AMR: level 0 advances with the true-SDC step too; the
+            # wrapper matches _jit_step's (u, min_rho, bad, fluxes)
+            # contract so the Amr recursion is integrator-agnostic
+            # (reference Castro_advance_sdc.cpp:26 under Amr::timeStep)
+            assert mesh is None, "sharded SDC AMR not composed"
+            sim0 = self.sim0
+            ng_ = sim0.ng
+            dim_ = sim0.layout.dim
+
+            def _sdc_step0(u, dt, t):
+                u_new, fail, fl = sim0.sdc.advance(u, dt, t,
+                                                   keep_fluxes=True)
+                inner = interior_slice(ng_, dim_)
+                min_rho = jnp.min(u_new[inner][sim0.layout.URHO])
+                bad = ~jnp.isfinite(jnp.sum(u_new[inner])) | fail
+                if not sim0.keep_fluxes:
+                    return u_new, min_rho, bad
+                fint = []
+                for d in range(dim_):
+                    idx = [slice(None)] + [slice(ng_, -ng_)] * dim_
+                    idx[1 + d] = slice(ng_, u.shape[1 + d] - ng_ + 1)
+                    fint.append(fl[d][tuple(idx)])
+                return u_new, min_rho, bad, fint
+
+            self.sim0._jit_step = jax.jit(_sdc_step0)
         self._sharded_step0 = None
         if mesh is not None:
             from castro_tpu.parallel.decomp import make_sharded_step
@@ -242,20 +319,64 @@ class AmrSimulation:
         # solves (coarse-Er Dirichlet BCs) + deferred flux sync into the
         # next coarse solve (reference Radiation flux registers +
         # deferred_sync, Radiation.cpp:247-289,1731-1830)
-        self._has_rad = (self.sim0.rad is not None
-                         and self.sim0.layout.ngroups == 1)
+        # AMR MHD (reference: MHD is just Castro with USE_MHD under the
+        # same Amr recursion, `Source/mhd/Castro_mhd.cpp` +
+        # `Castro_advance_ctu.cpp:16`): per-level face fields u_b with
+        # divergence-free fillpatch (prolong_face), and a CT flux register
+        # — the coarse faces are corrected by the curl of the accumulated
+        # fine-edge-EMF / coarse-EMF mismatch, which reproduces fine-face
+        # restriction on covered faces (telescoping of the fine CT
+        # updates) and EMF-refluxes the uncovered interface faces, keeping
+        # div B = 0 on every level to round-off.
+        self._has_mhd = params.castro.do_mhd == 1 and self.max_level > 0
+        if self._has_mhd:
+            if mesh is not None:
+                raise NotImplementedError(
+                    "distributed AMR MHD not composed yet")
+            assert params.castro.mhd_ctu, \
+                "AMR MHD requires the CTU-CT scheme (castro.mhd_ctu=1)"
+            self._jit_mhd_step0 = jax.jit(
+                lambda u, b, dt, t: self.sim0._mhd_step_impl(
+                    u, b, dt, t, keep_ct=True))
+            self._jit_mhd_clean0 = jax.jit(
+                lambda u, b: self.sim0.mhd._clean(u, b))
+            self._jit_fill_b0 = jax.jit(
+                lambda b: tuple(self.sim0.mhd._fill_b(bb, d)
+                                for d, bb in enumerate(b)))
+        self.u_b: List = [None] * (self.max_level + 1)
+        self.u_b_old: List = [None] * (self.max_level + 1)
+
+        self._has_rad = self.sim0.rad is not None
+        assert not (self._has_mhd and self._has_rad), \
+            "AMR MHD + radiation not composed (reference has no rad-MHD)"
+        # multigroup AMR radiation: Er carries a LEADING GROUP AXIS; all
+        # interlevel transfers run per group (reference HypreMultiABec
+        # multilevel multigroup solves, MGFLDRadSolver.cpp:21-120)
+        self._rad_cax = 1 if self.sim0.layout.ngroups > 1 else 0
         self.u_rad: List = [None] * (self.max_level + 1)
         self.u_rad_old: List = [None] * (self.max_level + 1)
         self._cur_rad_bc: Dict[int, object] = {}
         self._rad_sync_rhs: Dict[int, object] = {}
         self._jit_rad_step0 = None
+        self._sharded_rad_step0 = None
         if self._has_rad:
             if mesh is not None:
-                raise NotImplementedError(
-                    "distributed AMR radiation not composed yet")
-            self._jit_rad_step0 = jax.jit(
-                lambda u, Er, dt, t, rhs: self.sim0._rad_step_impl(
-                    u, Er, dt, t, rad_rhs_extra=rhs, keep_rad_flux=True))
+                # distributed AMR radiation: level 0 advances under the
+                # mesh, the implicit solve through the DISTRIBUTED MG
+                # (multigrid.py axis_names mode); register fluxes are
+                # re-derived globally from the sharded field
+                from castro_tpu.parallel.decomp import make_sharded_rad_step
+
+                self._sharded_rad_step0 = make_sharded_rad_step(
+                    self.sim0, mesh, keep_fluxes=self.max_level > 0)
+                self._jit_rad_flux0 = jax.jit(
+                    lambda Er, rho, T: self.sim0.rad.level_fluxes(
+                        Er, rho, T))
+            else:
+                self._jit_rad_step0 = jax.jit(
+                    lambda u, Er, dt, t, rhs: self.sim0._rad_step_impl(
+                        u, Er, dt, t, rad_rhs_extra=rhs,
+                        keep_rad_flux=True))
 
     # ------------------------------------------------------------------ setup
     @staticmethod
@@ -356,18 +477,28 @@ class AmrSimulation:
     def _compute_extra_windows(self, l_fine, tags_global_c):
         """Disjoint-cluster windows beyond the primary (SURVEY §7 patch
         batches; reference BoxArray semantics for separated refined
-        regions). Scope: level 1 of a 2-level hierarchy — deeper levels
-        keep the single-hull window. Returns (primary, extras): the
-        primary is the largest cluster's window."""
+        regions) at ANY level. Extras are proper-nested inside the
+        PARENT'S primary window (their own children clamp to this level's
+        primary — extras do not spawn children, documented scope).
+        Returns (primary, extras): the primary is the largest cluster's
+        window; equal-shape extras step as one vmapped batch program."""
         t = np.asarray(tags_global_c)
-        if (l_fine != 1 or self.max_level != 1 or not t.any()):
+        if not t.any():
             return self._compute_window(l_fine, t), []
         boxes = _cluster_tags(t, merge_gap=MARGIN)
         if len(boxes) <= 1 or len(boxes) > MAX_WINDOWS:
             return self._compute_window(l_fine, t), []
-        n_f = tuple(self.params.amr.n_cell[k] * 2 for k in range(self.dim))
-        blo = (0,) * self.dim
-        wins = [self._box_to_window(lo, hi, blo, n_f) for lo, hi in boxes]
+        # proper-nesting bounds: the parent's primary window footprint
+        if l_fine - 1 > 0 and self.window[l_fine - 1] is not None:
+            p_ilo, p_shape = self.window[l_fine - 1]
+            blo = tuple(2 * int(p_ilo[k]) for k in range(self.dim))
+            bhi = tuple(2 * (int(p_ilo[k]) + p_shape[k])
+                        for k in range(self.dim))
+        else:
+            blo = (0,) * self.dim
+            bhi = tuple(self.params.amr.n_cell[k] * 2 ** l_fine
+                        for k in range(self.dim))
+        wins = [self._box_to_window(lo, hi, blo, bhi) for lo, hi in boxes]
         # order by volume (primary = largest); drop overlap by merging if
         # bucketing made any pair overlap after all
         wins.sort(key=lambda w: -int(np.prod(w[1])))
@@ -404,15 +535,21 @@ class AmrSimulation:
         self.masks[0] = jnp.ones(self.sim0.geom.n_cell, bool)
         if self._has_rad:
             self.u_rad[0] = self.sim0.u_rad
+        if self._has_mhd:
+            self.u_b[0] = self.sim0.u_b
         for l in range(1, self.max_level + 1):
             tags = self._tags_for(l - 1)
-            if l == 1 and not self._has_rad:
+            if not self._has_rad and not self._has_mhd:
                 (ilo, shape), extras = self._compute_extra_windows(l, tags)
             else:
                 ilo, shape = self._compute_window(l, tags)
                 extras = []
             self.window[l] = (ilo, shape)
-            self.u[l] = self._make_window_state(l, (ilo, shape))
+            if self._has_mhd:
+                self.u[l], self.u_b[l] = self._make_window_state_mhd(
+                    l, (ilo, shape))
+            else:
+                self.u[l] = self._make_window_state(l, (ilo, shape))
             self.masks[l] = self._window_mask(l, tags)
             self.extra[l] = [
                 {"ilo": e[0], "shape": e[1],
@@ -422,8 +559,10 @@ class AmrSimulation:
                 for e in extras]
             if self._has_rad:
                 csl = self._parent_rel_slice(l)
-                self.u_rad[l] = prolong(self.u_rad[l - 1][csl], self.dim,
-                                        comp_axes=0)
+                cx = (slice(None),) * self._rad_cax
+                self.u_rad[l] = prolong(self.u_rad[l - 1][cx + csl],
+                                        self.dim,
+                                        comp_axes=self._rad_cax)
         return self
 
     def _make_window_state(self, l, win):
@@ -436,6 +575,27 @@ class AmrSimulation:
             shim = _GeomShim(lev.sim, self._win_geom(l, win=win))
             u = self.problem_init(shim, u)
         return lev.jit_clean_fill(u)
+
+    def _make_window_state_mhd(self, l, win):
+        """Problem data (u, b) on one window (reference Amr::init calls
+        initData per level — MHD problem hooks define the face field
+        analytically, so the fine window's B is divergence-free by
+        construction exactly like the level-0 init, sim.init_data)."""
+        ilo, shape = win
+        lev = self._get_level(l, shape)
+        L = self.sim0.layout
+        gshape = tuple(s + 2 * self.ng for s in shape)
+        u = jnp.zeros((L.NVAR,) + gshape, self.dtype)
+        b = tuple(jnp.zeros(gshape, self.dtype) for _ in range(3))
+        if self.problem_init is not None:
+            shim = _GeomShim(lev.sim, self._win_geom(l, win=win))
+            u, b = self.problem_init(shim, u, b)
+        bc = lev.sim.mhd.cell_b(b)
+        pb = 0.5 * sum(bb * bb for bb in bc)
+        u = u.at[L.UEDEN].add(pb)
+        b = lev.jit_fill_b(tuple(jnp.asarray(bb, self.dtype) for bb in b))
+        u = lev.jit_mhd_clean(jnp.asarray(u, self.dtype), b)
+        return u, b
 
     def _tags_for(self, l):
         """Dense tags over level l's FULL grid (window tags scattered)."""
@@ -461,10 +621,13 @@ class AmrSimulation:
         return mask
 
     # ------------------------------------------------------------------ regrid
-    def _migrate_window(self, l, win, old_wins, fill_new=True):
+    def _migrate_window(self, l, win, old_wins, fill_new=True,
+                        b_clean=None):
         """Build a (new) level-l window's state: prolonged coarse data
         everywhere, then overlap copies from the old windows' valid
-        (masked) fine data. Returns the grown, cleaned state."""
+        (masked) fine data. Returns the grown, cleaned state. `b_clean`:
+        the window's (already migrated) face field — selects the MHD
+        clean, whose dual-energy reset subtracts the magnetic energy."""
         new_ilo, new_shape = win
         lev = self._get_level(l, new_shape)
         c_int = self.u[l - 1][interior_slice(self.ng, self.dim)]
@@ -489,6 +652,8 @@ class AmrSimulation:
                     new_int = new_int.at[dst].set(
                         jnp.where(m_src[None], old_int[src], new_int[dst]))
         pads = [(0, 0)] + [(self.ng, self.ng)] * self.dim
+        if b_clean is not None:
+            return lev.jit_mhd_clean(jnp.pad(new_int, pads), b_clean)
         return lev.jit_clean_fill(jnp.pad(new_int, pads))
 
     def regrid(self, fill_new=True):
@@ -497,7 +662,7 @@ class AmrSimulation:
         for new regions)."""
         for l in range(self.max_level):
             tags = self._tags_for(l)
-            if l + 1 == 1 and not self._has_rad:
+            if not self._has_rad and not self._has_mhd:
                 (new_ilo, new_shape), new_extras = \
                     self._compute_extra_windows(l + 1, tags)
             else:
@@ -516,29 +681,35 @@ class AmrSimulation:
             if self._has_rad:
                 csl = self._parent_rel_slice(l + 1,
                                              win=(new_ilo, new_shape))
-                new_rad = prolong(self.u_rad[l][csl], self.dim,
-                                  comp_axes=0)
+                cx = (slice(None),) * self._rad_cax
+                new_rad = prolong(self.u_rad[l][cx + csl], self.dim,
+                                  comp_axes=self._rad_cax)
                 if self.u_rad[l + 1] is not None and fill_new:
                     old_ilo, old_shape = self.window[l + 1]
                     lo = np.maximum(new_ilo, old_ilo)
                     hi = np.minimum(new_ilo + np.asarray(new_shape),
                                     old_ilo + np.asarray(old_shape))
                     if np.all(hi > lo):
-                        src = tuple(slice(int(lo[k] - old_ilo[k]),
-                                          int(hi[k] - old_ilo[k]))
-                                    for k in range(self.dim))
-                        dst = tuple(slice(int(lo[k] - new_ilo[k]),
-                                          int(hi[k] - new_ilo[k]))
-                                    for k in range(self.dim))
-                        m_src = self.masks[l + 1][src]
+                        src = cx + tuple(slice(int(lo[k] - old_ilo[k]),
+                                               int(hi[k] - old_ilo[k]))
+                                         for k in range(self.dim))
+                        dst = cx + tuple(slice(int(lo[k] - new_ilo[k]),
+                                               int(hi[k] - new_ilo[k]))
+                                         for k in range(self.dim))
+                        m_src = self.masks[l + 1][src[self._rad_cax:]]
                         new_rad = new_rad.at[dst].set(
                             jnp.where(m_src, self.u_rad[l + 1][src],
                                       new_rad[dst]))
 
             # primary FIRST (its _parent_rel_slice consults window[l+1]
             # only through the explicit win argument)
+            new_b = None
+            if self._has_mhd:
+                new_b = self._prolong_window_b(
+                    l + 1, win=(new_ilo, new_shape))
             u_new = self._migrate_window(l + 1, (new_ilo, new_shape),
-                                         old_wins, fill_new)
+                                         old_wins, fill_new,
+                                         b_clean=new_b)
             new_extra_state = [
                 {"ilo": e[0], "shape": e[1],
                  "u": self._migrate_window(l + 1, e, old_wins, fill_new),
@@ -552,6 +723,14 @@ class AmrSimulation:
             self.extra[l + 1] = new_extra_state
             if new_rad is not None:
                 self.u_rad[l + 1] = new_rad
+            if self._has_mhd:
+                # face field: divergence-free prolongation from the coarse
+                # level everywhere (the coarse faces already carry the
+                # fine information on covered faces through the CT
+                # register correction, so re-prolonging keeps div B = 0
+                # EXACTLY through window moves; copying old fine faces
+                # into a moved window would seed seam divergence)
+                self.u_b[l + 1] = new_b
 
     # ------------------------------------------------------------------ dt
     def estimate_dt(self) -> float:
@@ -560,12 +739,16 @@ class AmrSimulation:
         c = self.params.castro
         if self._has_rad:
             dt = float(self.sim0._jit_estdt(self.u[0], self.u_rad[0]))
+        elif self._has_mhd:
+            dt = float(self.sim0._jit_mhd_estdt(self.u[0], self.u_b[0]))
         else:
             dt = float(self.sim0._jit_estdt(self.u[0]))
         for l in range(1, self.max_level + 1):
             lev = self._get_level(l, self.window[l][1])
             if self._has_rad:
                 dt_l = float(lev.jit_estdt(self.u[l], self.u_rad[l]))
+            elif self._has_mhd:
+                dt_l = float(lev.jit_estdt(self.u[l], self.u_b[l]))
             else:
                 dt_l = float(lev.jit_estdt(self.u[l]))
             dt = min(dt, dt_l * self.ref_ratio**l)
@@ -619,6 +802,98 @@ class AmrSimulation:
         ilo = jnp.asarray(self.window[l][0])
         return lev.jit_phi(rho, ilo, self._cur_grav_bc.get(l))
 
+    def _solve_phi_sync(self, l, u_l):
+        """Composite delta-phi sync solve (reference Gravity::gravity_sync,
+        `Gravity.cpp:488-631` + the phi flux register in
+        `Castro.cpp:2727-2760`): level solve -> fine-window Dirichlet
+        solve -> grad-phi flux-register mismatch at the coarse-fine
+        interface -> Poisson solve for delta-phi -> corrected coarse phi.
+
+        The reference rhs is (4 pi G drho + dphi); here phi is re-solved
+        from the CURRENT (post-reflux, post-avgDown) density every
+        bracketing, so the drho term is identically absorbed and the
+        register carries the composite-solve flux mismatch alone. The
+        corrected phi feeds the window Dirichlet BCs (both levels'
+        subsequent solves see the correction through them); the residual
+        diagnostic is exposed as `self.phi_sync_resid`."""
+        phi_c = self._solve_phi(l, u_l)
+        if l != 0 or l + 1 > self.max_level:
+            return phi_c
+        lev = self._get_level(l + 1, self.window[l + 1][1])
+        if lev.jit_phi is None:
+            return phi_c
+        dim = self.dim
+        ng = self.ng
+        sim = self._sims_at(l)
+        # fine window level solve against the uncorrected coarse phi
+        bc = self._window_face_bc(l + 1, phi_c)
+        L = self.sim0.layout
+        rho_f = self.u[l + 1][(L.URHO,) + interior_slice(ng, dim)[1:]]
+        ilo = jnp.asarray(self.window[l + 1][0])
+        phi_f = lev.jit_phi(rho_f, ilo, bc)
+
+        # grad-phi flux register: D = -div(grad phi_fine - grad phi_crse)
+        # localized at the interface (the hydro-reflux sign convention,
+        # CrseInit(-grad_phi_crse) + FineAdd(grad_phi_fine) -> Reflux)
+        csl = self._parent_rel_slice(l + 1)
+        cmask = restrict_mask(self.masks[l + 1], dim)
+        rhs = jnp.zeros_like(phi_c)
+        win = rhs[csl]
+        for d in range(dim):
+            dx_c = sim.geom.dx[d]
+            dx_f = self._sims_at(l + 1).geom.dx[d]
+            # coarse face grad over footprint faces [n_fp + 1 along d]
+            fsl = []
+            for k in range(dim):
+                s = csl[k]
+                fsl.append(slice(s.start, s.stop + 1) if k == d else s)
+            lo_f = [slice(None)] * dim
+            hi_f = [slice(None)] * dim
+            lo_f[d] = slice(0, -1)
+            hi_f[d] = slice(1, None)
+            pads = [(0, 0)] * dim
+            pads[d] = (1, 1)
+            pc = jnp.pad(phi_c, pads, mode="edge")
+            Fc = ((pc[tuple(hi_f)] - pc[tuple(lo_f)]) / dx_c)[tuple(fsl)]
+            # fine face grads restricted to footprint faces (edge faces
+            # are garbage but masked off: interface faces are interior)
+            pf = jnp.pad(phi_f, pads, mode="edge")
+            Ff_fine = (pf[tuple(hi_f)] - pf[tuple(lo_f)]) / dx_f
+            trim = [slice(None)] * dim
+            trim[d] = slice(0, -1)
+            Ff = restrict_face(Ff_fine[tuple(trim)], d, dim)
+            # extend to n_fp+1 faces: append the hi footprint face
+            last = [slice(None)] * dim
+            last[d] = slice(Ff_fine.shape[d] - 1, Ff_fine.shape[d])
+            Ff = jnp.concatenate(
+                [Ff, restrict_face(Ff_fine[tuple(last)], d, dim)], axis=d)
+            delta = Ff - Fc
+            pad_lo = [(0, 0)] * dim
+            pad_lo[d] = (1, 0)
+            pad_hi = [(0, 0)] * dim
+            pad_hi[d] = (0, 1)
+            m_left = jnp.pad(cmask, pad_lo)
+            m_right = jnp.pad(cmask, pad_hi)
+            gain_r = jnp.where(m_left & ~m_right, delta, 0.0)
+            lose_l = jnp.where(~m_left & m_right, delta, 0.0)
+            sl_hi = [slice(None)] * dim
+            sl_hi[d] = slice(1, None)
+            sl_lo = [slice(None)] * dim
+            sl_lo[d] = slice(0, -1)
+            win = win + gain_r[tuple(sl_lo)] / dx_c
+            win = win - lose_l[tuple(sl_hi)] / dx_c
+        rhs = rhs.at[csl].set(win)
+
+        import math as _m
+
+        from castro_tpu.utils import constants as _C
+        # delta solve: reuse the level Poisson machinery with the
+        # equivalent delta-density rhs/(4 pi G) (multipole BCs of the
+        # delta density = the reference's fill_multipole_BCs on rhs)
+        dphi = self._jit_phi0(rhs / (4.0 * _m.pi * _C.Gconst))
+        self.phi_sync_resid = float(jnp.abs(rhs).max())
+        return phi_c + dphi
+
     def _window_face_bc(self, l, phi_c, win=None):
         """Dirichlet values of a cell field on level-l window boundary
         faces, linearly interpolated from the parent-level field phi_c
@@ -647,8 +922,13 @@ class AmrSimulation:
                 target = tuple(1 if k == d else shape[k]
                                for k in range(self.dim))
                 coords = [jnp.broadcast_to(c, target) for c in coords]
-                vals = map_coordinates(phi_c, coords, order=1,
-                                       mode="nearest")
+                if phi_c.ndim > self.dim:
+                    # leading component axis (multigroup Er): per group
+                    vals = jax.vmap(lambda f: map_coordinates(
+                        f, coords, order=1, mode="nearest"))(phi_c)
+                else:
+                    vals = map_coordinates(phi_c, coords, order=1,
+                                           mode="nearest")
                 (bvl if side == "lo" else bvh).append(vals)
         return (tuple(bvl), tuple(bvh))
 
@@ -658,10 +938,11 @@ class AmrSimulation:
     # ---------------------------------------------------------- radiation AMR
     def _set_unmasked_rad_from_coarse(self, l, frac):
         """Window ring Er := prolonged, time-interpolated coarse Er
-        (the radiation FillPatch analog)."""
+        (the radiation FillPatch analog; per group when multigroup)."""
         Er_c = (1.0 - frac) * self.u_rad_old[l - 1] + frac * self.u_rad[l - 1]
+        cx = (slice(None),) * self._rad_cax
         csl = self._parent_rel_slice(l)
-        fine = prolong(Er_c[csl], self.dim, comp_axes=0)
+        fine = prolong(Er_c[cx + csl], self.dim, comp_axes=self._rad_cax)
         self.u_rad[l] = jnp.where(self.masks[l], self.u_rad[l], fine)
 
     def _rad_reflux_rhs(self, l, f_coarse_dt, fine_acc):
@@ -672,16 +953,18 @@ class AmrSimulation:
         ~ 1 here since dt varies slowly)."""
         sim = self._sims_at(l)
         dim = self.dim
+        cax = self._rad_cax
+        cx = (slice(None),) * cax
         csl = self._parent_rel_slice(l + 1)
         cmask = restrict_mask(self.masks[l + 1], dim)
         rhs = jnp.zeros(tuple(self.u_rad[l].shape), self.u_rad[l].dtype)
-        win = rhs[csl]
+        win = rhs[cx + csl]
         for d in range(dim):
             fsl = []
             for k in range(dim):
                 s = csl[k]
                 fsl.append(slice(s.start, s.stop + 1) if k == d else s)
-            delta = fine_acc[d] - f_coarse_dt[d][tuple(fsl)]
+            delta = fine_acc[d] - f_coarse_dt[d][cx + tuple(fsl)]
             pad_lo = [(0, 0)] * cmask.ndim
             pad_lo[d] = (1, 0)
             pad_hi = [(0, 0)] * cmask.ndim
@@ -692,19 +975,233 @@ class AmrSimulation:
             gain_r = jnp.where(m_left & ~m_right, delta, 0.0)
             lose_l = jnp.where(~m_left & m_right, delta, 0.0)
             sl_hi = [slice(None)] * delta.ndim
-            sl_hi[d] = slice(1, None)
+            sl_hi[cax + d] = slice(1, None)
             sl_lo = [slice(None)] * delta.ndim
-            sl_lo[d] = slice(0, -1)
+            sl_lo[cax + d] = slice(0, -1)
             win = win + inv_dx * gain_r[tuple(sl_lo)]
             win = win - inv_dx * lose_l[tuple(sl_hi)]
-        return rhs.at[csl].set(win)
+        return rhs.at[cx + csl].set(win)
 
     def _rad_avg_down(self, l):
+        cx = (slice(None),) * self._rad_cax
         csl = self._parent_rel_slice(l + 1)
         cmask = restrict_mask(self.masks[l + 1], self.dim)
-        c_from_f = restrict(self.u_rad[l + 1], self.dim, comp_axes=0)
-        blk = jnp.where(cmask, c_from_f, self.u_rad[l][csl])
-        self.u_rad[l] = self.u_rad[l].at[csl].set(blk)
+        c_from_f = restrict(self.u_rad[l + 1], self.dim,
+                            comp_axes=self._rad_cax)
+        blk = jnp.where(cmask, c_from_f, self.u_rad[l][cx + csl])
+        self.u_rad[l] = self.u_rad[l].at[cx + csl].set(blk)
+
+    # ---------------------------------------------------------- MHD AMR (CT)
+    def _coarse_b_win(self, l, frac, win=None):
+        """Time-interpolated parent face fields over level l's window
+        footprint (parent-local coords), with one extra face along each
+        normal so `prolong_face` can build the mid-plane fine faces.
+        Components >= dim are cell-represented (2D Bz, 1D By/Bz)."""
+        csl = self._parent_rel_slice(l, win=win)
+        ng = self.ng
+        dim = self.dim
+        out = []
+        for d in range(3):
+            b_new = self.u_b[l - 1][d]
+            b_old = (self.u_b_old[l - 1][d]
+                     if self.u_b_old[l - 1] is not None else b_new)
+            bi = (1.0 - frac) * b_old + frac * b_new
+            sl = []
+            for a in range(dim):
+                s = csl[a]
+                extra = 1 if (a == d and d < dim) else 0
+                sl.append(slice(s.start + ng, s.stop + ng + extra))
+            out.append(bi[tuple(sl)])
+        return out
+
+    def _prolong_b_win(self, l, frac, win=None):
+        """Divergence-free prolonged fine interior faces over the window
+        (face-field FillPatch/FillCoarsePatch; per-octant fine divergence
+        equals the parent cell divergence, so zero stays zero)."""
+        bc = self._coarse_b_win(l, frac, win=win)
+        dim = self.dim
+        fine = []
+        for d in range(3):
+            if d < dim:
+                fine.append(prolong_face(bc[d], d, dim))
+            else:
+                fine.append(prolong(bc[d], dim, comp_axes=0))
+        return fine
+
+    def _prolong_window_b(self, l, win=None):
+        """Whole-window face field from the coarse level (init-from-regrid
+        path; the coarse covered faces already carry the fine information
+        through the CT register correction)."""
+        shape = (win if win is not None else self.window[l])[1]
+        lev = self._get_level(l, shape)
+        fine = self._prolong_b_win(l, 1.0, win=win)
+        pads = [(self.ng, self.ng)] * self.dim
+        return lev.jit_fill_b(tuple(jnp.pad(f, pads) for f in fine))
+
+    def _set_unmasked_b_from_coarse(self, l, frac):
+        """Window ring faces := prolonged, time-interpolated coarse faces
+        (the face-field FillPatch). Only faces with NO masked adjacent
+        cell are overwritten — mask-adjacent faces belong to the fine CT
+        evolution, so the masked interior's div B is never perturbed."""
+        dim = self.dim
+        ng = self.ng
+        fine = self._prolong_b_win(l, frac)
+        m = self.masks[l]
+        lev = self._get_level(l, self.window[l][1])
+        isl = tuple(slice(ng, ng + s) for s in self.window[l][1])
+        b = list(self.u_b[l])
+        for d in range(3):
+            if d < dim:
+                pad = [(0, 0)] * dim
+                pad[d] = (1, 0)
+                mp = jnp.pad(m, pad)
+                lo_sl = [slice(None)] * dim
+                lo_sl[d] = slice(0, m.shape[d])
+                hi_sl = [slice(None)] * dim
+                hi_sl[d] = slice(1, m.shape[d] + 1)
+                adj = mp[tuple(lo_sl)] | mp[tuple(hi_sl)]
+            else:
+                adj = m
+            cur = b[d][isl]
+            b[d] = b[d].at[isl].set(jnp.where(adj, cur, fine[d]))
+        self.u_b[l] = lev.jit_fill_b(tuple(b))
+
+    def _ct_fine_register(self, l_fine, ct_f, dt_f, acc_E, acc_FB):
+        """Restrict one fine substep's CT data (edge EMFs + cell-B fluxes)
+        to parent edges/faces over the window footprint and accumulate the
+        time integrals (FluxRegister::FineAdd analog for CT)."""
+        dim = self.dim
+        ng = self.ng
+        nw = self.window[l_fine][1]
+        for k, Ef in ct_f["E"].items():
+            sl = []
+            for a in range(dim):
+                extra = 0 if a == k else 1
+                sl.append(slice(ng, ng + nw[a] + extra))
+            r = restrict_edge(Ef[tuple(sl)], k, dim) * dt_f
+            acc_E[k] = r if k not in acc_E else acc_E[k] + r
+        for (d, c), Ff in (ct_f.get("FB") or {}).items():
+            sl = []
+            for a in range(dim):
+                extra = 1 if a == d else 0
+                sl.append(slice(ng, ng + nw[a] + extra))
+            r = restrict_face(Ff[tuple(sl)], d, dim) * dt_f
+            key = (d, c)
+            acc_FB[key] = r if key not in acc_FB else acc_FB[key] + r
+
+    def _ct_correct_coarse(self, l, ct_c, acc_E, acc_FB, dt):
+        """CT flux-register correction of the level-l face field:
+        b += curl(ΔE·dt) with ΔE = (accumulated fine-edge EMF integrals −
+        coarse EMF · dt) on coarse edges adjacent to covered cells, zero
+        elsewhere. The discrete div(curl) vanishes identically, so the
+        correction cannot create divergence ANYWHERE; on interior covered
+        faces the fine CT updates telescope, so it equals the fine-face
+        restriction (avgDown), and on the uncovered interface faces it is
+        the EMF reflux — the Balsara divergence-free AMR prescription in
+        one formula (reference per-face FluxRegister + EMF consistency,
+        Source/mhd/Castro_mhd.cpp). Cell-represented components (2D Bz)
+        reflux + avgDown like a conserved scalar."""
+        import itertools
+
+        dim = self.dim
+        ng = self.ng
+        sim = self._sims_at(l)
+        n = (tuple(self.geom_full[l].n_cell) if l == 0
+             else self.window[l][1])
+        csl = self._parent_rel_slice(l + 1)
+        cmask = restrict_mask(self.masks[l + 1], dim)
+        eps = {(0, 1, 2): 1, (0, 2, 1): -1, (1, 2, 0): 1, (1, 0, 2): -1,
+               (2, 0, 1): 1, (2, 1, 0): -1}
+        b = list(self.u_b[l])
+
+        for k, Ef_int in acc_E.items():
+            Ec = ct_c["E"][k]  # grown level-l edge array
+            sl = []
+            for a in range(dim):
+                s = csl[a]
+                extra = 0 if a == k else 1
+                sl.append(slice(s.start + ng, s.stop + ng + extra))
+            dE = Ef_int - dt * Ec[tuple(sl)]
+            # edge mask: adjacent (in the transverse plane) covered cell
+            axes = [a for a in range(dim) if a != k]
+            mp = jnp.pad(cmask, [(1, 1) if a in axes else (0, 0)
+                                 for a in range(dim)])
+            adj = None
+            for offs in itertools.product((0, 1), repeat=len(axes)):
+                sl2 = [slice(None)] * dim
+                for a, o in zip(axes, offs):
+                    sl2[a] = slice(o, o + cmask.shape[a] + 1)
+                v = mp[tuple(sl2)]
+                adj = v if adj is None else (adj | v)
+            dE = jnp.where(adj, dE, 0.0)
+            # scatter into a full-level edge field (zeros elsewhere) so
+            # faces just OUTSIDE the footprint also get their edge terms
+            full_shape = tuple(n[a] + (0 if a == k else 1)
+                               for a in range(dim))
+            dE_full = jnp.zeros(full_shape, dE.dtype)
+            dE_full = jax.lax.dynamic_update_slice(
+                dE_full, dE, tuple(csl[a].start for a in range(dim)))
+            for c in axes:
+                t = 3 - c - k
+                if c >= dim or t >= dim:
+                    continue
+                hi = [slice(None)] * dim
+                hi[t] = slice(1, None)
+                lo = [slice(None)] * dim
+                lo[t] = slice(0, -1)
+                diff = dE_full[tuple(hi)] - dE_full[tuple(lo)]
+                upd = -eps[(c, t, k)] * diff / sim.geom.dx[t]
+                fsl = []
+                for a in range(dim):
+                    extra = 1 if a == c else 0
+                    fsl.append(slice(ng, ng + n[a] + extra))
+                b[c] = b[c].at[tuple(fsl)].add(upd)
+
+        # cell-represented components: flux reflux on interface cells +
+        # avgDown on covered cells (plain conserved-scalar semantics)
+        cells = tuple(slice(ng, ng + n[a]) for a in range(dim))
+        for c in range(dim, 3):
+            bc_int = b[c][cells]
+            win_v = bc_int[csl]
+            for d in range(dim):
+                key = (d, c)
+                if key not in acc_FB:
+                    continue
+                Fc = ct_c["FB"][key]
+                fsl = []
+                for a in range(dim):
+                    s = csl[a]
+                    extra = 1 if a == d else 0
+                    fsl.append(slice(s.start + ng, s.stop + ng + extra))
+                delta = acc_FB[key] - dt * Fc[tuple(fsl)]
+                pad_lo = [(0, 0)] * dim
+                pad_lo[d] = (1, 0)
+                pad_hi = [(0, 0)] * dim
+                pad_hi[d] = (0, 1)
+                m_left = jnp.pad(cmask, pad_lo)
+                m_right = jnp.pad(cmask, pad_hi)
+                inv_dx = 1.0 / sim.geom.dx[d]
+                gain_r = jnp.where(m_left & ~m_right, delta, 0.0)
+                lose_l = jnp.where(~m_left & m_right, delta, 0.0)
+                sl_hi = [slice(None)] * dim
+                sl_hi[d] = slice(1, None)
+                sl_lo = [slice(None)] * dim
+                sl_lo[d] = slice(0, -1)
+                win_v = win_v + inv_dx * gain_r[tuple(sl_lo)]
+                win_v = win_v - inv_dx * lose_l[tuple(sl_hi)]
+            fine_c = restrict(
+                self.u_b[l + 1][c][tuple(slice(ng, ng + s)
+                                         for s in self.window[l + 1][1])],
+                dim, comp_axes=0)
+            win_v = jnp.where(cmask, fine_c, win_v)
+            bc_int = bc_int.at[csl].set(win_v)
+            b[c] = b[c].at[cells].set(bc_int)
+
+        if l == 0:
+            self.u_b[l] = self._jit_fill_b0(tuple(b))
+        else:
+            lev = self._get_level(l, self.window[l][1])
+            self.u_b[l] = lev.jit_fill_b(tuple(b))
 
     def _advance_level(self, l, dt, t_level):
         """Advance level l by dt; recursively subcycle finer levels
@@ -715,7 +1212,32 @@ class AmrSimulation:
         if self._has_rad:
             self.u_rad_old[l] = self.u_rad[l]
             rhs_extra = self._rad_sync_rhs.pop(l, None)
-            if l == 0:
+            if l == 0 and self._sharded_rad_step0 is not None:
+                sim = self.sim0
+                idx = interior_slice(self.ng, self.dim)
+                if rhs_extra is None:
+                    rhs_extra = jnp.zeros_like(self.u_rad[0])
+                out = self._sharded_rad_step0(self.u[0][idx], self.u_rad[0],
+                                              dt, t_level, rhs_extra)
+                if sim.keep_fluxes:
+                    u_new_i, Er_new, min_rho, bad, fl = out
+                    fluxes = []
+                    for d in range(self.dim):
+                        pads = [(0, 0)] * (1 + self.dim)
+                        pads[1 + d] = (0, 1)
+                        fluxes.append(jnp.pad(fl[d], pads))
+                else:
+                    u_new_i, Er_new, min_rho, bad = out
+                    fluxes = None
+                pads = [(0, 0)] + [(self.ng, self.ng)] * self.dim
+                u_new = sim._jit_clean_fill(jnp.pad(u_new_i, pads))
+                # register fluxes from the global sharded field (XLA
+                # inserts the halo collectives)
+                ui = u_new[idx]
+                rad_fluxes = self._jit_rad_flux0(
+                    Er_new, ui[sim.layout.URHO], ui[sim.layout.UTEMP])
+                out = (u_new, Er_new, min_rho, bad, rad_fluxes, fluxes)
+            elif l == 0:
                 sim = self.sim0
                 out = self._jit_rad_step0(self.u[0], self.u_rad[0], dt,
                                           t_level, rhs_extra)
@@ -744,6 +1266,34 @@ class AmrSimulation:
                 self.u_rad[l] = jnp.where(self.masks[l], Er_new,
                                           self.u_rad[l])
             return self._advance_finer(l, dt, t_level, fluxes, rad_fluxes)
+
+        if self._has_mhd:
+            self.u_b_old[l] = self.u_b[l]
+            if l == 0:
+                out = self._jit_mhd_step0(self.u[0], self.u_b[0], dt,
+                                          t_level)
+            else:
+                lev = self._get_level(l, self.window[l][1])
+                ilo = jnp.asarray(self.window[l][0])
+                out = lev.jit_mhd_step(self.u[l], self.u_b[l], dt, t_level,
+                                       ilo,
+                                       grav_bc=self._cur_grav_bc.get(l))
+            u_new, b_new, min_rho, bad, fluxes, ct = out
+            if bool(bad) or float(min_rho) <= 0.0:
+                raise RuntimeError(
+                    f"AMR MHD advance failed at level {l}, t={t_level} "
+                    f"(min_rho={float(min_rho)})")
+            if l == 0:
+                self.u[l] = u_new
+            else:
+                idx = interior_slice(self.ng, self.dim)
+                keep = jnp.where(self.masks[l][None], u_new[idx],
+                                 self.u[l][idx])
+                self.u[l] = self.u[l].at[idx].set(keep)
+            # the whole-window face field is kept; ring faces are refilled
+            # from the coarse level before every fine substep
+            self.u_b[l] = b_new
+            return self._advance_finer(l, dt, t_level, fluxes, ct)
 
         if l == 0 and self._sharded_step0 is not None:
             sim = self.sim0
@@ -789,28 +1339,35 @@ class AmrSimulation:
 
         return self._advance_finer(l, dt, t_level, fluxes, None)
 
-    def _advance_finer(self, l, dt, t_level, fluxes, rad_fluxes):
+    def _advance_finer(self, l, dt, t_level, fluxes, aux):
         """Subcycle level l+1 (if any), then reflux + avgDown. Returns
-        (fluxes, rad_fluxes) for the parent's own flux registers."""
+        (fluxes, aux) for the parent's own flux registers; `aux` is the
+        radiation fluxes (rad runs) or the CT register data (MHD runs)."""
+        rad_fluxes = aux if self._has_rad else None
         if l < self.max_level:
             # flux register: coarse side contribution (CrseInit)
             f_coarse = [f * dt for f in fluxes]
             fine_acc = None
             f_coarse_rad_dt = None
             fine_acc_rad = None
+            mhd_E_acc: Dict = {}
+            mhd_FB_acc: Dict = {}
             if self._has_rad:
                 f_coarse_rad_dt = []
                 for d in range(self.dim):
-                    pads = [(0, 0)] * self.dim
-                    pads[d] = (0, 1)
+                    pads = [(0, 0)] * (self._rad_cax + self.dim)
+                    pads[self._rad_cax + d] = (0, 1)
                     f_coarse_rad_dt.append(jnp.pad(rad_fluxes[d], pads) * dt)
 
             # composite gravity: this level's old/new phi bracket the
-            # subcycle window for time-interpolated fine boundary data
+            # subcycle window for time-interpolated fine boundary data.
+            # The new-time phi gets the delta-phi SYNC correction
+            # (Gravity::gravity_sync) so the window Dirichlet data is
+            # composite-consistent (flux-matched at the interface).
             phi_old = phi_new = None
             if self._has_poisson:
                 phi_old = self._solve_phi(l, self.u_old[l])
-                phi_new = self._solve_phi(l, self.u[l])
+                phi_new = self._solve_phi_sync(l, self.u[l])
 
             extras = self.extra[l + 1]
             fine_acc_extra = [None] * len(extras)
@@ -832,22 +1389,30 @@ class AmrSimulation:
                     self._cur_rad_bc[l + 1] = self._window_face_bc(
                         l + 1, Er_mid)
                     self._set_unmasked_rad_from_coarse(l + 1, frac0)
+                if self._has_mhd:
+                    self._set_unmasked_b_from_coarse(l + 1, frac0)
                 self._set_unmasked_from_coarse(l + 1, frac0 + 0.0)
                 fine_fluxes, fine_rad = self._advance_level(
                     l + 1, dt / r, t_level + i * dt / r)
+                if self._has_mhd:
+                    self._ct_fine_register(l + 1, fine_rad, dt / r,
+                                           mhd_E_acc, mhd_FB_acc)
                 if fine_acc is None:
                     fine_acc = [jnp.zeros_like(coarsen_flux(
                         fine_fluxes[d], d, self.dim)) for d in range(self.dim)]
                 for d in range(self.dim):
                     fine_acc[d] = fine_acc[d] + coarsen_flux(
                         fine_fluxes[d], d, self.dim) * (dt / r)
-                # patch-batch extras: ring fill + advance + accumulate
-                for kx, e in enumerate(extras):
+                # patch-batch extras: ring fill + batched advance +
+                # accumulate (equal-shape windows step as one vmapped
+                # [npatch, ...] program)
+                for e in extras:
                     e["u"] = self._ring_fill(l + 1, frac0,
                                              (e["ilo"], e["shape"]),
                                              e["u"], e["mask"])
-                    fl_e = self._advance_extra(l + 1, e, dt / r,
-                                               t_level + i * dt / r)
+                fl_all = self._advance_extras_batch(
+                    l + 1, extras, dt / r, t_level + i * dt / r)
+                for kx, fl_e in enumerate(fl_all):
                     fc = [coarsen_flux(fl_e[d], d, self.dim) * (dt / r)
                           for d in range(self.dim)]
                     fine_acc_extra[kx] = (fc if fine_acc_extra[kx] is None
@@ -856,11 +1421,11 @@ class AmrSimulation:
                 if self._has_rad:
                     frc = []
                     for d in range(self.dim):
-                        pads = [(0, 0)] * self.dim
-                        pads[d] = (0, 1)
+                        pads = [(0, 0)] * (self._rad_cax + self.dim)
+                        pads[self._rad_cax + d] = (0, 1)
                         frc.append(coarsen_flux(
                             jnp.pad(fine_rad[d], pads), d, self.dim,
-                            comp_axes=0) * (dt / r))
+                            comp_axes=self._rad_cax) * (dt / r))
                     fine_acc_rad = (frc if fine_acc_rad is None else
                                     [a + b for a, b in
                                      zip(fine_acc_rad, frc)])
@@ -870,6 +1435,11 @@ class AmrSimulation:
                                          e["u"], e["mask"])
             if self._has_rad:
                 self._set_unmasked_rad_from_coarse(l + 1, 1.0)
+            if self._has_mhd:
+                self._set_unmasked_b_from_coarse(l + 1, 1.0)
+                # CT register FIRST: the gas avgDown's MHD clean re-derives
+                # eint/T against the corrected coarse face field
+                self._ct_correct_coarse(l, aux, mhd_E_acc, mhd_FB_acc, dt)
 
             # reflux (FluxRegister::Reflux): correct unrefined-side coarse
             # cells with (sum fine flux dt) - (coarse flux dt)
@@ -888,7 +1458,53 @@ class AmrSimulation:
                     l, f_coarse_rad_dt, fine_acc_rad)
                 self._rad_avg_down(l)
 
-        return fluxes, rad_fluxes
+        return fluxes, aux
+
+    def _advance_extras_batch(self, l, extras, dt, t_level):
+        """Advance all patch-batch extras by dt. Equal-shape windows with
+        no per-window gravity BC step as ONE [npatch, ...] vmapped
+        program (SURVEY §7 batched-patch design; the BoxArray analog) —
+        under a mesh the batch axis is SHARDED over the first mesh axis
+        when it divides evenly, so patches distribute across devices
+        instead of computing replicated. Returns per-extra flux lists."""
+        out_fluxes = [None] * len(extras)
+        groups: Dict = {}
+        for i, e in enumerate(extras):
+            if e.get("grav_bc") is not None:
+                out_fluxes[i] = self._advance_extra(l, e, dt, t_level)
+            else:
+                groups.setdefault(tuple(e["shape"]), []).append(i)
+        for shape, idxs in groups.items():
+            if len(idxs) == 1:
+                i = idxs[0]
+                out_fluxes[i] = self._advance_extra(l, extras[i], dt,
+                                                    t_level)
+                continue
+            lev = self._get_level(l, shape)
+            U = jnp.stack([extras[i]["u"] for i in idxs])
+            ILO = jnp.stack([jnp.asarray(extras[i]["ilo"])
+                             for i in idxs])
+            if (self.mesh is not None
+                    and U.shape[0] % self.mesh.devices.shape[0] == 0):
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+
+                U = jax.device_put(U, NamedSharding(
+                    self.mesh, P(self.mesh.axis_names[0])))
+            u_new, min_rho, bad, fluxes = lev.jit_step_batch(
+                U, dt, t_level, ILO)
+            for bi, i in enumerate(idxs):
+                if bool(bad[bi]) or float(min_rho[bi]) <= 0.0:
+                    raise RuntimeError(
+                        f"AMR advance failed (extra batch) at level {l}, "
+                        f"t={t_level} (min_rho={float(min_rho[bi])})")
+                e = extras[i]
+                idx = interior_slice(self.ng, self.dim)
+                keep = jnp.where(e["mask"][None], u_new[bi][idx],
+                                 e["u"][idx])
+                e["u"] = e["u"].at[idx].set(keep)
+                out_fluxes[i] = [fluxes[d][bi] for d in range(self.dim)]
+        return out_fluxes
 
     def _advance_extra(self, l, e, dt, t_level):
         """Advance one patch-batch extra window by dt (same per-shape
@@ -961,7 +1577,13 @@ class AmrSimulation:
         blk = jnp.where(cmask[None], c_from_f, u_int[(slice(None),) + csl])
         u_int = u_int.at[(slice(None),) + csl].set(blk)
         self.u[l] = self.u[l].at[idx].set(u_int)
-        if l == 0:
+        if self._has_mhd:
+            if l == 0:
+                self.u[l] = self._jit_mhd_clean0(self.u[l], self.u_b[l])
+            else:
+                lev = self._get_level(l, self.window[l][1])
+                self.u[l] = lev.jit_mhd_clean(self.u[l], self.u_b[l])
+        elif l == 0:
             self.u[l] = self.sim0._jit_clean_fill(self.u[l])
         else:
             lev = self._get_level(l, self.window[l][1])
@@ -975,6 +1597,7 @@ class AmrSimulation:
         snap_u = list(self.u)
         snap_masks = list(self.masks)
         snap_rad = list(self.u_rad)
+        snap_b = list(self.u_b)
         snap_sync = dict(self._rad_sync_rhs)
         snap_extra = [[dict(e) for e in lvl] for lvl in self.extra]
 
@@ -982,6 +1605,7 @@ class AmrSimulation:
             self.u = list(snap_u)
             self.masks = list(snap_masks)
             self.u_rad = list(snap_rad)
+            self.u_b = list(snap_b)
             self._rad_sync_rhs = dict(snap_sync)
             self.extra = [[dict(e) for e in lvl] for lvl in snap_extra]
 

@@ -66,10 +66,10 @@ class StepCtx:
     ubiquitous `ParallelDescriptor` calls — SURVEY.md §2.8 P1/P2)."""
 
     __slots__ = ("fill", "pmin", "pany", "psum", "geom", "axis_names",
-                 "grav_bc", "point_mass", "fill_b")
+                 "grav_bc", "point_mass", "fill_b", "fill_rad")
 
     def __init__(self, fill, pmin, pany, psum, geom, axis_names=(),
-                 grav_bc=None, point_mass=None, fill_b=None):
+                 grav_bc=None, point_mass=None, fill_b=None, fill_rad=None):
         self.fill = fill
         self.pmin = pmin
         self.pany = pany
@@ -79,6 +79,9 @@ class StepCtx:
         # MHD face-field ghost fill (halo exchange under shard_map);
         # None = the solver's own single-device _fill_b
         self.fill_b = fill_b
+        # radiation-field 1-ghost fill for the Er advection (halo
+        # exchange under shard_map); None = the physical-BC fill
+        self.fill_rad = fill_rad
         # composite AMR gravity: (bvl, bvh) Dirichlet phi values on the
         # window boundary faces, interpolated from the coarse-level solve
         # (reference Gravity.cpp:418-487 level solve with coarse boundary
@@ -491,7 +494,7 @@ class Simulation:
         if point_mass is not None:
             ctx = StepCtx(ctx.fill, ctx.pmin, ctx.pany, ctx.psum, ctx.geom,
                           ctx.axis_names, ctx.grav_bc, point_mass,
-                          ctx.fill_b)
+                          ctx.fill_b, ctx.fill_rad)
         L = self.layout
         c = self.params.castro
         cfg = self.cfg
@@ -661,11 +664,12 @@ class Simulation:
             return (u_new, min_rho, nan_flag | burn_fail, fint) + extra
         return (u_new, min_rho, nan_flag | burn_fail) + extra
 
-    def _fill_rad(self, Er):
-        """Grow interior Er [ng, n...] by ghost cells: periodic wrap or
-        edge clamp following the hydro BCs."""
+    def _fill_rad(self, Er, ngr=None):
+        """Grow interior Er [ng, n...] by ngr ghost cells (default the
+        hydro ghost width): periodic wrap or edge clamp per the hydro
+        BCs."""
         L = self.layout
-        ng = self.ng
+        ng = self.ng if ngr is None else ngr
         out = Er
         for d in range(L.dim):
             mode = "wrap" if self.params.castro.lo_bc[d] == 0 else "edge"
@@ -803,19 +807,42 @@ class Simulation:
         rho = ui[L.URHO]
         rhoinv = 1.0 / rho
 
-        # upwind advection of Er with the updated velocities (group-major
-        # [ng, grid] arrays shift on axis 1+d)
+        # upwind advection of Er with the updated velocities, computed on
+        # a 1-ghost view so shard boundaries (ctx.fill_rad halo exchange)
+        # and periodic domain edges see true neighbor data (group-major
+        # [ng, grid] arrays carry the group axis in front)
         multigroup = Er.ndim > L.dim
+        ng_ = self.ng
+        if ctx.fill_rad is not None:
+            Er1 = ctx.fill_rad(Er)  # grown by 1 (halo exchange + BCs)
+        else:
+            Er1 = self._fill_rad(Er if multigroup else Er[None], ngr=1)
+            if not multigroup:
+                Er1 = Er1[0]
+        # velocities on the same 1-ghost view, from the ctx-filled grown
+        # state (exact ghosts)
+        sl1 = tuple(slice(ng_ - 1, s - ng_ + 1)
+                    for s in u_new.shape[1:])
+        rho1 = jnp.maximum(u_new[(L.URHO,) + sl1], 1e-300)
         Er_adv = Er
         for d in range(L.dim):
             ax = d + (1 if multigroup else 0)
-            vel = ui[L.momentum_index(d)] * rhoinv
-            v_face = 0.5 * (vel + shifted(vel, -1, d))
+            vel1 = u_new[(L.momentum_index(d),) + sl1] / rho1
+            vf1 = 0.5 * (vel1 + shifted(vel1, -1, d))  # face i-1/2 @ i
             if multigroup:
-                v_face = v_face[None]
-            Er_up = jnp.where(v_face > 0, shifted(Er, -1, ax), Er)
-            F = v_face * Er_up
-            Er_adv = Er_adv - dt * (shifted(F, 1, ax) - F) / self.geom.dx[d]
+                vf1 = vf1[None]
+            Er_m1 = shifted(Er1, -1, ax)  # edge-clamp touches only the
+            # outermost ghost plane, which the face slices below never read
+            Er_up1 = jnp.where(vf1 > 0, Er_m1, Er1)
+            F1 = vf1 * Er_up1  # valid faces: 1-ghost indices [1, n+1]
+            lo = [slice(1, -1)] * L.dim
+            hi = [slice(1, -1)] * L.dim
+            lo[d] = slice(1, -1)
+            hi[d] = slice(2, None)
+            pre = (slice(None),) if multigroup else ()
+            F_lo = F1[pre + tuple(lo)]
+            F_hi = F1[pre + tuple(hi)]
+            Er_adv = Er_adv - dt * (F_hi - F_lo) / self.geom.dx[d]
 
         # implicit diffusion + matter coupling
         e = ui[L.UEINT] * rhoinv
@@ -837,12 +864,17 @@ class Simulation:
             rad_rhs_extra = (q_src if rad_rhs_extra is None
                              else rad_rhs_extra + q_src)
         if multigroup:
-            Er_new, e_new, T_new = self.rad.multigroup_update(
+            out = self.rad.multigroup_update(
                 Er_adv, rho, e, es.T, es.cv, dt,
                 nu_centers=self.rad.nugroup, dnu=self.rad.dnugroup,
                 eos_re=eos_re, metric=self.rad.geom_metric(),
                 axis_names=names if sharded else None,
-                rhs_extra=rad_rhs_extra)
+                bc_override=rad_bc, rhs_extra=rad_rhs_extra,
+                keep_flux=keep_rad_flux)
+            if keep_rad_flux:
+                Er_new, e_new, T_new, rad_fluxes = out
+            else:
+                Er_new, e_new, T_new = out
         else:
             out = self.rad.gray_update(
                 Er_adv, rho, e, es.T, es.cv, dt, eos_re=eos_re,
@@ -902,12 +934,17 @@ class Simulation:
                              c.dtnuc_X_threshold)
         return jnp.minimum(dt, dt_b)
 
-    def _mhd_step_impl(self, u, b, dt, t, ctx: Optional[StepCtx] = None):
+    def _mhd_step_impl(self, u, b, dt, t, ctx: Optional[StepCtx] = None,
+                       keep_ct=False):
         """One driver MHD step: Strang reactions + old-time sources traced
         into the CTU-CT interface states + new-time source corrector —
         the same orchestration as `_step_impl` with the MHD advance in
         place of the hydro one (reference do_advance_ctu with USE_MHD,
-        Castro_advance_ctu.cpp:16 + Castro_mhd.cpp)."""
+        Castro_advance_ctu.cpp:16 + Castro_mhd.cpp).
+
+        keep_ct=True (AMR flux/EMF registers) additionally returns the
+        gas fluxes and the CT data ({"E": edge EMFs, "FB": cell-B
+        fluxes}) of the CTU-CT advance."""
         from castro_tpu.mhd.solver import MhdState
 
         ctx = ctx or self._default_ctx
@@ -935,10 +972,16 @@ class Simulation:
                 src_old = src_old + term
         srcQ = None if src_old is None else src_to_prim(q, qaux, src_old, L)
 
-        if L.dim == 3 and c.mhd_ctu:
-            (u_new, b_new), fluxes = self.mhd.step_ctu(
-                MhdState(u, b), dt, srcQ=srcQ, keep_fluxes=True, ctx=ctx)
+        ct_data = None
+        if c.mhd_ctu:
+            out = self.mhd.step_ctu(MhdState(u, b), dt, srcQ=srcQ,
+                                    keep_fluxes=True, keep_ct=keep_ct,
+                                    ctx=ctx)
+            (u_new, b_new), fluxes = out[0], out[1]
+            if keep_ct:
+                ct_data = out[2]
         else:
+            assert not keep_ct, "AMR MHD requires the CTU-CT path"
             u_new, b_new = self.mhd.step_rk2(MhdState(u, b), dt, ctx=ctx)
             fluxes = None
         if src_old is not None:
@@ -974,6 +1017,19 @@ class Simulation:
 
         u_new = self.mhd._clean(u_new, b_new, ctx)
         burn_fail = ctx.pany(burn_fail)
+        if keep_ct:
+            # interior-face slices for the flux registers (same convention
+            # as the hydro keep_fluxes return: n+1 faces along d, interior
+            # cells transverse); the CT data stays grown — the AMR driver
+            # slices edges itself (it needs the +1 edge planes)
+            ng, dim = self.ng, L.dim
+            fint = []
+            for d in range(dim):
+                idx = [slice(None)] + [slice(ng, -ng)] * dim
+                idx[1 + d] = slice(ng, u.shape[1 + d] - ng + 1)
+                fint.append(fluxes[d][tuple(idx)])
+            return u_new, b_new, min_rho, nan_flag | burn_fail, fint, \
+                ct_data
         return u_new, b_new, min_rho, nan_flag | burn_fail
 
     def _pointmass_fix_impl(self, u_old, u_new, point_mass):

@@ -24,10 +24,10 @@ class MhdSimulation:
         self.state = None
         self.t = 0.0
         self.step_count = 0
-        # 3D runs default to the reference CTU-CT scheme; 1D/2D use the
-        # RK2 + flux-CT integrator
-        use_ctu = (self.base.layout.dim == 3
-                   and bool(self.base.params.castro.mhd_ctu))
+        # the CTU-CT scheme is dimension-general (3D: the reference
+        # Miniati-Martin 12-solve algorithm; 2D/1D: its dimensional
+        # reductions); mhd_ctu=0 selects the RK2 + flux-CT integrator
+        use_ctu = bool(self.base.params.castro.mhd_ctu)
         self._jit_step = jax.jit(
             self.solver.step_ctu if use_ctu else self.solver.step_rk2)
         self._jit_estdt = jax.jit(

@@ -598,13 +598,14 @@ def electric_edge(k, qx, flx_a1, flx_a2, L):
     a2 = (k + 2) % 3
 
     Ec = _ecen(qx, k, L)
+    sp = Ec.ndim  # spatial rank (2 in 2D, 3 in 3D); fluxes carry +1 comp axis
 
     def sh(arr, off_a1=0, off_a2=0):
         out = arr
         if off_a1:
-            out = shifted(out, off_a1, a1 if out.ndim == 3 else 1 + a1)
+            out = shifted(out, off_a1, a1 if out.ndim == sp else 1 + a1)
         if off_a2:
-            out = shifted(out, off_a2, a2 if out.ndim == 3 else 1 + a2)
+            out = shifted(out, off_a2, a2 if out.ndim == sp else 1 + a2)
         return out
 
     F1_B2 = flx_a1[UMG[a2]]   # flux of B_a2 through a1 faces = -E_k there
@@ -699,6 +700,54 @@ def corner_couple(ur, ul, flxd2, Ed1, Ed3, d1, d2, d3, dt, dx, L, eos,
     return qr_out, ql_out
 
 
+def transverse_2d(ur, ul, flxd2, Ez, d1, d2, dt, dx, L, eos, small_dens):
+    """2D CTU transverse correction of the d1-face states with the d2
+    fluxes + the corner Ez EMF (the dimensional reduction of MM corner
+    coupling: one transverse pass with the classic dt/2 factor).
+
+    The reference has no genuinely-2D MHD build — every
+    `Exec/mhd_tests/*/GNUmakefile` sets DIM=3 and OrszagTang/RT run as
+    thin 3D slabs — so this reduction is derived, not transcribed:
+      * gas + out-of-plane Bz: generic transverse flux difference
+        (F_d2(Bz) is exactly the in-plane electric field, so the flux
+        term IS the CT update for Bz);
+      * normal B (UMG[d1]): advanced by the Ez edge difference along d2,
+        i.e. its own CT half-update (face shared by both states);
+      * in-plane transverse B (UMG[d2]): unchanged (its d2-flux is zero).
+    ur = '-' state (cell i), ul = '+' state (cell i-1)."""
+    _, UMG = ext_layout(L)
+    sgn = _eps(d1, d2, 3 - d1 - d2)
+    hdtd2 = 0.5 * dt / dx[d2]
+
+    def dF(off_d1):
+        hi = shifted(flxd2, 1, 1 + d2)
+        lo = flxd2
+        if off_d1:
+            hi = shifted(hi, off_d1, 1 + d1)
+            lo = shifted(lo, off_d1, 1 + d1)
+        return hdtd2 * (hi - lo)
+
+    # Ez difference along d2 at the shared d1-face (no d1 shift)
+    dEz = shifted(Ez, 1, d2) - Ez
+
+    outs = []
+    for u_face, off in ((ur, 0), (ul, -1)):
+        ut = u_face - dF(off)
+        rows = []
+        for n in range(ut.shape[0]):
+            if n == L.UTEMP:
+                rows.append(jnp.zeros_like(ut[n]))
+            elif n == UMG[d1]:
+                rows.append(u_face[n] - sgn * hdtd2 * dEz)
+            elif n == UMG[d2]:
+                rows.append(u_face[n])
+            else:
+                rows.append(ut[n])
+        outs.append(cons_to_prim_ext(jnp.stack(rows), L, eos, small_dens))
+    qr_out, ql_out = outs
+    return qr_out, ql_out
+
+
 def half_step(ur, ul, flxd1, flxd2, Ed, Ed1, Ed2, d, d1, d2, dt, dx, L,
               eos, small_dens):
     """MM Eq. 44-46: final double-transverse correction of the d-face
@@ -769,11 +818,12 @@ def half_step(ur, ul, flxd1, flxd2, Ed, Ed1, Ed2, d, d1, d2, dt, dx, L,
 # ---------------------------------------------------------------------------
 # half-time primitives (prim_half + qflux, mhd_util)
 
-def prim_half(qx, flxx, flxy, flxz, dt, dx, L, eos):
-    """q at n+1/2 (MM Eq. 48): q - dt/2 * (dW/dU . div F)."""
+def prim_half(qx, flxs, dt, dx, L, eos):
+    """q at n+1/2 (MM Eq. 48): q - dt/2 * (dW/dU . div F). `flxs` is the
+    per-dimension extended-flux list (3 entries in 3D, 2 in 2D)."""
     QMG, UMG = ext_layout(L)
     divF = 0.0
-    for d, flx in enumerate((flxx, flxy, flxz)):
+    for d, flx in enumerate(flxs):
         divF = divF + (shifted(flx, 1, 1 + d) - flx) / dx[d]
 
     rho = qx[L.QRHO]
@@ -810,5 +860,5 @@ def prim_half(qx, flxx, flxy, flxz, dt, dx, L, eos):
 
 
 __all__ = ["plm_mhd", "hlld_ext", "electric_edge", "corner_couple",
-           "half_step", "prim_half", "cons_to_prim_ext", "prim_to_cons_ext",
-           "ext_layout", "mhd_evals", "mhd_evecs"]
+           "transverse_2d", "half_step", "prim_half", "cons_to_prim_ext",
+           "prim_to_cons_ext", "ext_layout", "mhd_evals", "mhd_evecs"]

@@ -243,15 +243,25 @@ class MhdSolver:
         return jnp.stack(comps), es.cs
 
     def step_ctu(self, state: "MhdState", dt, srcQ=None, keep_fluxes=False,
-                 ctx=None):
-        """One CTU-CT step (reference construct_ctu_mhd_source,
-        `Source/mhd/Castro_mhd.cpp:7-724`; Miniati & Martin algorithm:
-        12 HLLD solves + 3 rounds of Gardiner-Stone edge EMFs). 3D only;
-        div B stays at round-off by construction.
+                 keep_ct=False, ctx=None):
+        """One CTU-CT step, dimension-general.
+
+        3D: the reference scheme (construct_ctu_mhd_source,
+        `Source/mhd/Castro_mhd.cpp:7-724`; Miniati & Martin: 12 HLLD
+        solves + 3 rounds of Gardiner-Stone edge EMFs). 2D: the
+        dimensional reduction (4 HLLD solves, 2 EMF rounds, single
+        dt/2 transverse pass — the reference has no 2D MHD build, every
+        `Exec/mhd_tests/*/GNUmakefile` is DIM=3). 1D: characteristic
+        tracing + one HLLD solve (the CTU degenerate case). div B stays
+        at round-off by construction in every dimension.
 
         keep_fluxes=True additionally returns the final gas fluxes
         [NVAR, grown] per dim (driver needs them for the conservative
-        grav_source_type=4 energy corrector and AMR flux registers)."""
+        grav_source_type=4 energy corrector and AMR flux registers).
+        keep_ct=True additionally returns the CT update data the AMR
+        flux/EMF registers need: {"E": {k: edge EMF}, "FB": {(d, c):
+        flux of cell-represented B_c through d-faces}} (`FB` is the
+        out-of-dimension components: Bz in 2D, By/Bz in 1D)."""
         from castro_tpu.mhd import ctu_ct as cc
         from castro_tpu.ops.flatten import uflatten
         from castro_tpu.ops.advection_util import apply_av, \
@@ -259,7 +269,7 @@ class MhdSolver:
 
         sim = self.sim
         L = self.L
-        assert L.dim == 3, "CTU-CT path is 3D; 1D/2D use the RK2-CT solver"
+        dim = L.dim
         dx = self.geom.dx
         eos = sim.eos
         small_dens = sim.cfg.small_dens
@@ -274,16 +284,18 @@ class MhdSolver:
 
         # flattening: product of the p-based and ptot-based coefficients
         # (Castro_mhd.cpp:168-180)
-        if sim.cfg.use_flattening:
+        if sim.cfg.use_flattening and dim > 1:
             flatn = uflatten(qx, L)
             ptot = qx[L.QPRES] + 0.5 * (
                 qx[QMG[0]] ** 2 + qx[QMG[1]] ** 2 + qx[QMG[2]] ** 2)
             q_ptot = qx.at[L.QPRES].set(ptot)
             flatn = flatn * uflatten(q_ptot, L)
+        elif sim.cfg.use_flattening:
+            flatn = uflatten(qx, L)
         else:
             flatn = jnp.ones_like(qx[L.QRHO])
 
-        # interface states per direction (characteristic PLM)
+        # interface states per direction (characteristic PLM/PPM)
         qm = {}
         qp = {}
         ul = {}
@@ -291,7 +303,7 @@ class MhdSolver:
         limit_char = bool(getattr(sim.params.castro,
                                   "mhd_limit_characteristic", 1))
         use_ppm = sim.params.castro.ppm_type >= 1
-        for d in range(3):
+        for d in range(dim):
             if use_ppm:
                 # PPM reconstruction (reference mhd_ppm.cpp:509; the
                 # reference default ppm_type=1 selects it for MHD too)
@@ -310,58 +322,82 @@ class MhdSolver:
         # MM step 1: 1D fluxes
         flx1 = {d: jax.lax.optimization_barrier(
             cc.hlld_ext(qm[d], qp[d], d, L, eos, small_dens, small_pres))
-            for d in range(3)}
+            for d in range(dim)}
 
-        # MM step 2: first edge EMFs
-        E1 = {k: jax.lax.optimization_barrier(
-            cc.electric_edge(k, qx, flx1[(k + 1) % 3],
-                             flx1[(k + 2) % 3], L)) for k in range(3)}
+        if dim == 3:
+            # MM step 2: first edge EMFs
+            E1 = {k: jax.lax.optimization_barrier(
+                cc.electric_edge(k, qx, flx1[(k + 1) % 3],
+                                 flx1[(k + 2) % 3], L)) for k in range(3)}
 
-        # MM steps 3-5: corner coupling (6 states + 6 HLLD solves)
-        flx_cc = {}
-        for d1 in range(3):
-            for d2 in range(3):
-                if d2 == d1:
-                    continue
-                d3 = 3 - d1 - d2
-                qr2, ql2 = cc.corner_couple(
-                    ur[d1], ul[d1], flx1[d2], E1[d1], E1[d3],
-                    d1, d2, d3, dt, dx, L, eos, small_dens)
-                flx_cc[(d1, d2)] = jax.lax.optimization_barrier(
-                    cc.hlld_ext(ql2, qr2, d1, L, eos, small_dens,
+            # MM steps 3-5: corner coupling (6 states + 6 HLLD solves)
+            flx_cc = {}
+            for d1 in range(3):
+                for d2 in range(3):
+                    if d2 == d1:
+                        continue
+                    d3 = 3 - d1 - d2
+                    qr2, ql2 = cc.corner_couple(
+                        ur[d1], ul[d1], flx1[d2], E1[d1], E1[d3],
+                        d1, d2, d3, dt, dx, L, eos, small_dens)
+                    flx_cc[(d1, d2)] = jax.lax.optimization_barrier(
+                        cc.hlld_ext(ql2, qr2, d1, L, eos, small_dens,
+                                    small_pres))
+
+            # MM step 6: averaged corner fluxes -> second edge EMFs
+            flxavg = {d: 0.5 * (
+                flx_cc[(d, [a for a in range(3) if a != d][0])]
+                + flx_cc[(d, [a for a in range(3) if a != d][1])])
+                for d in range(3)}
+            E2 = {k: jax.lax.optimization_barrier(
+                cc.electric_edge(k, qx, flxavg[(k + 1) % 3],
+                                 flxavg[(k + 2) % 3], L)) for k in range(3)}
+
+            # MM steps 7-9: half-step states + final fluxes
+            flxf = {}
+            for d in range(3):
+                d1 = (d + 1) % 3
+                d2 = (d + 2) % 3
+                qrh, qlh = cc.half_step(
+                    ur[d], ul[d], flx_cc[(d1, d2)], flx_cc[(d2, d1)],
+                    E2[d], E2[d1], E2[d2], d, d1, d2, dt, dx, L, eos,
+                    small_dens)
+                flxf[d] = jax.lax.optimization_barrier(
+                    cc.hlld_ext(qlh, qrh, d, L, eos, small_dens,
                                 small_pres))
 
-        # MM step 6: averaged corner fluxes -> second edge EMFs
-        flxavg = {d: 0.5 * (flx_cc[(d, [a for a in range(3) if a != d][0])]
-                            + flx_cc[(d, [a for a in range(3) if a != d][1])])
-                  for d in range(3)}
-        E2 = {k: jax.lax.optimization_barrier(
-            cc.electric_edge(k, qx, flxavg[(k + 1) % 3],
-                             flxavg[(k + 2) % 3], L)) for k in range(3)}
-
-        # MM steps 7-9: half-step states + final fluxes
-        flxf = {}
-        for d in range(3):
-            d1 = (d + 1) % 3
-            d2 = (d + 2) % 3
-            qrh, qlh = cc.half_step(
-                ur[d], ul[d], flx_cc[(d1, d2)], flx_cc[(d2, d1)],
-                E2[d], E2[d1], E2[d2], d, d1, d2, dt, dx, L, eos,
-                small_dens)
-            flxf[d] = jax.lax.optimization_barrier(
-                cc.hlld_ext(qlh, qrh, d, L, eos, small_dens, small_pres))
-
-        # MM step 10: half-time primitives -> final EMFs
-        q2d = cc.prim_half(qx, flxavg[0], flxavg[1], flxavg[2], dt, dx, L,
-                           eos)
-        E3 = {k: jax.lax.optimization_barrier(
-            cc.electric_edge(k, q2d, flxf[(k + 1) % 3],
-                             flxf[(k + 2) % 3], L)) for k in range(3)}
+            # MM step 10: half-time primitives -> final EMFs
+            q2d = cc.prim_half(qx, [flxavg[0], flxavg[1], flxavg[2]], dt,
+                               dx, L, eos)
+            E3 = {k: jax.lax.optimization_barrier(
+                cc.electric_edge(k, q2d, flxf[(k + 1) % 3],
+                                 flxf[(k + 2) % 3], L)) for k in range(3)}
+        elif dim == 2:
+            # 2D reduction: corner Ez from the 1D fluxes, one transverse
+            # pass per direction, final fluxes, half-time prims, final Ez
+            Ez1 = jax.lax.optimization_barrier(
+                cc.electric_edge(2, qx, flx1[0], flx1[1], L))
+            flxf = {}
+            for d1 in range(2):
+                d2 = 1 - d1
+                qrt, qlt = cc.transverse_2d(ur[d1], ul[d1], flx1[d2], Ez1,
+                                            d1, d2, dt, dx, L, eos,
+                                            small_dens)
+                flxf[d1] = jax.lax.optimization_barrier(
+                    cc.hlld_ext(qlt, qrt, d1, L, eos, small_dens,
+                                small_pres))
+            q2d = cc.prim_half(qx, [flx1[0], flx1[1]], dt, dx, L, eos)
+            E3 = {2: jax.lax.optimization_barrier(
+                cc.electric_edge(2, q2d, flxf[0], flxf[1], L))}
+        else:
+            # 1D: the characteristic tracing already provides the half-dt
+            flxf = {0: flx1[0]}
+            E3 = {}
 
         # flux cleaning: artificial viscosity + species normalization on
         # the gas components (Castro_mhd.cpp:640-660)
         div = divu_node(qx, dx, L)
-        for d in range(3):
+        for d in range(dim):
             gas = flxf[d][:L.NVAR]
             gas = gas.at[L.UTEMP].set(0.0)
             if L.shock_var:
@@ -373,31 +409,48 @@ class MhdSolver:
         # conservative gas update (consup_mhd: no pdivu term — total-energy
         # fluxes carry the magnetic work)
         u_new = u
-        for d in range(3):
+        for d in range(dim):
             F = flxf[d][:L.NVAR]
             u_new = u_new + dt * (F - shifted(F, 1, 1 + d)) / dx[d]
         u_new = u_new.at[L.UTEMP].set(u[L.UTEMP])
 
         # face-B update: curl of the final edge EMFs (per-axis metric —
         # the reference uses dt/dx[0] for all terms, exact only for cubic
-        # cells; we apply the correct per-direction spacings)
-        b_new = [None, None, None]
-        b_new[0] = b[0] + dt * (
-            (shifted(E3[1], 1, 2) - E3[1]) / dx[2]
-            - (shifted(E3[2], 1, 1) - E3[2]) / dx[1])
-        b_new[1] = b[1] + dt * (
-            (shifted(E3[2], 1, 0) - E3[2]) / dx[0]
-            - (shifted(E3[0], 1, 2) - E3[0]) / dx[2])
-        b_new[2] = b[2] + dt * (
-            (shifted(E3[0], 1, 1) - E3[0]) / dx[1]
-            - (shifted(E3[1], 1, 0) - E3[1]) / dx[0])
+        # cells; we apply the correct per-direction spacings).
+        # Out-of-dimension B components (cell-represented) update by the
+        # plain divergence of their fluxes.
+        eps = {(0, 1, 2): 1, (0, 2, 1): -1, (1, 2, 0): 1, (1, 0, 2): -1,
+               (2, 0, 1): 1, (2, 1, 0): -1}
+        b_new = list(b)
+        FB_cell = {}
+        for c in range(3):
+            if c < dim:
+                upd = 0.0
+                for t in range(dim):
+                    if t == c:
+                        continue
+                    k = 3 - c - t
+                    if k not in E3:
+                        continue
+                    upd = upd - eps[(c, t, k)] * (
+                        shifted(E3[k], 1, t) - E3[k]) / dx[t]
+                b_new[c] = b[c] + dt * upd
+            else:
+                bc_new = b[c]
+                for d in range(dim):
+                    F = flxf[d][UMG[c]]
+                    FB_cell[(d, c)] = F
+                    bc_new = bc_new - dt * (shifted(F, 1, d) - F) / dx[d]
+                b_new[c] = bc_new
         b_new = self.fill_b_all(tuple(b_new), ctx)
 
         u_new = self._clean(u_new, b_new, ctx)
+        out = (MhdState(u_new, b_new),)
         if keep_fluxes:
-            return MhdState(u_new, b_new), [flxf[d][:L.NVAR]
-                                            for d in range(3)]
-        return MhdState(u_new, b_new)
+            out = out + ([flxf[d][:L.NVAR] for d in range(dim)],)
+        if keep_ct:
+            out = out + ({"E": E3, "FB": FB_cell},)
+        return out if len(out) > 1 else out[0]
 
     def _clean(self, u, b, ctx=None):
         """MHD clean_state: density floor, dual-energy reset with the

@@ -44,6 +44,10 @@ def make_network(params) -> Network:
         from castro_tpu.network.aprox19 import Aprox19Network
 
         return Aprox19Network()
+    if name == "aprox21":
+        from castro_tpu.network.aprox21 import Aprox21Network
+
+        return Aprox21Network()
     if name == "rprox":
         from castro_tpu.network.rprox import RproxNetwork
 

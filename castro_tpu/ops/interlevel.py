@@ -83,6 +83,73 @@ def prolong_mask(m, dim):
     return out
 
 
+def prolong_face(bc, d, dim):
+    """Divergence-free face prolongation (ratio 2) of one face field.
+
+    bc: coarse face array, face I-1/2 @ index I, with n+1 entries along
+    the normal d (the caller slices one extra hi face from the grown
+    coarse field) and n entries along each transverse axis. Fine faces on
+    coarse face planes (even fine index 2I) copy the coarse value,
+    constant over the 2^(dim-1) transverse children; the mid-plane fine
+    face (odd index) is the mean of the two bracketing coarse faces. With
+    all dim fields prolonged this way, every fine-cell divergence equals
+    the parent coarse-cell divergence — exactly zero stays exactly zero
+    (the CT analog of AMReX face_divfree interpolation; reference MHD
+    fillpatch, `Source/mhd/Castro_mhd.cpp` StateData Mag_Type_*).
+
+    Returns the fine face array with 2n entries along every axis (fine
+    face 2n is dropped — the @index convention stores faces 0..2n-1)."""
+    lo_sl = [slice(None)] * bc.ndim
+    lo_sl[d] = slice(0, -1)
+    hi_sl = [slice(None)] * bc.ndim
+    hi_sl[d] = slice(1, None)
+    lo = bc[tuple(lo_sl)]
+    mid = 0.5 * (lo + bc[tuple(hi_sl)])
+    out = jnp.stack([lo, mid], axis=d + 1)
+    shape = out.shape[:d] + (2 * lo.shape[d],) + out.shape[d + 2:]
+    out = out.reshape(shape)
+    for k in range(dim):
+        if k != d:
+            out = jnp.repeat(out, 2, axis=k)
+    return out
+
+
+def restrict_face(bf, d, dim):
+    """Fine -> coarse face restriction: coarse face I-1/2 @ I is the area
+    mean of its 2^(dim-1) fine subfaces (even subsample along the normal,
+    pair-mean transverse). The adjoint of `prolong_face`; preserves
+    divergence-free exactly (coarse div = mean of fine divs)."""
+    idx = [slice(None)] * bf.ndim
+    idx[d] = slice(0, None, 2)
+    out = bf[tuple(idx)]
+    for k in range(dim):
+        if k == d:
+            continue
+        n = out.shape[k]
+        shape = out.shape[:k] + (n // 2, 2) + out.shape[k + 1:]
+        out = out.reshape(shape).mean(axis=k + 1)
+    return out
+
+
+def restrict_edge(E, k, dim):
+    """Edge-EMF restriction for the CT flux register (Balsara-style EMF
+    averaging at coarse-fine boundaries): E_k lives on k-directed edges
+    at (a1-1/2, a2-1/2) @ (i_a1, i_a2), cell-centered along k. Coarse
+    edges coincide with even fine edge indices in the transverse (a1, a2)
+    axes; along k a coarse edge is the mean of the 2 fine edges composing
+    it. In 2D (k out of plane) it is a pure corner subsample."""
+    idx = [slice(None)] * E.ndim
+    for a in range(dim):
+        if a != k:
+            idx[a] = slice(0, None, 2)
+    out = E[tuple(idx)]
+    if k < dim:
+        n = out.shape[k]
+        shape = out.shape[:k] + (n // 2, 2) + out.shape[k + 1:]
+        out = out.reshape(shape).mean(axis=k + 1)
+    return out
+
+
 def coarsen_flux(F, d, dim, comp_axes=1):
     """Coarsen a face-registered flux-density array along direction d.
 

@@ -124,6 +124,70 @@ def make_sharded_mhd_step(sim, mesh: Mesh):
     return jax.jit(mapped, donate_argnums=(0, 1))
 
 
+def make_sharded_rad_step(sim, mesh: Mesh, keep_fluxes: bool = False):
+    """Jitted radiation driver step over the mesh: the full
+    `_rad_step_impl` — hydro advance, Er advection (1-ghost halo exchange
+    via ctx.fill_rad), implicit FLD solve through the DISTRIBUTED
+    multigrid (axis_names mode) — under shard_map (the reference's
+    MPI-decomposed Radiation level solve, `Radiation.cpp` + Hypre's own
+    domain decomposition).
+
+    Maps (u_int, Er_int, dt, t, rhs_extra) -> (u_new_int, Er_new, min_rho,
+    bad[, hyd_fluxes]). Radiation register fluxes are NOT computed here —
+    the AMR driver re-derives them globally with `fld.level_fluxes` on the
+    sharded output field."""
+    L = sim.layout
+    ng = sim.ng
+    dim = L.dim
+    names = spatial_axis_names(sim, mesh)
+    spec_u = P(None, *names)
+    mgq = L.ngroups > 1
+    spec_er = P(None, *names) if mgq else P(*names)
+
+    def local_step(u_loc, Er_loc, dt, t, rhs_extra):
+        ctx = make_step_ctx(sim, names, n_loc=u_loc.shape[1:])
+
+        def fill_rad1(Er):
+            if Er.ndim > dim:
+                return jax.vmap(lambda e: exchange_face(
+                    e, dim, 1, names, sim.cfg.lo_bc, sim.cfg.hi_bc))(Er)
+            return exchange_face(Er, dim, 1, names, sim.cfg.lo_bc,
+                                 sim.cfg.hi_bc)
+
+        ctx.fill_rad = fill_rad1
+        pads = [(0, 0)] + [(ng, ng)] * dim
+        u = jnp.pad(u_loc, pads)
+        keep = sim.keep_fluxes
+        sim.keep_fluxes = keep_fluxes
+        try:
+            out = sim._rad_step_impl(u, Er_loc, dt, t, ctx=ctx,
+                                     rad_rhs_extra=rhs_extra)
+        finally:
+            sim.keep_fluxes = keep
+        u_new, Er_new, min_rho, bad = out[0], out[1], out[2], out[3]
+        res = (shrink(u_new, ng, dim), Er_new, min_rho, bad)
+        if keep_fluxes:
+            fint = out[4]
+            fluxes = []
+            for d in range(dim):
+                trim = [slice(None)] * (1 + dim)
+                trim[1 + d] = slice(0, fint[d].shape[1 + d] - 1)
+                fluxes.append(fint[d][tuple(trim)])
+            res = res + (fluxes,)
+        return res
+
+    out_specs = (spec_u, spec_er, P(), P())
+    if keep_fluxes:
+        out_specs = out_specs + ([P(None, *names)] * dim,)
+    mapped = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(spec_u, spec_er, P(), P(), spec_er),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
 def make_phased_sharded_step(sim, mesh: Mesh):
     """Build the full-physics step over the mesh as THREE separately
     jitted shard_map programs — Strang half-burn / hydro+sources middle /

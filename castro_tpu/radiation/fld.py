@@ -413,21 +413,40 @@ class FLDRadiation:
 
     def multigroup_update(self, Er_g, rho, e, T_guess, cv, dt, nu_centers,
                           dnu, axis_names=None, eos_re=None, metric=None,
-                          rhs_extra=None):
+                          rhs_extra=None, bc_override=None, keep_flux=False):
         """MGFLD-style update (reference MGFLD_implicit_update): outer
         matter-coupling iteration; all group diffusion solves vmapped into
         one batched multigrid program. Frequency-dependent opacities,
         per-group Dirichlet boundary values (self.bc_group_vals_lo/hi set
         by the problem, e.g. the hot-sphere Planck spectrum in RadSphere),
-        and a curvilinear metric are supported. Er_g: [ngroups, ...]."""
+        and a curvilinear metric are supported. Er_g: [ngroups, ...].
+
+        AMR plumbing (reference HypreMultiABec multilevel MGFLD solves,
+        MGFLDRadSolver.cpp:21-120): bc_override = (bvl_g, bvh_g), tuples
+        of per-dim Dirichlet face arrays with a LEADING GROUP AXIS
+        (coarse-Er window boundary data); keep_flux additionally returns
+        the per-group face diffusion fluxes for the radiation flux
+        registers."""
         cl = self.c
         a_r = self.arad
         bc_lo, bc_hi, spec_lo, spec_hi = self._bc()
         ng = Er_g.shape[0]
         rtol = 1e-10 if Er_g.dtype == jnp.float64 else 1e-6
         dim = Er_g.ndim - 1
+        if bc_override is not None:
+            bc_lo = bc_hi = ("dirichlet",) * dim
+            ovl, ovh = (tuple(bc_override[0]), tuple(bc_override[1]))
+        else:
+            # dummies for the vmap signature (never read)
+            z = jnp.zeros((ng,) + (1,) * (dim - 1), Er_g.dtype)
+            ovl = ovh = (z,) * dim
 
         shape_nu = (ng,) + (1,) * dim
+        # group structure in the WORKING dtype: an f64 nugroup (built under
+        # x64) otherwise promotes the emission terms and breaks the f32
+        # scan carry (and silently computes the f32 production path in f64)
+        nu_centers = jnp.asarray(nu_centers, Er_g.dtype)
+        dnu = jnp.asarray(dnu, Er_g.dtype)
         nu_c = nu_centers.reshape(shape_nu)
         # per-group boundary Dirichlet values (scalars), when registered
         gv_lo = getattr(self, "bc_group_vals_lo", None)
@@ -454,10 +473,13 @@ class FLDRadiation:
             dSdT_g = (4.0 * a_r * T**3)[None] * frac
             return S_g, dSdT_g
 
-        def solve_group(rhs, acoef, bcoefs, val_lo, val_hi):
+        def solve_group(rhs, acoef, bcoefs, val_lo, val_hi, ovl_g, ovh_g):
             """One group's diffusion solve; vmapped over groups."""
-            bvl, bvh = self._bc_vals(spec_lo, spec_hi, bcoefs,
-                                     vlo_g=val_lo, vhi_g=val_hi)
+            if bc_override is not None:
+                bvl, bvh = list(ovl_g), list(ovh_g)
+            else:
+                bvl, bvh = self._bc_vals(spec_lo, spec_hi, bcoefs,
+                                         vlo_g=val_lo, vhi_g=val_hi)
             out, _ = mg.solve(
                 rhs, self.geom.dx, acoef=acoef, bcoefs=bcoefs,
                 alpha=1.0, beta=dt, bc_lo=bc_lo, bc_hi=bc_hi,
@@ -465,7 +487,7 @@ class FLDRadiation:
                 axis_names=axis_names, metric=metric)
             return out
 
-        vsolve = jax.vmap(solve_group, in_axes=(0, 0, 0, 0, 0))
+        vsolve = jax.vmap(solve_group, in_axes=(0, 0, 0, 0, 0, 0, 0))
 
         def outer(carry, _):
             Er_k, e_k = carry
@@ -506,7 +528,7 @@ class FLDRadiation:
             zval = jnp.zeros((ng,), Er_g.dtype)
             vlo = gv_lo if gv_lo is not None else zval
             vhi = gv_hi if gv_hi is not None else zval
-            Er_new = vsolve(rhs_g, acoef_g, bcoefs_g, vlo, vhi)
+            Er_new = vsolve(rhs_g, acoef_g, bcoefs_g, vlo, vhi, ovl, ovh)
 
             # NOTE on the reference's gray_accel (MGFLD.cpp:441): that
             # scheme accelerates an outer iteration whose group solves lag
@@ -521,7 +543,10 @@ class FLDRadiation:
             de = -dt * cl * jnp.sum(
                 kp_g * (S_g - Er_new), axis=0) / rho
             e_new = e + de / (1.0 + beta_kp * cl * dt)
-            return (Er_new, e_new), 0.0
+            # pin the carry to the working dtype: strongly-typed f64
+            # opacity/emissivity constants (built under x64) must not
+            # promote an f32 run's solution arrays
+            return (Er_new.astype(Er_g.dtype), e_new.astype(e.dtype)), 0.0
 
         (Er_f, e_f), _ = jax.lax.scan(outer, (Er_g, e), None,
                                       length=self.outer_iters)
@@ -529,7 +554,70 @@ class FLDRadiation:
             T_f = jnp.maximum(eos_re(e_f).T, 1e-10)
         else:
             T_f = jnp.maximum(T_guess + (e_f - e) / cv, 1e-10)
+        if keep_flux:
+            # per-group face diffusion fluxes of the converged field
+            # (RadSolve levelFlux per group; cell-registered interior
+            # faces, same convention as the gray branch)
+            kr_gf = jax.vmap(lambda nu: self.kappa_r(rho, T_f, nu))(
+                nu_centers)
+            if kr_gf.ndim == 1:
+                kr_gf = jnp.broadcast_to(kr_gf.reshape(shape_nu),
+                                         (ng,) + rho.shape)
+
+            def gflux(E1, kr1):
+                bco = self.diffusion_coeffs(E1, rho, T_f, axis_names,
+                                            kr=kr1)[0]
+                fl = []
+                for d in range(E1.ndim):
+                    n = E1.shape[d]
+                    lo = E1[mg._take(E1, d, 0, n - 1)]
+                    hi = E1[mg._take(E1, d, 1, n)]
+                    grad = (hi - lo) / self.geom.dx[d]
+                    Din = bco[d][mg._take(bco[d], d, 1, n)]
+                    F = jnp.zeros_like(E1)
+                    F = F.at[mg._take(F, d, 1, n)].set(-Din * grad)
+                    fl.append(F)
+                return tuple(fl)
+
+            fluxes_g = jax.vmap(gflux)(Er_f, kr_gf)
+            return Er_f, e_f, T_f, list(fluxes_g)
         return Er_f, e_f, T_f
+
+    def level_fluxes(self, Er, rho, T):
+        """Face diffusion fluxes of a (global) field, cell-registered
+        (face i-1/2 @ i, interior faces [1, n]; face 0 zero — the domain
+        boundary plane, unused by window flux registers). Gray Er [n...]
+        or multigroup [ngroups, n...]. Identical convention to the
+        keep_flux returns of gray_update/multigroup_update; used by the
+        DISTRIBUTED AMR radiation path, where the fluxes are re-derived
+        from the globally-sharded converged field (whole-array ops — XLA
+        inserts the halo collectives) instead of inside the shard_map
+        (reference RadSolve::levelFluxReg, Radiation.cpp:247-289)."""
+        gray = Er.ndim == rho.ndim
+
+        def one(E1, kr1):
+            bco = self.diffusion_coeffs(E1, rho, T, kr=kr1)[0]
+            fl = []
+            for d in range(E1.ndim):
+                n = E1.shape[d]
+                lo = E1[mg._take(E1, d, 0, n - 1)]
+                hi = E1[mg._take(E1, d, 1, n)]
+                grad = (hi - lo) / self.geom.dx[d]
+                Din = bco[d][mg._take(bco[d], d, 1, n)]
+                F = jnp.zeros_like(E1)
+                F = F.at[mg._take(F, d, 1, n)].set(-Din * grad)
+                fl.append(F)
+            return tuple(fl)
+
+        if gray:
+            kr = self.kappa_r(rho, jnp.maximum(T, 1e-10))
+            return list(one(Er, kr))
+        kr_g = jax.vmap(lambda nu: self.kappa_r(rho, T, nu))(self.nugroup)
+        if kr_g.ndim == 1:
+            kr_g = jnp.broadcast_to(
+                kr_g.reshape((Er.shape[0],) + (1,) * rho.ndim),
+                Er.shape)
+        return list(jax.vmap(one)(Er, kr_g))
 
     def boundary_fluxes(self, Er, rho, T, bvl, bvh):
         """Diffusion fluxes ON the (window) boundary faces given Dirichlet

@@ -88,13 +88,17 @@ class TrueSDC4:
         else:
             self.burner = None
 
-    def _adv(self, u):
+    def _adv(self, u, want_flux=False):
         from castro_tpu.ops.fourth_order import mol4_hydro
 
         sim = self.sim
         u = sim._fill(u)
-        adv, _, _ = mol4_hydro(u, sim.geom, sim.layout, sim.cfg, sim.eos,
-                               max(sim.params.castro.small_temp, 1e-200))
+        adv, fluxes, _ = mol4_hydro(u, sim.geom, sim.layout, sim.cfg,
+                                    sim.eos,
+                                    max(sim.params.castro.small_temp,
+                                        1e-200))
+        if want_flux:
+            return adv, fluxes
         return adv
 
     def _react_rate(self, u):
@@ -137,8 +141,12 @@ class TrueSDC4:
         u1 = u1.at[L.UEDEN].add(de)
         return u1, fail
 
-    def advance(self, u, dt, t):
-        """One SDC-4 step (k[m] = node states). Returns (u_new, fail)."""
+    def advance(self, u, dt, t, keep_fluxes=False):
+        """One SDC-4 step (k[m] = node states). Returns (u_new, fail)
+        [, fluxes] — keep_fluxes additionally returns the Simpson
+        time-average of the node hydro fluxes (per-dim, grown grid) for
+        the AMR flux registers (reference: SDC advances fill the same
+        flux MultiFabs as CTU, Castro_advance_sdc.cpp:180-210)."""
         sim = self.sim
         fail = jnp.asarray(False)
         hdt = 0.5 * dt
@@ -148,14 +156,18 @@ class TrueSDC4:
         # per-interval burner integrates them implicitly (no double count;
         # same coupling design as TrueSDC2). Non-reactive runs recover the
         # reference's pure ca_sdc_update_advection_o4_lobatto exactly.
-        A0 = self._adv(u)
+        A0, Fu = self._adv(u, want_flux=True)
         k = [u, u, u]
         A_old = [A0, A0, A0]
+        F_old = [Fu, Fu, Fu]
+        F_m0 = F_m1 = Fu
+        F_prev = F_old
 
         for _ in range(self.n_iters):
+            F_prev = F_old
             # node 0 -> 1 (dt_m = dt/2), Simpson over [0, 1/2]:
             # quad = dt/24 (5 A0 + 8 A1 - A2)
-            A_m0 = self._adv(k[0])
+            A_m0, F_m0 = self._adv(k[0], want_flux=True)
             quad01 = dt / 24.0 * (5.0 * A_old[0] + 8.0 * A_old[1]
                                   - A_old[2])
             Aeff = (hdt * (A_m0 - A_old[0]) + quad01) / hdt
@@ -163,15 +175,29 @@ class TrueSDC4:
             k[1] = sim._clean_fill_impl(k1)
 
             # node 1 -> 2: quad = dt/24 (-A0 + 8 A1 + 5 A2)
-            A_m1 = self._adv(k[1])
+            A_m1, F_m1 = self._adv(k[1], want_flux=True)
             quad12 = dt / 24.0 * (-A_old[0] + 8.0 * A_old[1]
                                   + 5.0 * A_old[2])
             Aeff = (hdt * (A_m1 - A_old[1]) + quad12) / hdt
             k2, fail = self._node_react(k[1], Aeff, hdt, fail)
             k[2] = sim._clean_fill_impl(k2)
 
-            A_old = [A_m0, A_m1, self._adv(k[2])]
+            A_m2, F_m2 = self._adv(k[2], want_flux=True)
+            A_old = [A_m0, A_m1, A_m2]
+            F_old = [F_m0, F_m1, F_m2]
 
+        if keep_fluxes:
+            # EXACT flux form of the final state: mirror the last sweep's
+            # Aeff combination (quadrature of the PREVIOUS sweep's node
+            # fluxes + the finite-sweep defect terms) so the AMR reflux
+            # conserves to round-off even when the SDC iteration has not
+            # fully converged
+            fluxes = [0.5 * (F_m0[d] - F_prev[0][d])
+                      + 0.5 * (F_m1[d] - F_prev[1][d])
+                      + (F_prev[0][d] + 4.0 * F_prev[1][d]
+                         + F_prev[2][d]) / 6.0
+                      for d in range(sim.layout.dim)]
+            return k[2], fail, fluxes
         return k[2], fail
 
 
@@ -192,13 +218,15 @@ class TrueSDC2:
         else:
             self.burner = None
 
-    def _adv(self, u):
+    def _adv(self, u, want_flux=False):
         sim = self.sim
         L = sim.layout
         u = sim._fill(u)
         q, qaux = ctoprim(u, L, sim.eos, sim.cfg.small_dens,
                           max(sim.params.castro.small_temp, 1e-200))
-        adv, _, _ = mol_hydro(u, q, qaux, 0.0, sim.geom, L, sim.cfg)
+        adv, fluxes, _ = mol_hydro(u, q, qaux, 0.0, sim.geom, L, sim.cfg)
+        if want_flux:
+            return adv, fluxes
         return adv
 
     def _react_rate(self, u):
@@ -217,16 +245,19 @@ class TrueSDC2:
         R = R.at[L.UEDEN].set(rho * edot)
         return R
 
-    def advance(self, u, dt, t):
-        """One SDC-2 step. Returns (u_new, fail)."""
+    def advance(self, u, dt, t, keep_fluxes=False):
+        """One SDC-2 step. Returns (u_new, fail)[, fluxes] — keep_fluxes
+        adds the trapezoid time-average of the node fluxes for the AMR
+        flux registers."""
         sim = self.sim
         fail = jnp.asarray(False)
-        A0 = self._adv(u)
+        A0, F0 = self._adv(u, want_flux=True)
         R0 = self._react_rate(u)
         u1 = u + dt * (A0 + R0)  # provisional (forward Euler predictor)
         u1 = sim._clean_fill_impl(u1)
+        F1 = F0
         for _ in range(self.n_iters):
-            A1 = self._adv(u1)
+            A1, F1 = self._adv(u1, want_flux=True)
             R1 = self._react_rate(u1)
             # trapezoid node update: U^1 = U^0 + dt/2 (A0+A1) + dt/2 (R0+R1);
             # with reactions the R1 piece solved implicitly via a burn with
@@ -251,6 +282,10 @@ class TrueSDC2:
             else:
                 u1 = u + 0.5 * dt * (A0 + A1)
             u1 = sim._clean_fill_impl(u1)
+        if keep_fluxes:
+            fluxes = [0.5 * (F0[d] + F1[d])
+                      for d in range(sim.layout.dim)]
+            return u1, fail, fluxes
         return u1, fail
 
 
@@ -275,24 +310,51 @@ class TrueSDC4Radau(TrueSDC4):
          (72.0 + 8.0 * SQ6) / 600.0),
     )
 
-    def advance(self, u, dt, t):
+    def advance(self, u, dt, t, keep_fluxes=False):
         sim = self.sim
         fail = jnp.asarray(False)
         c = self.NODES
-        A0 = self._adv(u)
+        A0, Fu = self._adv(u, want_flux=True)
         k = [u, u, u, u]
         A_old = [A0, A0, A0, A0]
+        F_old = [Fu, Fu, Fu, Fu]
+        F_prev = F_old
+        F_used = [Fu, Fu, Fu]
 
         for _ in range(self.n_iters):
-            A_new = [self._adv(k[0])]
+            F_prev = F_old
+            a0n, f0n = self._adv(k[0], want_flux=True)
+            A_new = [a0n]
+            F_new = [f0n]
+            F_used = []
             for m in range(3):
                 dt_m = (c[m + 1] - c[m]) * dt
                 quad = dt * sum(w * A_old[j + 1]
                                 for j, w in enumerate(self.W[m]))
                 Aeff = (dt_m * (A_new[m] - A_old[m]) + quad) / dt_m
+                F_used.append(F_new[m])
                 kn, fail = self._node_react(k[m], Aeff, dt_m, fail)
                 k[m + 1] = sim._clean_fill_impl(kn)
-                A_new.append(self._adv(k[m + 1]))
+                a_n, f_n = self._adv(k[m + 1], want_flux=True)
+                A_new.append(a_n)
+                F_new.append(f_n)
             A_old = A_new
+            F_old = F_new
 
+        if keep_fluxes:
+            # exact flux form of the last sweep (defect terms + Radau
+            # quadrature of the previous sweep's node fluxes) — see the
+            # Lobatto variant for why exactness matters for AMR reflux
+            dim = sim.layout.dim
+            fluxes = []
+            for d in range(dim):
+                tot = 0.0
+                for m in range(3):
+                    dt_m = (c[m + 1] - c[m]) * dt
+                    tot = tot + dt_m * (F_used[m][d] - F_prev[m][d])
+                    tot = tot + dt * sum(
+                        w * F_prev[j + 1][d]
+                        for j, w in enumerate(self.W[m]))
+                fluxes.append(tot / dt)
+            return k[3], fail, fluxes
         return k[3], fail

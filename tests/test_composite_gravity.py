@@ -129,3 +129,55 @@ def test_amr_gravity_dynamics_tracks_fine():
              for k in range(2))] = np.asarray(amr.masks[1])
     rel = np.abs(comp[m1] - rho_fine[m1]) / np.abs(rho_fine[m1])
     assert np.percentile(rel, 95) < 0.01, np.percentile(rel, 95)
+
+
+def test_gravity_sync_improves_composite_phi():
+    """The delta-phi sync solve (Gravity::gravity_sync,
+    Gravity.cpp:488-631): the grad-phi flux-register mismatch at the
+    coarse-fine interface feeds a Poisson solve whose correction moves the
+    coarse potential TOWARD the true composite (uniformly fine) solution,
+    and the improvement persists over subcycled evolution (no drift)."""
+    from castro_tpu.ops.interlevel import restrict
+    from castro_tpu.ops.stencil import interior_slice
+
+    p = _mk(32, max_level=1).with_ns("tpu", dtype="float64")
+    amr = AmrSimulation(p, problem_init=_blob_init)
+    amr.init_data()
+    assert int(amr.masks[1].sum()) > 0
+
+    # uniformly fine gravity machinery for the truth solves
+    fine = Simulation(_mk(64).with_ns("tpu", dtype="float64"),
+                      problem_init=_blob_init)
+    fine.init_data()
+    gf = next(fn.gravity for fn in fine.source_fns
+              if getattr(fn, "name", "") == "grav")
+
+    def fine_truth():
+        """phi of the CURRENT composite density, solved uniformly fine."""
+        rho = amr.composite_interior()[amr.sim0.layout.URHO]
+        return np.asarray(restrict(gf._poisson(rho)[1], amr.dim,
+                                   comp_axes=0))
+
+    truth = fine_truth()
+    scale = np.abs(truth).max()
+    err_plain = np.abs(np.asarray(amr._solve_phi(0, amr.u[0]))
+                       - truth).max() / scale
+    err_sync = np.abs(np.asarray(amr._solve_phi_sync(0, amr.u[0]))
+                      - truth).max() / scale
+    assert err_sync < 0.9 * err_plain, (err_sync, err_plain)
+    assert amr.phi_sync_resid > 0.0
+
+    # and the improvement persists over subcycled steps (no drift)
+    for _ in range(4):
+        amr.advance(amr.estimate_dt())
+    truth2 = fine_truth()
+    scale2 = np.abs(truth2).max()
+    e_plain2 = np.abs(np.asarray(amr._solve_phi(0, amr.u[0]))
+                      - truth2).max() / scale2
+    e_sync2 = np.abs(np.asarray(amr._solve_phi_sync(0, amr.u[0]))
+                     - truth2).max() / scale2
+    # post-evolution the truth metric mixes in hydro-evolution differences,
+    # so the sync's edge narrows: require no-harm and boundedness (the
+    # "no drift" criterion) rather than a fixed improvement factor
+    assert e_sync2 < 1.05 * e_plain2, (e_sync2, e_plain2)
+    assert e_sync2 < 2.0 * err_sync  # bounded, no drift

@@ -112,3 +112,4 @@ def test_two_blob_regrid_migrates_windows():
     for l in (0, 1):
         assert np.all(np.isfinite(np.asarray(amr.u[l])))
     assert np.all(np.isfinite(np.asarray(amr.extra[1][0]["u"])))
+

@@ -187,3 +187,74 @@ def test_nse_strang_bypass():
     assert float(u2[L.UEINT, 2]) > float(u[L.UEINT, 2])
     # cold zones essentially untouched
     assert x_out[5, 0] > 0.999
+
+
+def test_aprox21_matches_aprox19_without_heavies():
+    """With X(Cr56) = X(Fe56) = 0 and no free neutrons, aprox21 reduces
+    exactly to aprox19 on the shared species (the added links all carry
+    zero flux)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from castro_tpu.network.aprox19 import Aprox19Network
+    from castro_tpu.network.aprox21 import Aprox21Network
+
+    n19 = Aprox19Network(include_neutrinos=False)
+    n21 = Aprox21Network(include_neutrinos=False)
+    rho = jnp.asarray(1.0e6)
+    T = jnp.asarray(2.0e9)
+    xn19 = np.full(19, 1e-8)
+    xn19[2] = 0.5   # He4
+    xn19[3] = 0.3   # C12
+    xn19[5] = 0.2   # O16
+    xn19[17] = 0.0  # no free neutrons (else fe54+2n->fe56 carries flux)
+    xn19 = jnp.asarray(xn19 / xn19.sum())
+    xn21 = jnp.concatenate([xn19, jnp.zeros(2)])
+    xd19, ed19 = n19.rhs(rho, T, xn19)
+    xd21, ed21 = n21.rhs(rho, T, xn21)
+    assert np.allclose(np.asarray(xd21[:19]), np.asarray(xd19), rtol=1e-12)
+    assert np.allclose(float(ed21), float(ed19), rtol=1e-12)
+    assert np.allclose(np.asarray(xd21[19:]), 0.0)
+
+
+def test_aprox21_mass_conservation_and_ye_lowering():
+    """sum(xdot) = 0 exactly, and the double electron capture moves mass
+    Fe56 -> Cr56 (lowering Ye below the Fe54 floor) at high rho*Ye/T."""
+    import numpy as np
+    import jax.numpy as jnp
+    from castro_tpu.network.aprox21 import Aprox21Network, ICR56, IFE56
+
+    net = Aprox21Network(include_neutrinos=False)
+    rho = jnp.asarray(5.0e9)
+    T = jnp.asarray(6.0e9)
+    xn = np.full(21, 1e-8)
+    xn[IFE56] = 0.7
+    xn[16] = 0.3    # Ni56
+    xn = jnp.asarray(xn / xn.sum())
+    xd, ed = net.rhs(rho, T, xn)
+    assert abs(float(jnp.sum(xd))) < 1e-8 * float(jnp.abs(xd).max())
+    assert float(xd[ICR56]) > 0.0
+    assert float(xd[IFE56]) < 0.0
+    # Ye decreases
+    ye_dot = float(jnp.sum(xd * jnp.asarray(net.zion / net.aion)))
+    assert ye_dot < 0.0
+
+
+def test_aprox21_fe54_2n_equilibrium_direction():
+    """fe54 + 2n <-> fe56: exothermic forward at moderate T (captures),
+    photodisintegration wins at very high T."""
+    import numpy as np
+    import jax.numpy as jnp
+    from castro_tpu.network.aprox21 import (Aprox21Network, IFE56)
+    from castro_tpu.network.aprox19 import IFE54, INEUT
+
+    net = Aprox21Network(include_neutrinos=False)
+    xn = np.full(21, 1e-8)
+    xn[IFE54] = 0.5
+    xn[INEUT] = 0.01
+    xn[IFE56] = 0.2
+    xn = jnp.asarray(xn / xn.sum())
+    rho = jnp.asarray(1.0e7)
+    xd_lo, _ = net.rhs(rho, jnp.asarray(3.0e9), xn)
+    xd_hi, _ = net.rhs(rho, jnp.asarray(1.2e10), xn)
+    assert float(xd_lo[IFE56]) > 0.0     # captures build Fe56
+    assert float(xd_hi[IFE56]) < float(xd_lo[IFE56])  # photodis. pushes back
