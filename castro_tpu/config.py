@@ -43,6 +43,10 @@ class AmrParams:
     max_grid_size: int = 64
     regrid_int: int = 2
     n_error_buf: int = 2
+    # distributed-AMR: shard the PRIMARY fine window's step over the mesh
+    # (instead of computing it replicated on every device); opt-in — it
+    # compiles one extra shard_map program per window shape
+    distribute_fine: int = 0
     plot_int: int = -1
     plot_per: float = -1.0
     check_int: int = -1

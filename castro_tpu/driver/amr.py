@@ -113,7 +113,8 @@ class _GeomShim:
 class _Level:
     """One fine level's compiled programs for a fixed window SHAPE."""
 
-    def __init__(self, params, level, shape_f, geom_full, **sim_kw):
+    def __init__(self, params, level, shape_f, geom_full, mesh=None,
+                 **sim_kw):
         self.shape = tuple(shape_f)
         sim_kw = dict(sim_kw)
         sim_kw.pop("problem_init", None)
@@ -169,6 +170,21 @@ class _Level:
                 return u_new, min_rho, bad, fint
 
             self.jit_step = jax.jit(sdc_step)
+
+        # sharded fine-window step (amr.distribute_fine=1): the window's
+        # FLOPs distribute over the mesh instead of replicating
+        self.jit_sharded_step = None
+        if (mesh is not None and sim.mhd is None and sim.rad is None
+                and sim.sdc is None):
+            from castro_tpu.parallel.decomp import (make_sharded_window_step,
+                                                    spatial_axis_names)
+
+            names = spatial_axis_names(sim, mesh)
+            ok = all(name is None or self.shape[d] % mesh.shape[name] == 0
+                     for d, name in enumerate(names))
+            if ok:
+                self.jit_sharded_step = make_sharded_window_step(
+                    sim, mesh, geom_full)
 
         self.jit_mhd_step = None
         if sim.mhd is not None:
@@ -408,8 +424,11 @@ class AmrSimulation:
         key = tuple(shape_f)
         cache = self._levels[l]
         if key not in cache:
+            mesh = (self.mesh if (self.mesh is not None and
+                                  self.params.amr.distribute_fine)
+                    else None)
             cache[key] = _Level(self.params, l, key, self.geom_full[l],
-                                **self._sim_kw)
+                                mesh=mesh, **self._sim_kw)
         return cache[key]
 
     def _sims_at(self, l) -> Simulation:
@@ -1322,8 +1341,23 @@ class AmrSimulation:
             lev = self._get_level(l, self.window[l][1])
             sim = lev.sim
             ilo = jnp.asarray(self.window[l][0])
-            out = lev.jit_step(self.u[l], dt, t_level, ilo,
-                               grav_bc=self._cur_grav_bc.get(l))
+            if (lev.jit_sharded_step is not None
+                    and self._cur_grav_bc.get(l) is None):
+                # distributed fine window (amr.distribute_fine=1)
+                u_int = self.u[l][interior_slice(self.ng, self.dim)]
+                u_new_i, min_rho, bad, fl = lev.jit_sharded_step(
+                    u_int, dt, t_level, ilo)
+                fluxes = []
+                for d in range(self.dim):
+                    pads = [(0, 0)] * (1 + self.dim)
+                    pads[1 + d] = (0, 1)
+                    fluxes.append(jnp.pad(fl[d], pads))
+                pads = [(0, 0)] + [(self.ng, self.ng)] * self.dim
+                out = (lev.jit_clean_fill(jnp.pad(u_new_i, pads)),
+                       min_rho, bad, fluxes)
+            else:
+                out = lev.jit_step(self.u[l], dt, t_level, ilo,
+                                   grav_bc=self._cur_grav_bc.get(l))
         u_new, min_rho, bad = out[0], out[1], out[2]
         fluxes = out[3] if sim.keep_fluxes else None
         if bool(bad) or float(min_rho) <= 0.0:

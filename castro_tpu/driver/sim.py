@@ -706,17 +706,25 @@ class Simulation:
             lam = apply_filter(lam, fT, axes=range(1, lam.ndim))
         return lam
 
-    def _rad_ctu_step_impl(self, u, Er, dt, t):
+    def _rad_ctu_step_impl(self, u, Er, dt, t, ctx=None, rad_bc=None,
+                           rad_rhs_extra=None, keep_rad_flux=False):
         """Characteristic rad-hydro step (any dim): radiation in the CTU
         eigensystem (reference trace_ppm_rad + the RADIATION transverse
         branches of trans.cpp + ctu_rad_consup) followed by the implicit
-        FLD matter coupling (final_radiation_call)."""
+        FLD matter coupling (final_radiation_call).
+
+        AMR plumbing (the reference runs rad_hydro_combined per level
+        under the Amr recursion): `ctx` = window step context, `rad_bc` =
+        coarse-Er window Dirichlet data for the implicit solve,
+        `rad_rhs_extra` = deferred-sync rhs; keep_rad_flux returns the
+        radiation register fluxes (advective, from ctu_rad_consup's flux
+        set, PLUS the implicit diffusion fluxes) and the gas fluxes."""
         from castro_tpu.ops.advection_util import ctoprim as _ctoprim
         from castro_tpu.ops.rad_hydro import ctu_rad_hydro
 
         L = self.layout
         c = self.params.castro
-        ctx = self._default_ctx
+        ctx = ctx or self._default_ctx
         u = ctx.fill(u, t)
         Er_g2 = self._fill_rad(Er[None] if Er.ndim == L.dim else Er)
         lam_g = self._rad_lambda_grown(u, Er_g2)
@@ -733,19 +741,24 @@ class Simulation:
 
         Er_int = Er[None] if Er.ndim == L.dim else Er  # already interior
         rp = self.params.radiation
-        u_new, Er_new = ctu_rad_hydro(
+        out = ctu_rad_hydro(
             u, Er_int, q, qaux, srcQ, dt, self.geom, L, self.cfg,
             self.rad.limiter, rp.closure,
             nugroup=self.rad.nugroup, dlognu=self.rad.dlognu,
             fspace_type=rp.fspace_advection_type, comoving=rp.comoving,
-            flatten_pp_threshold=rp.flatten_pp_threshold)
+            flatten_pp_threshold=rp.flatten_pp_threshold,
+            keep_fluxes=keep_rad_flux)
+        if keep_rad_flux:
+            u_new, Er_new, gas_fluxes, rfluxes = out
+        else:
+            u_new, Er_new = out
         if src_old is not None:
             u_new = u_new + dt * src_old
 
         inner = interior_slice(self.ng, L.dim)
-        min_rho = jnp.min(u_new[inner][L.URHO])
-        nan_flag = ~jnp.isfinite(jnp.sum(u_new[inner])) | \
-            ~jnp.isfinite(jnp.sum(Er_new))
+        min_rho = ctx.pmin(u_new[inner][L.URHO])
+        nan_flag = ctx.pany(~jnp.isfinite(jnp.sum(u_new[inner])) |
+                            ~jnp.isfinite(jnp.sum(Er_new)))
         u_new = self._clean_fill_impl(u_new, ctx, t + dt)
 
         # implicit FLD matter coupling on the advected field
@@ -759,19 +772,57 @@ class Simulation:
         def eos_re(e_k):
             return self.eos.re(rho=rho, e=jnp.maximum(e_k, 1e-300), xn=xn)
 
+        rad_fluxes = None
         if L.ngroups > 1:
-            Er_new2, e_new, T_new = self.rad.multigroup_update(
+            o2 = self.rad.multigroup_update(
                 Er_new, rho, e, es.T, es.cv, dt,
                 nu_centers=self.rad.nugroup, dnu=self.rad.dnugroup,
-                eos_re=eos_re, metric=self.rad.geom_metric())
+                eos_re=eos_re, metric=self.rad.geom_metric(),
+                bc_override=rad_bc, rhs_extra=rad_rhs_extra,
+                keep_flux=keep_rad_flux)
+            if keep_rad_flux:
+                Er_new2, e_new, T_new, rad_fluxes = o2
+            else:
+                Er_new2, e_new, T_new = o2
         else:
-            Er_new2, e_new, T_new = self.rad.gray_update(
+            o2 = self.rad.gray_update(
                 Er_new[0], rho, e, es.T, es.cv, dt, eos_re=eos_re,
-                metric=self.rad.geom_metric())
+                metric=self.rad.geom_metric(), bc_override=rad_bc,
+                rhs_extra=rad_rhs_extra, keep_flux=keep_rad_flux)
+            if keep_rad_flux:
+                Er_new2, e_new, T_new, rad_fluxes = o2
+            else:
+                Er_new2, e_new, T_new = o2
         de = rho * (e_new - e)
         u_new = u_new.at[(L.UEINT,) + inner[1:]].add(de)
         u_new = u_new.at[(L.UEDEN,) + inner[1:]].add(de)
         u_new = self._clean_fill_impl(u_new, ctx, t + dt)
+        if keep_rad_flux:
+            # register fluxes: advective (time-centered, per group, cell-
+            # registered interior — the dt-advective transport of Er) +
+            # implicit diffusion (same convention); the work terms of
+            # ctu_rad_consup are genuine sources and are not registered,
+            # exactly like the reference's rad flux registers
+            ng_, dim = self.ng, L.dim
+            gray = Er.ndim == L.dim
+            cax = 0 if gray else 1
+            for d in range(dim):
+                rf = rfluxes[d]
+                if gray:
+                    rf = rf[0]
+                sl = [slice(None)] * cax + [slice(ng_, -ng_)] * dim
+                sl[cax + d] = slice(ng_, rf.shape[cax + d] - ng_)
+                rf_i = rf[tuple(sl)]
+                rad_fluxes[d] = rad_fluxes[d] + rf_i
+            # gas fluxes: interior-face slices (hydro convention)
+            fint = None
+            if self.keep_fluxes:
+                fint = []
+                for d in range(dim):
+                    idx = [slice(None)] + [slice(ng_, -ng_)] * dim
+                    idx[1 + d] = slice(ng_, u.shape[1 + d] - ng_ + 1)
+                    fint.append(gas_fluxes[d][tuple(idx)])
+            return u_new, Er_new2, min_rho, nan_flag, rad_fluxes, fint
         return u_new, Er_new2, min_rho, nan_flag
 
     def _rad_step_impl(self, u, Er, dt, t, ctx: Optional[StepCtx] = None,
@@ -791,13 +842,20 @@ class Simulation:
 
         L = self.layout
         ctx = ctx or self._default_ctx
+        # the characteristic coupling runs for single-device Cartesian
+        # configurations INCLUDING AMR windows and flux-register runs
+        # (the reference's rad_hydro_combined per level); only sharded
+        # runs fall back to operator splitting (the CTU chain under
+        # shard_map with radiation is future work)
+        sharded = any(n is not None for n in tuple(ctx.axis_names))
         if (self.params.radiation.hydro_coupling
                 and self.params.castro.do_hydro
                 and self.geom.coord.value == 0
-                and ctx is self._default_ctx and rad_bc is None
-                and not self.keep_fluxes
+                and not sharded
                 and (L.ngroups == 1 or self.rad.nugroup is not None)):
-            return self._rad_ctu_step_impl(u, Er, dt, t)
+            return self._rad_ctu_step_impl(
+                u, Er, dt, t, ctx=ctx, rad_bc=rad_bc,
+                rad_rhs_extra=rad_rhs_extra, keep_rad_flux=keep_rad_flux)
         out = self._step_impl(u, dt, t, ctx=ctx)
         u_new, min_rho, bad = out[0], out[1], out[2]
         hyd_fluxes = out[3] if self.keep_fluxes else None

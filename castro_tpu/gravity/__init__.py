@@ -223,7 +223,10 @@ class Gravity:
             # isolated BCs: multipole Dirichlet values on the domain faces
             # (reference fill_multipole_BCs, Gravity.cpp:1579-1743)
             bc_lo = bc_hi = ("dirichlet",) * geom.dim
-            bvl, bvh = self._multipole_bcs(rho, geom, ctx)
+            if self.params.gravity.direct_sum_bcs:
+                bvl, bvh = self._direct_sum_bcs(rho, geom, ctx)
+            else:
+                bvl, bvh = self._multipole_bcs(rho, geom, ctx)
         phi, res = mg.poisson(rhs, self.geom.dx, bc_lo=bc_lo, bc_hi=bc_hi,
                               bc_vals_lo=bvl, bc_vals_hi=bvh,
                               n_vcycles=self.n_vcycles, rtol=self.rtol,
@@ -231,6 +234,50 @@ class Gravity:
         g = self._grad_phi(phi, bvl, bvh, names if sharded else (),
                            dirichlet=grav_bc is not None)
         return g, phi
+
+    def _direct_sum_bcs(self, rho, geom, ctx=None):
+        """Exact boundary potential by direct summation over every cell
+        (reference `fill_direct_sum_BCs`, Gravity.cpp:1745-1910;
+        gravity.direct_sum_bcs=1): phi(x_face) = -G sum_c rho_c dV /
+        |x_face - x_c|. O(N_face * N_cell) — the reference documents the
+        same cost; intended for verification-class grids where the
+        multipole truncation matters. Shard-aware: local partial sums are
+        psum-reduced over the mesh."""
+        dim = geom.dim
+        dV = 1.0
+        for d in range(dim):
+            dV = dV * geom.dx[d]
+        centers = [jnp.asarray(geom.cell_centers_1d(d, 0))
+                   for d in range(dim)]
+        # flattened cell coordinates + masses
+        mesh_c = jnp.meshgrid(*centers, indexing="ij")
+        xc = jnp.stack([m.reshape(-1) for m in mesh_c])  # [dim, N]
+        mass = (rho * dV).reshape(-1)  # [N]
+        psum = ctx.psum if ctx is not None else (lambda x: x)
+
+        bvl, bvh = [], []
+        for d in range(dim):
+            for side in ("lo", "hi"):
+                coords = []
+                for k in range(dim):
+                    if k == d:
+                        xf = (geom.prob_lo[k] if side == "lo"
+                              else geom.prob_hi[k])
+                        coords.append(jnp.asarray([xf], rho.dtype))
+                    else:
+                        coords.append(centers[k])
+                target = tuple(1 if k == d else geom.n_cell[k]
+                               for k in range(dim))
+                fm = jnp.meshgrid(*coords, indexing="ij")
+                xf_pts = jnp.stack([m.reshape(-1) for m in fm])  # [dim, F]
+                r2 = jnp.zeros((xf_pts.shape[1], xc.shape[1]), rho.dtype)
+                for k in range(dim):
+                    r2 = r2 + (xf_pts[k][:, None] - xc[k][None, :]) ** 2
+                inv_r = 1.0 / jnp.sqrt(jnp.maximum(r2, 1e-300))
+                phi = -C.Gconst * psum(inv_r @ mass)
+                vals = phi.reshape(target)
+                (bvl if side == "lo" else bvh).append(vals)
+        return tuple(bvl), tuple(bvh)
 
     def _multipole_bcs(self, rho, geom, ctx=None):
         """Multipole boundary potential on each domain face (reference

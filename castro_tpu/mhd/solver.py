@@ -485,31 +485,29 @@ class MhdSolver:
         return tuple(out)
 
     def _fill_b(self, bb, d):
-        """Ghost fill for face-B: periodic wrap or clamp (matches the gas
-        BC classes; filfc.f90 analog)."""
+        """Ghost fill for face-B: the general face-centered BC fill
+        (filfc.f90 analog, `ops/fill.py:fill_face`) — periodic wrap,
+        outflow clamp, and wall reflection with the velocity-like
+        parities the reference assigns to the face fields (normal
+        component odd about the wall face, tangential even except
+        no-slip). Components >= dim (2D Bz, 1D By/Bz) are
+        cell-represented and fill with even/clamp semantics."""
+        from castro_tpu.ops.fill import fill_face
+
         sim = self.sim
         dim = self.L.dim
-        ng = sim.ng
-        for dd in range(dim):
-            n = bb.shape[dd] - 2 * ng
-            lo_bc = sim.cfg.lo_bc[dd]
-            hi_bc = sim.cfg.hi_bc[dd]
-
-            def take(lo, hi, ax=dd):
-                idx = [slice(None)] * bb.ndim
-                idx[ax] = slice(lo, hi)
-                return tuple(idx)
-
-            if lo_bc == 0:  # periodic
-                bb = bb.at[take(0, ng)].set(bb[take(n, n + ng)])
-                bb = bb.at[take(n + ng, n + 2 * ng)].set(bb[take(ng, 2 * ng)])
-            else:  # clamp
-                bb = bb.at[take(0, ng)].set(
-                    jnp.broadcast_to(bb[take(ng, ng + 1)], bb[take(0, ng)].shape))
-                bb = bb.at[take(n + ng, n + 2 * ng)].set(
-                    jnp.broadcast_to(bb[take(n + ng - 1, n + ng)],
-                                     bb[take(n + ng, n + 2 * ng)].shape))
-        return bb
+        df = d if d < dim else -1  # cell-represented passive components
+        if df < 0:
+            # cell field: transverse-style fill in every dimension
+            from castro_tpu.ops.fill import _axis_fill_index
+            ng = sim.ng
+            for dd in range(dim):
+                idx = _axis_fill_index(bb.shape[dd], ng,
+                                       sim.cfg.lo_bc[dd], sim.cfg.hi_bc[dd])
+                bb = jnp.take(bb, jnp.asarray(idx), axis=dd)
+            return bb
+        return fill_face(bb, df, dim, sim.ng, sim.cfg.lo_bc,
+                         sim.cfg.hi_bc)
 
     # -- diagnostics -------------------------------------------------------------
     def div_b(self, b):

@@ -96,6 +96,87 @@ def _axis_fill_index(N, ng, lo, hi):
     return idx
 
 
+def _face_fill_index_normal(N, ng, lo, hi):
+    """Ghost index map + parity sign along the face-NORMAL axis of a
+    face-registered field (face i-1/2 @ index i; interior faces
+    [ng, ng+n-1], the hi domain face ng+n lives in the ghost margin).
+    Walls mirror about the wall face with ODD parity (face data carries
+    the velocity-like BC the reference assigns to face B / MAC
+    velocities) and the hi wall face is pinned to 0; outflow/inflow
+    clamp; periodic wraps (face j maps to j -/+ n)."""
+    import numpy as np
+
+    n = N - 2 * ng
+    idx = np.arange(N)
+    sgn = np.ones(N)
+    wall = (SYMMETRY, SLIPWALL, NOSLIPWALL)
+    for j in range(ng):
+        k = ng - 1 - j  # distance below the lo wall face (at index ng)
+        if lo == INTERIOR:
+            idx[j] = j + n
+        elif lo in wall:
+            idx[j] = ng + 1 + k
+            sgn[j] = -1.0
+        else:
+            idx[j] = ng
+    for j in range(ng + n, N):
+        k = j - (ng + n)
+        if hi == INTERIOR:
+            idx[j] = j - n
+        elif hi in wall:
+            if k == 0:
+                idx[j] = ng + n - 1
+                sgn[j] = 0.0  # the wall face itself: no penetration
+            else:
+                idx[j] = ng + n - k
+                sgn[j] = -1.0
+        else:
+            idx[j] = ng + n - 1
+    return idx, sgn
+
+
+def fill_face(b, df, dim, ng, lo_bc, hi_bc):
+    """General face-centered physical-BC fill (reference `filfc.f90`,
+    Source/driver/filfc.f90:1-1297, + the face-variable BC records of
+    Castro_setup): fill the ghost margin of ONE face field normal to
+    `df` (face i-1/2 @ index i, grown array with ng ghosts per side).
+
+    Treatment per boundary dimension d:
+      d == df : periodic wrap / outflow clamp / wall = odd mirror about
+                the wall FACE with the hi wall face pinned to 0
+                (velocity-like normal component);
+      d != df : cell-registered along d — periodic/clamp/even mirror
+                (SYMMETRY and SLIPWALL keep tangential face data even;
+                NOSLIPWALL flips it, like tangential velocity)."""
+    import numpy as np
+
+    for d in range(dim):
+        N = b.shape[d]
+        n = N - 2 * ng
+        lo, hi = lo_bc[d], hi_bc[d]
+        if d == df:
+            idx, sgn = _face_fill_index_normal(N, ng, lo, hi)
+            b = jnp.take(b, jnp.asarray(idx), axis=d)
+            if not np.all(sgn == 1.0):
+                shape = [1] * dim
+                shape[d] = N
+                b = b * jnp.asarray(sgn.reshape(shape), b.dtype)
+        else:
+            idx = _axis_fill_index(N, ng, lo, hi)
+            b = jnp.take(b, jnp.asarray(idx), axis=d)
+            # tangential face data flips only for no-slip walls
+            sv = np.ones(N)
+            if lo == NOSLIPWALL:
+                sv[:ng] = -1.0
+            if hi == NOSLIPWALL:
+                sv[n + ng:] = -1.0
+            if not np.all(sv == 1.0):
+                shape = [1] * dim
+                shape[d] = N
+                b = b * jnp.asarray(sv.reshape(shape), b.dtype)
+    return b
+
+
 def fill_ghosts(
     u: jnp.ndarray,
     layout,

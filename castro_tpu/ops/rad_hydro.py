@@ -541,10 +541,18 @@ def ctu_rad_consup(u_new, Er, rfluxes, qes, dt, geom: Geometry, layout, ng,
     af = []
     for g in range(ngr):
         nhat = [(er_f[g][c][1] - er_f[g][c][0]) / dx[c] for c in range(dim)]
-        GnDotu = [sum(nhat[c] * dud[j][c] for c in range(dim))
+        # nn = n.(grad u).n with n = nhat/|nhat| is scale-invariant in
+        # nhat — normalize BEFORE squaring: with cgs Er ~ 1e-15 the raw
+        # h*h (and a 1e-50 floor) underflow float32 to 0/0 = NaN
+        tiny = jnp.asarray(jnp.finfo(nhat[0].dtype).tiny, nhat[0].dtype)
+        nscale = nhat[0] * 0.0
+        for h in nhat:
+            nscale = jnp.maximum(nscale, jnp.abs(h))
+        nunit = [h / jnp.maximum(nscale, tiny) for h in nhat]
+        GnDotu = [sum(nunit[c] * dud[j][c] for c in range(dim))
                   for j in range(dim)]
-        nn = sum(nhat[j] * GnDotu[j] for j in range(dim)) / (
-            sum(h * h for h in nhat) + 1.0e-50)
+        nn = sum(nunit[j] * GnDotu[j] for j in range(dim)) / (
+            sum(h * h for h in nunit) + tiny)
         eddf = edd_factor(lamc[g], limiter, closure)
         f1 = 0.5 * (1.0 - eddf)
         f2 = 0.5 * (3.0 * eddf - 1.0)
@@ -572,7 +580,8 @@ def ctu_rad_consup(u_new, Er, rfluxes, qes, dt, geom: Geometry, layout, ng,
 
 def ctu_rad_hydro(u, Er, q, qaux, srcQ, dt, geom: Geometry, layout, cfg,
                   limiter, closure, nugroup=None, dlognu=None,
-                  fspace_type=1, comoving=1, flatten_pp_threshold=-1.0):
+                  fspace_type=1, comoving=1, flatten_pp_threshold=-1.0,
+                  keep_fluxes=False):
     """Dimension-generic CTU radiation-hydro advance: characteristic
     tracing with the radiation eigensystem in every direction, the rad
     Riemann solve, radiation-aware transverse corrections (2D single-pass,
@@ -581,7 +590,9 @@ def ctu_rad_hydro(u, Er, q, qaux, srcQ, dt, geom: Geometry, layout, cfg,
 
     Mirrors the pure-hydro `ctu_hydro` stage structure
     (Castro_ctu_hydro.cpp with RADIATION defined). Returns
-    (u_new grown, Er_new interior [ngroups, n...])."""
+    (u_new grown, Er_new interior [ngroups, n...]); keep_fluxes
+    additionally returns the final (gas, radiation-advective) face
+    fluxes on the grown grid for the AMR flux registers."""
     from castro_tpu.ops import advection_util as au
     from castro_tpu.ops.riemann import mom_flux_has_p
     from castro_tpu.ops.trans import trans_final, trans_single
@@ -707,9 +718,12 @@ def ctu_rad_hydro(u, Er, q, qaux, srcQ, dt, geom: Geometry, layout, cfg,
         hsrc = hsrc.at[L.UMX].add(-(shifted(gdp0, 1, 0) - gdp0) / dx[0])
     u_new = u + dt * hsrc
 
-    return ctu_rad_consup(u_new, Er, rfluxes, qes, dt, geom, L, ng,
+    out = ctu_rad_consup(u_new, Er, rfluxes, qes, dt, geom, L, ng,
                           limiter, closure, fspace_type, comoving,
                           nugroup=nugroup, dlognu=dlognu)
+    if keep_fluxes:
+        return out + (fluxes, rfluxes)
+    return out
 
 
 def ctu_rad_hydro_1d(u, Er, q, qaux, srcQ, dt, geom: Geometry, layout, cfg,

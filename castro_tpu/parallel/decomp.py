@@ -124,6 +124,64 @@ def make_sharded_mhd_step(sim, mesh: Mesh):
     return jax.jit(mapped, donate_argnums=(0, 1))
 
 
+def make_sharded_window_step(sim, mesh: Mesh, geom_full):
+    """Jitted SHARDED step for an AMR fine window (amr.distribute_fine=1):
+    the window's `_step_impl` under shard_map over the mesh, so the
+    refined level's FLOPs distribute across devices instead of computing
+    replicated (the reference distributes fine-level grids exactly like
+    level 0 — the BoxArray/DistributionMapping model; SURVEY P5).
+
+    Maps (u_int_global, dt, t, ilo) -> (u_new_int, min_rho, bad, fluxes)
+    with cell-registered global fluxes (the level-0 sharded convention;
+    the appended hi plane is never read because the mask boundary sits
+    inside the MARGIN ring). Gravity-BC windows (composite Poisson) fall
+    back to the replicated path — the Dirichlet face planes would need
+    per-shard scattering."""
+    L = sim.layout
+    ng = sim.ng
+    dim = L.dim
+    names = spatial_axis_names(sim, mesh)
+    spec_u = P(None, *names)
+
+    def local_step(u_loc, dt, t, ilo):
+        n_loc = u_loc.shape[1:]
+        ctx = make_step_ctx(sim, names, n_loc=n_loc)
+        # position-correct window geometry for the LOCAL shard: the
+        # window origin ilo plus this shard's offset inside the window
+        ilo_loc = list(ilo)
+        for d in range(dim):
+            if names[d] is not None:
+                idx = jax.lax.axis_index(names[d])
+                ilo_loc[d] = ilo_loc[d] + idx * n_loc[d]
+        geom = geom_full.local_view(n_loc, tuple(ilo_loc))
+        ctx.geom = geom
+        pads = [(0, 0)] + [(ng, ng)] * dim
+        u = jnp.pad(u_loc, pads)
+        keep = sim.keep_fluxes
+        sim.keep_fluxes = True
+        try:
+            out = sim._step_impl(u, dt, t, ctx=ctx)
+        finally:
+            sim.keep_fluxes = keep
+        u_new, min_rho, bad = out[0], out[1], out[2]
+        fint = out[3]
+        fluxes = []
+        for d in range(dim):
+            trim = [slice(None)] * (1 + dim)
+            trim[1 + d] = slice(0, fint[d].shape[1 + d] - 1)
+            fluxes.append(fint[d][tuple(trim)])
+        return shrink(u_new, ng, dim), min_rho, bad, fluxes
+
+    out_fl = [P(None, *names)] * dim
+    mapped = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(spec_u, P(), P(), P()),
+        out_specs=(spec_u, P(), P(), out_fl),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
 def make_sharded_rad_step(sim, mesh: Mesh, keep_fluxes: bool = False):
     """Jitted radiation driver step over the mesh: the full
     `_rad_step_impl` — hydro advance, Er advection (1-ghost halo exchange

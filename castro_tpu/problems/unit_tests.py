@@ -147,3 +147,28 @@ def single_star_init(sim, u):
     shape = u.shape[1:]
     rho = jnp.full(shape, max(pp["ambient_dens"], 1e-8), u.dtype)
     return fill_from_prim(sim, u, rho, (0.0, 0.0, 0.0), T=jnp.ones(shape))
+
+
+def model_burner(model, burn_dt, network, eos):
+    """`Exec/unit_tests/model_burner` (problem_initialize.H:1-50): read a
+    1D initial model, burn EVERY zone for burn_dt with the production
+    burner, and report the per-zone specific energy release
+    enuc = (e_new - e)/burn_dt. `model`: an InitialModel or a file path
+    (the reference's read_model_file). Returns (xn_new [nspec, npts],
+    enuc [npts], fail [npts] bool)."""
+    import jax.numpy as jnp
+
+    from castro_tpu.integrators.stiff import make_burner
+    from castro_tpu.utils.model_parser import InitialModel
+
+    if isinstance(model, str):
+        model = InitialModel.from_file(model)
+    rho = jnp.asarray(model.data["density"])
+    T = jnp.asarray(model.data["temperature"])
+    xn = jnp.stack([jnp.asarray(model.data[s.lower()])
+                    for s in network.spec_names])
+    es = eos.rt(rho=rho, T=T, xn=xn)
+    burn = make_burner(network, eos)
+    xn_new, e_new, fail = burn(rho, T, xn, es.e, burn_dt)
+    enuc = (e_new - es.e) / burn_dt
+    return xn_new, enuc, fail

@@ -186,3 +186,35 @@ def test_amr_rad_distributed_matches_single_device():
     ua = np.asarray(amr.interior(0))
     ub = np.asarray(ref.interior(0))
     assert np.abs(ua - ub).max() / np.abs(ub).max() < 1e-5
+
+
+def test_amr_rad_characteristic_coupling_with_hydro():
+    """AMR radiation with do_hydro=1 runs the CHARACTERISTIC rad-CTU
+    coupling on the windows (the reference rad_hydro_combined per level
+    under the Amr recursion) — no operator-split fallback — and tracks a
+    uniformly fine run."""
+    p32 = _mk(32, max_level=1).with_ns("castro", do_hydro=1, cfl=0.5)
+    p64 = _mk(64).with_ns("castro", do_hydro=1, cfl=0.5)
+
+    fine = Simulation(p64, problem_init=_init)
+    fine.init_data()
+    nsteps, dt = 3, 2e-7
+    for _ in range(nsteps):
+        fine.advance(dt)
+    Er_fine = np.asarray(fine.u_rad)
+
+    amr = AmrSimulation(p32, problem_init=_init)
+    amr.init_data()
+    for _ in range(nsteps):
+        amr.advance(dt)
+    assert 0 in amr._rad_sync_rhs  # the register path ran
+
+    ilo, shape = amr.window[1]
+    sl = tuple(slice(int(ilo[k]), int(ilo[k]) + shape[k]) for k in range(2))
+    m1 = np.asarray(amr.masks[1])
+    a = np.asarray(amr.u_rad[1])[m1]
+    b = Er_fine[sl][m1]
+    scale = np.abs(Er_fine).max()
+    assert np.isfinite(np.asarray(amr.interior(0))).all()
+    assert np.abs(a - b).max() / scale < 0.03, \
+        np.abs(a - b).max() / scale

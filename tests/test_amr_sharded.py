@@ -74,3 +74,34 @@ def test_amr_sharded_with_gravity():
         b = np.asarray(amr.u[l])
         assert np.allclose(a, b, rtol=1e-9, atol=1e-11), \
             (l, np.abs(a - b).max())
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")
+def test_amr_distribute_fine_matches_replicated():
+    """amr.distribute_fine=1: the PRIMARY fine window's step runs SHARDED
+    over the mesh (instead of replicated) and reproduces the replicated
+    2-level run to round-off (the reference distributes fine grids like
+    any level — BoxArray/DistributionMapping; SURVEY P5)."""
+    params = _params()
+
+    ref = AmrSimulation(params, problem_init=sedov.problem_init)
+    ref.init_data()
+
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("x", "y"))
+    pdist = params.with_ns("amr", distribute_fine=1)
+    amr = AmrSimulation(pdist, problem_init=sedov.problem_init, mesh=mesh)
+    amr.init_data()
+    lev = amr._get_level(1, amr.window[1][1])
+    assert lev.jit_sharded_step is not None
+
+    for _ in range(3):
+        dt = ref.estimate_dt()
+        ref.advance(dt)
+        amr.advance(dt)
+
+    for l in range(2):
+        a = np.asarray(ref.u[l])
+        b = np.asarray(amr.u[l])
+        assert np.allclose(a, b, rtol=5e-12, atol=1e-13), \
+            (l, np.abs(a - b).max())

@@ -230,3 +230,38 @@ def test_fullphys_step_f32():
     assert not bool(fail)
     assert float(min_rho) > 0.0
     assert bool(jnp.isfinite(u).all())
+
+
+def test_rad_ctu_coupling_f32_finite():
+    """The characteristic rad-CTU step in FLOAT32 (the production TPU
+    dtype): regression for the nn-term underflow (raw |grad Er|^2 with
+    cgs-scale Er ~ 1e-15 flushes to 0/0 = NaN in f32; fixed by
+    normalizing the flux direction before squaring)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from castro_tpu.config import Params
+    from castro_tpu.driver.sim import Simulation
+    from castro_tpu.problems.util import fill_from_prim
+
+    p = Params()
+    p = p.with_ns("amr", n_cell=(32, 32))
+    p = p.with_ns("geometry", prob_lo=(0.0,) * 3, prob_hi=(1.0,) * 3)
+    p = p.with_ns("castro", do_radiation=1, do_hydro=1,
+                  lo_bc=(2, 2), hi_bc=(2, 2), fixed_dt=2e-7)
+    p = p.with_ns("radiation", const_kappa_p=1e-6, const_kappa_r=50.0,
+                  limiter=0, ngroups=1)
+    p = p.with_ns("tpu", dtype="float32")
+
+    def init(sim, u):
+        r = sim.geom.radius(sim.ng, center=(0.5, 0.5))
+        T = 0.1 + 1.0 * jnp.exp(-(r / 0.12) ** 2)
+        return fill_from_prim(sim, u, 1.0, (0.0, 0.0, 0.0), T=T)
+
+    sim = Simulation(p, problem_init=init)
+    sim.init_data()
+    assert sim.u.dtype == jnp.float32
+    out = sim._rad_ctu_step_impl(sim.u, sim.u_rad, 2e-7, 0.0)
+    u_new, Er_new, min_rho, bad = out[:4]
+    assert not bool(bad)
+    assert np.isfinite(np.asarray(Er_new)).all()
+    assert float(min_rho) > 0.0

@@ -113,3 +113,54 @@ def test_two_blob_regrid_migrates_windows():
         assert np.all(np.isfinite(np.asarray(amr.u[l])))
     assert np.all(np.isfinite(np.asarray(amr.extra[1][0]["u"])))
 
+
+def test_extras_at_deeper_levels():
+    """Patch-batch windows at level 2 of a 3-level hierarchy (the
+    generalization beyond level-1-only extras): two blobs close enough to
+    share one level-1 cluster (gap < merge_gap at level-0 resolution) but
+    separate at level-1 resolution split into level-2 extras; the run
+    stays finite and conserves mass through subcycled advances."""
+    from castro_tpu.config import Params
+
+    p = Params()
+    p = p.with_ns("amr", n_cell=(64, 64), max_level=2, regrid_int=0,
+                  n_error_buf=1, refinement_indicators=("dens",))
+    p = p.with_ns("geometry", prob_lo=(0.0,) * 3, prob_hi=(1.0,) * 3)
+    p = p.with_ns("castro", lo_bc=(0, 0), hi_bc=(0, 0), small_dens=1e-8)
+    p = p.with_ns("tpu", dtype="float64")
+    p = p.replace(extra={"amr.dens.field": "density",
+                         "amr.dens.value_greater": 1.8})
+
+    def init(sim, u):
+        x = sim.geom.cell_centers(0, sim.ng)
+        y = sim.geom.cell_centers(1, sim.ng)
+        # separation 0.14 with a tight tag threshold: the tag-box gap is
+        # ~7 level-0 cells (< merge_gap 8 -> one level-1 cluster) but
+        # ~14 level-1 cells (> merge_gap -> two level-2 windows whose
+        # bucketed+margined extents stay disjoint)
+        r1 = jnp.sqrt((x - 0.43) ** 2 + (y - 0.5) ** 2)
+        r2 = jnp.sqrt((x - 0.57) ** 2 + (y - 0.5) ** 2)
+        rho = 1.0 + 1.0 * jnp.exp(-(r1 / 0.03) ** 2) \
+            + 1.0 * jnp.exp(-(r2 / 0.03) ** 2)
+        return fill_from_prim(sim, u, rho, (0.0, 0.0, 0.0), p=1.0)
+
+    amr = AmrSimulation(p, problem_init=init)
+    amr.init_data()
+    assert int(amr.masks[2].sum()) > 0
+    assert len(amr.extra[1]) == 0, [e["shape"] for e in amr.extra[1]]
+    assert len(amr.extra[2]) >= 1, \
+        (amr.window[2], [e["shape"] for e in amr.extra[2]])
+
+    vol = (1.0 / 64) ** 2
+    # first advance re-baselines covered regions from the fine sampling
+    # (one-time O(h^2) init shift); conservation is exact afterwards
+    amr.advance(1e-3)
+    m0 = float(np.asarray(amr.interior(0))[0].sum()) * vol
+    for _ in range(2):
+        amr.advance(1e-3)
+    m1 = float(np.asarray(amr.interior(0))[0].sum()) * vol
+    assert abs(m1 - m0) / m0 < 1e-12, (m0, m1)
+    for l in range(3):
+        assert np.isfinite(np.asarray(amr.u[l])).all()
+    for e in amr.extra[2]:
+        assert np.isfinite(np.asarray(e["u"])).all()

@@ -1,0 +1,102 @@
+"""SDC x AMR composition (reference: `do_advance_sdc` runs per level
+under the Amr recursion, `Castro_advance_sdc.cpp:26`; flux registers are
+filled from the SDC node fluxes like the CTU path).
+
+The true-SDC step (4th-order FV MOL + implicit node reactions) advances
+both the level-0 grid and the fine windows; the quadrature-averaged node
+fluxes feed the same reflux machinery as CTU. Convergence is measured on
+reacting_convergence (helmholtz EOS + triple-alpha, the reference's own
+SDC-4 verification problem) with a static refined region containing the
+pulse, so the coarse-fine boundary sits in smooth flow."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from castro_tpu.driver.amr import AmrSimulation
+from castro_tpu.problems.reacting_tests import (reacting_convergence_init,
+                                                reacting_convergence_params)
+
+
+def _amr(n, sdc_order=4):
+    params = reacting_convergence_params(n=n, dim=1)
+    params = params.with_ns("castro", time_integration_method=2,
+                            sdc_order=sdc_order, use_retry=0)
+    params = params.with_ns("amr", max_level=1, regrid_int=0)
+
+    def ptag(sim, u_int, level):
+        x = jnp.asarray(sim.geom.cell_centers_1d(0, 0))
+        return (x > 0.25e8) & (x < 0.75e8)
+
+    amr = AmrSimulation(params, problem_init=reacting_convergence_init,
+                        problem_tagging=ptag)
+    amr.init_data()
+    # pointwise IC -> cell averages (4th-order FV evolves averages)
+    from castro_tpu.ops.fourth_order import cell_center_to_avg
+    amr.u[0] = amr.sim0._jit_clean_fill(cell_center_to_avg(amr.u[0], 1))
+    lev = amr._get_level(1, amr.window[1][1])
+    amr.u[1] = lev.jit_clean_fill(cell_center_to_avg(amr.u[1], 1))
+    return amr
+
+
+def _run(n, nsteps_base=2):
+    amr = _amr(n)
+    nsteps = nsteps_base * (n // 16)
+    dt = 3.0e-3 * (16.0 / n)
+    for _ in range(nsteps):
+        amr.advance(dt)
+    # composite solution coarsened to the n-cell base grid
+    comp = np.asarray(amr.composite_interior())
+    comp = comp.reshape(comp.shape[0], -1, 2).mean(axis=2)
+    return comp, nsteps * dt
+
+
+def test_sdc_amr_runs_and_conserves_mass():
+    amr = _amr(32)
+    assert int(amr.masks[1].sum()) > 0
+    vol = 1.0e8 / 32
+    # the FIRST advance's avgDown re-baselines the covered region from
+    # the fine data (one-time O(h^2) init-sampling shift — both levels
+    # sample the analytic bump independently); conservation is exact
+    # from then on
+    amr.advance(1.5e-3)
+    m0 = float(np.asarray(amr.interior(0))[0].sum()) * vol
+    for _ in range(3):
+        amr.advance(1.5e-3)
+    m1 = float(np.asarray(amr.interior(0))[0].sum()) * vol
+    assert abs(m1 - m0) / m0 < 1e-11, (m0, m1)
+    assert np.isfinite(np.asarray(amr.interior(0))).all()
+    assert np.isfinite(np.asarray(amr.u[1])).all()
+
+
+def test_sdc_amr_convergence_order():
+    """Self-convergence of the 2-level SDC-4 advance on
+    reacting_convergence. Measured ~2.2: the composite order is capped by
+    the COARSE-FINE COUPLING — the fillpatch ring is limited-linear in
+    space and linear in time (2nd order), so the interface pollutes the
+    4th-order interior (single-level SDC-4 measures ~3.7,
+    test_sdc4.py). The reference has the same structure: its 4th-order
+    SDC is documented for single-level/uniform runs unless 4th-order
+    interpolation is used at coarse-fine boundaries (McCorquodale &
+    Colella's quartic fillpatch — ROADMAP item). The test locks in
+    strictly-better-than-first-order composite convergence and guards
+    against interface-coupling regressions."""
+    u16, t16 = _run(16)
+    u32, t32 = _run(32)
+    u64, t64 = _run(64)
+    assert abs(t16 - t32) < 1e-12 and abs(t32 - t64) < 1e-12
+
+    def coarsen(a):
+        return a.reshape(a.shape[0], -1, 2).mean(axis=2)
+
+    # compare rho, rho*u, rho*E (the conserved hydro fields)
+    comps = [0, 1, 4]
+    e1 = max(np.abs(coarsen(u32)[c] - u16[c]).max()
+             / max(np.abs(u16[c]).max(), 1e-300) for c in comps)
+    e2 = max(np.abs(coarsen(u64)[c] - u32[c]).max()
+             / max(np.abs(u32[c]).max(), 1e-300) for c in comps)
+    order = np.log2(e1 / e2)
+    print(f"SDC-AMR self-convergence: e1={e1:.3e} e2={e2:.3e} "
+          f"order={order:.2f}")
+    assert order > 1.8, order
