@@ -147,8 +147,9 @@ class _Level:
         self.jit_clean_fill = jax.jit(sim._clean_fill_impl)
 
         if sim.sdc is not None:
-            # SDC x AMR (reference: do_advance_sdc runs per level under
-            # the Amr recursion, Castro_advance_sdc.cpp:26): the window's
+            # SDC x AMR — beyond-reference capability ("the SDC solvers
+            # do not support multilevel or AMR",
+            # Docs/source/FlowChart.rst:593): the window's
             # step is the true-SDC advance — the MOL node evaluations read
             # only dx from the (dx-correct) window geometry, the ring
             # carries the coarse-fine data exactly as for CTU, and the
@@ -345,12 +346,19 @@ class AmrSimulation:
         # updates) and EMF-refluxes the uncovered interface faces, keeping
         # div B = 0 on every level to round-off.
         self._has_mhd = params.castro.do_mhd == 1 and self.max_level > 0
+        self._sharded_mhd_step0 = None
         if self._has_mhd:
-            if mesh is not None:
-                raise NotImplementedError(
-                    "distributed AMR MHD not composed yet")
             assert params.castro.mhd_ctu, \
                 "AMR MHD requires the CTU-CT scheme (castro.mhd_ctu=1)"
+            if mesh is not None:
+                # distributed AMR MHD: level 0 advances under the mesh
+                # with the CT register data exported cell-registered and
+                # re-grown by the wrap/edge adapter below (fine windows
+                # compute replicated, like hydro's default)
+                from castro_tpu.parallel.decomp import make_sharded_mhd_step
+
+                self._sharded_mhd_step0 = make_sharded_mhd_step(
+                    self.sim0, mesh, keep_ct=True)
             self._jit_mhd_step0 = jax.jit(
                 lambda u, b, dt, t: self.sim0._mhd_step_impl(
                     u, b, dt, t, keep_ct=True))
@@ -1222,6 +1230,47 @@ class AmrSimulation:
             lev = self._get_level(l, self.window[l][1])
             self.u_b[l] = lev.jit_fill_b(tuple(b))
 
+    def _mhd_sharded_level0(self, dt, t_level):
+        """Level-0 MHD advance under the mesh: the sharded CTU-CT step on
+        ghost-free state, then re-grow + refill; the CT register data
+        comes back cell-registered and is re-grown with the wrap/edge
+        adapter so the register machinery sees the grown-array
+        convention. Returns the same tuple as the single-device
+        `_jit_mhd_step0`."""
+        ng, dim = self.ng, self.dim
+        idx = interior_slice(ng, dim)
+        isl = idx[1:]
+        u_int = self.u[0][idx]
+        b_int = tuple(bb[isl] for bb in self.u_b[0])
+        out = self._sharded_mhd_step0(u_int, b_int, dt, t_level)
+        u_i, b_i, min_rho, bad, fl, E_t, FB_t = out
+        b_new = self._jit_fill_b0(tuple(
+            jnp.pad(bb, [(ng, ng)] * dim) for bb in b_i))
+        pads_u = [(0, 0)] + [(ng, ng)] * dim
+        u_new = self._jit_mhd_clean0(jnp.pad(u_i, pads_u), b_new)
+        fluxes = []
+        for d in range(dim):
+            pads = [(0, 0)] * (1 + dim)
+            pads[1 + d] = (0, 1)
+            fluxes.append(jnp.pad(fl[d], pads))
+
+        def regrow(a):
+            for d in range(dim):
+                mode = ("wrap" if self.params.castro.lo_bc[d] == 0
+                        else "edge")
+                p = [(0, 0)] * dim
+                p[d] = (ng, ng)
+                a = jnp.pad(a, p, mode=mode)
+            return a
+
+        e_keys = {3: (0, 1, 2), 2: (2,), 1: ()}[dim]
+        fb_keys = tuple((d, c) for c in range(dim, 3)
+                        for d in range(dim))
+        ct = {"E": {k: regrow(E_t[i]) for i, k in enumerate(e_keys)},
+              "FB": {key: regrow(FB_t[i])
+                     for i, key in enumerate(fb_keys)}}
+        return u_new, b_new, min_rho, bad, fluxes, ct
+
     def _advance_level(self, l, dt, t_level):
         """Advance level l by dt; recursively subcycle finer levels
         (reference Amr::timeStep recursion)."""
@@ -1288,7 +1337,9 @@ class AmrSimulation:
 
         if self._has_mhd:
             self.u_b_old[l] = self.u_b[l]
-            if l == 0:
+            if l == 0 and self._sharded_mhd_step0 is not None:
+                out = self._mhd_sharded_level0(dt, t_level)
+            elif l == 0:
                 out = self._jit_mhd_step0(self.u[0], self.u_b[0], dt,
                                           t_level)
             else:
@@ -1504,7 +1555,10 @@ class AmrSimulation:
         out_fluxes = [None] * len(extras)
         groups: Dict = {}
         for i, e in enumerate(extras):
-            if e.get("grav_bc") is not None:
+            if e.get("grav_bc") is not None or self.sim0.sdc is not None:
+                # per-window path: gravity-BC windows (the Dirichlet face
+                # planes aren't batched) and SDC runs (jit_step_batch
+                # wraps the CTU program; SDC windows use their own step)
                 out_fluxes[i] = self._advance_extra(l, e, dt, t_level)
             else:
                 groups.setdefault(tuple(e["shape"]), []).append(i)

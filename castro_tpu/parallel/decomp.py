@@ -81,7 +81,7 @@ def _local_geom(sim, names, n_loc):
     return sim.geom.local_view(n_loc, tuple(ilo))
 
 
-def make_sharded_mhd_step(sim, mesh: Mesh):
+def make_sharded_mhd_step(sim, mesh: Mesh, keep_ct: bool = False):
     """Jitted MHD driver step over the mesh (reference: MHD is just Castro
     with USE_MHD under the same MPI domain decomposition,
     `Source/mhd/Castro_mhd.cpp` + SURVEY P1/P2).
@@ -95,12 +95,20 @@ def make_sharded_mhd_step(sim, mesh: Mesh):
     both the gas and the face fields.
 
     Returns step(u, b_tuple, dt, t) -> (u, b_tuple, min_rho, bad).
+    keep_ct=True (distributed AMR MHD) additionally returns
+    (fluxes, E_tuple, FB_tuple): gas fluxes + edge EMFs + cell-B fluxes,
+    all CELL-REGISTERED global interior arrays (entry i holds face/edge
+    i-1/2; the global hi planes are reconstructed by the AMR driver's
+    wrap/edge padding adapter).
     """
     L = sim.layout
     ng = sim.ng
+    dim = L.dim
     names = spatial_axis_names(sim, mesh)
     spec_u = P(None, *names)
     spec_b = P(*names)
+    e_keys = {3: (0, 1, 2), 2: (2,), 1: ()}[dim]
+    fb_keys = tuple((d, c) for c in range(dim, 3) for d in range(dim))
 
     def local_step(u_loc, b_loc, dt, t):
         ctx = make_step_ctx(sim, names, n_loc=u_loc.shape[1:])
@@ -110,15 +118,34 @@ def make_sharded_mhd_step(sim, mesh: Mesh):
         pads_u = [(0, 0)] + [(ng, ng)] * L.dim
         u = jnp.pad(u_loc, pads_u)
         b = tuple(jnp.pad(bb, [(ng, ng)] * L.dim) for bb in b_loc)
-        u_new, b_new, min_rho, bad = sim._mhd_step_impl(u, b, dt, t, ctx=ctx)
+        out = sim._mhd_step_impl(u, b, dt, t, ctx=ctx, keep_ct=keep_ct)
+        if not keep_ct:
+            u_new, b_new, min_rho, bad = out
+            return (shrink(u_new, ng, L.dim),
+                    tuple(shrink(bb, ng, L.dim) for bb in b_new),
+                    min_rho, bad)
+        u_new, b_new, min_rho, bad, fint, ct = out
+        fluxes = []
+        for d in range(dim):
+            trim = [slice(None)] * (1 + dim)
+            trim[1 + d] = slice(0, fint[d].shape[1 + d] - 1)
+            fluxes.append(fint[d][tuple(trim)])
+        isl = tuple(slice(ng, s - ng) for s in b[0].shape)
+        E = tuple(ct["E"][k][isl] for k in e_keys)
+        FB = tuple(ct["FB"][key][isl] for key in fb_keys)
         return (shrink(u_new, ng, L.dim),
                 tuple(shrink(bb, ng, L.dim) for bb in b_new),
-                min_rho, bad)
+                min_rho, bad, fluxes, E, FB)
 
+    out_specs = (spec_u, (spec_b,) * 3, P(), P())
+    if keep_ct:
+        out_specs = out_specs + ([P(None, *names)] * dim,
+                                 (spec_b,) * len(e_keys),
+                                 (spec_b,) * len(fb_keys))
     mapped = shard_map(
         local_step, mesh=mesh,
         in_specs=(spec_u, (spec_b,) * 3, P(), P()),
-        out_specs=(spec_u, (spec_b,) * 3, P(), P()),
+        out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(mapped, donate_argnums=(0, 1))

@@ -265,3 +265,30 @@ def test_rad_ctu_coupling_f32_finite():
     assert not bool(bad)
     assert np.isfinite(np.asarray(Er_new)).all()
     assert float(min_rho) > 0.0
+
+
+def test_mhd_amr_f32_finite_divb():
+    """2-level MHD AMR in FLOAT32 (the production TPU dtype): stays
+    finite and div B stays at f32 round-off through subcycled advances
+    (the CT register correction is exactly divergence-free in any
+    precision)."""
+    import math
+    import numpy as np
+    import jax.numpy as jnp
+    from castro_tpu.driver.amr import AmrSimulation
+    from tests.test_mhd_amr import (_ot_params, _ot_init, _tag_center,
+                                    _divb_max)
+
+    params = _ot_params(n=32).with_ns("tpu", dtype="float32")
+    amr = AmrSimulation(params, problem_init=_ot_init,
+                        problem_tagging=_tag_center)
+    amr.init_data()
+    assert amr.u[0].dtype == jnp.float32
+    for _ in range(2):
+        amr.advance(amr.estimate_dt())
+    for l in range(2):
+        assert np.isfinite(np.asarray(amr.u[l])).all()
+    scale = 1.0 / math.sqrt(4 * math.pi) * 32
+    eps = np.finfo(np.float32).eps
+    assert _divb_max(amr, 0) < 300 * eps * scale
+    assert _divb_max(amr, 1) < 300 * eps * scale

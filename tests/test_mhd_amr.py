@@ -186,3 +186,44 @@ def test_mhd_amr_orszag_tang_regrid():
     eps = np.finfo(ui.dtype).eps
     assert _divb_max(amr, 0) < 500 * eps * scale
     assert _divb_max(amr, 1) < 500 * eps * scale
+
+
+def test_mhd_amr_distributed_matches_single_device():
+    """Distributed AMR MHD: level 0 advances under a 2x2 mesh (sharded
+    CTU-CT + CT registers exported cell-registered); answers match the
+    single-device 2-level run to round-off and div B = 0 holds on both
+    levels (the reference's MPI-decomposed USE_MHD AMR)."""
+    import jax
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+
+    params = _ot_params(n=32)
+    ref = AmrSimulation(params, problem_init=_ot_init,
+                        problem_tagging=_tag_center)
+    ref.init_data()
+
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("x", "y"))
+    amr = AmrSimulation(params, problem_init=_ot_init,
+                        problem_tagging=_tag_center, mesh=mesh)
+    amr.init_data()
+
+    for _ in range(2):
+        dt = ref.estimate_dt()
+        ref.advance(dt)
+        amr.advance(dt)
+
+    for l in range(2):
+        a = np.asarray(ref.u[l])
+        b = np.asarray(amr.u[l])
+        scale = max(np.abs(a).max(), 1e-30)
+        assert np.abs(a - b).max() / scale < 1e-10, \
+            (l, np.abs(a - b).max() / scale)
+        for d in range(3):
+            ba = np.asarray(ref.u_b[l][d])
+            bb = np.asarray(amr.u_b[l][d])
+            assert np.abs(ba - bb).max() < 1e-10, (l, d)
+    assert _divb_max(amr, 0) < 1e-8
+    assert _divb_max(amr, 1) < 1e-8

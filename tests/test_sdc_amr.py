@@ -1,6 +1,9 @@
-"""SDC x AMR composition (reference: `do_advance_sdc` runs per level
-under the Amr recursion, `Castro_advance_sdc.cpp:26`; flux registers are
-filled from the SDC node fluxes like the CTU path).
+"""SDC x AMR composition — a capability the reference DOES NOT have:
+"At the moment, the SDC solvers do not support multilevel or AMR"
+(`Docs/source/FlowChart.rst:593`). This rebuild composes the true-SDC
+advance with the Amr recursion anyway (per-level `do_advance_sdc` in the
+spirit of `Castro_advance_sdc.cpp:26`), with flux registers filled from
+the SDC node fluxes in exact flux form.
 
 The true-SDC step (4th-order FV MOL + implicit node reactions) advances
 both the level-0 grid and the fine windows; the quadrature-averaged node
