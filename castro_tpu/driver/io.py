@@ -223,6 +223,14 @@ def write_checkpoint_amr(asim, path: Optional[str] = None):
     for l in range(asim.max_level + 1):
         arrays[f"u_{l}"] = np.asarray(asim.u[l])
         arrays[f"mask_{l}"] = np.asarray(asim.masks[l])
+        if asim.u_rad[l] is not None:
+            arrays[f"u_rad_{l}"] = np.asarray(asim.u_rad[l])
+        if asim.u_b[l] is not None:
+            for d, bb in enumerate(asim.u_b[l]):
+                arrays[f"u_b{d}_{l}"] = np.asarray(bb)
+        for k, e in enumerate(asim.extra[l]):
+            arrays[f"extra_u_{l}_{k}"] = np.asarray(e["u"])
+            arrays[f"extra_mask_{l}_{k}"] = np.asarray(e["mask"])
     np.savez_compressed(os.path.join(path, "hierarchy.npz"), **arrays)
     meta = {
         "version": CHECKPOINT_VERSION,
@@ -233,6 +241,17 @@ def write_checkpoint_amr(asim, path: Optional[str] = None):
         "num_zones_advanced": asim.num_zones_advanced,
         "n_cell": list(sim0.geom.n_cell),
         "state_variables": list(sim0.layout.cons_names),
+        # window geometry: moved/resized windows must survive restart
+        # (reference: the BoxArray is part of the checkpoint)
+        "windows": [
+            None if asim.window[l] is None else
+            [[int(v) for v in asim.window[l][0]],
+             [int(s) for s in asim.window[l][1]]]
+            for l in range(asim.max_level + 1)],
+        "extras": [
+            [[[int(v) for v in e["ilo"]], [int(s) for s in e["shape"]]]
+             for e in asim.extra[l]]
+            for l in range(asim.max_level + 1)],
     }
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
@@ -253,9 +272,30 @@ def restart_amr(asim, path: str):
     if meta["state_variables"] != list(asim.sims[0].layout.cons_names):
         raise ValueError("checkpoint state variables do not match this build")
     data = np.load(os.path.join(path, "hierarchy.npz"))
+    # window geometry FIRST: u/mask shapes and all interlevel transfers
+    # depend on the checkpointed window origins/shapes (they may have
+    # moved since init)
+    if "windows" in meta:
+        for l, w in enumerate(meta["windows"]):
+            if w is not None:
+                asim.window[l] = (np.asarray(w[0], int), tuple(w[1]))
     for l in range(asim.max_level + 1):
-        asim.u[l] = jnp.asarray(data[f"u_{l}"], dtype=asim.sims[l].dtype)
+        dt_ = asim.dtype
+        asim.u[l] = jnp.asarray(data[f"u_{l}"], dtype=dt_)
         asim.masks[l] = jnp.asarray(data[f"mask_{l}"], dtype=bool)
+        if f"u_rad_{l}" in data:
+            asim.u_rad[l] = jnp.asarray(data[f"u_rad_{l}"], dtype=dt_)
+        if f"u_b0_{l}" in data:
+            asim.u_b[l] = tuple(
+                jnp.asarray(data[f"u_b{d}_{l}"], dtype=dt_)
+                for d in range(3))
+        ex_meta = meta.get("extras", [[]] * (asim.max_level + 1))[l]
+        asim.extra[l] = [
+            {"ilo": np.asarray(em[0], int), "shape": tuple(em[1]),
+             "u": jnp.asarray(data[f"extra_u_{l}_{k}"], dtype=dt_),
+             "mask": jnp.asarray(data[f"extra_mask_{l}_{k}"], dtype=bool),
+             "grav_bc": None}
+            for k, em in enumerate(ex_meta)]
     asim.t = meta["time"]
     asim.step_count = meta["step"]
     asim.dt = meta["dt"]

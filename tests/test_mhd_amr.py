@@ -227,3 +227,39 @@ def test_mhd_amr_distributed_matches_single_device():
             assert np.abs(ba - bb).max() < 1e-10, (l, d)
     assert _divb_max(amr, 0) < 1e-8
     assert _divb_max(amr, 1) < 1e-8
+
+
+def test_mhd_amr_checkpoint_restart(tmp_path):
+    """AMR MHD checkpoint/restart: face fields, window origins and masks
+    restore exactly (incl. a regrid-moved window), and the run continues
+    with div B = 0 (reference AmrLevel::checkPoint stores the BoxArray +
+    the Mag_Type face StateData)."""
+    from castro_tpu.driver import io as io_mod
+
+    params = _ot_params(n=32, regrid_int=2)
+    params = params.with_ns("amr", refinement_indicators=("magg",))
+    params = params.replace(extra={"amr.magg.field": "density",
+                                   "amr.magg.relative_gradient": 0.05})
+    amr = AmrSimulation(params, problem_init=_ot_init)
+    amr.init_data()
+    for _ in range(2):
+        amr.advance(amr.estimate_dt())
+    amr.regrid()  # move/resize the window before checkpointing
+    path = io_mod.write_checkpoint_amr(amr, str(tmp_path / "chk"))
+
+    amr2 = AmrSimulation(params, problem_init=_ot_init)
+    amr2.init_data()
+    io_mod.restart_amr(amr2, path)
+    assert amr2.t == amr.t
+    assert tuple(amr2.window[1][1]) == tuple(amr.window[1][1])
+    assert np.array_equal(np.asarray(amr2.window[1][0]),
+                          np.asarray(amr.window[1][0]))
+    for l in range(2):
+        assert np.array_equal(np.asarray(amr2.u[l]), np.asarray(amr.u[l]))
+        for d in range(3):
+            assert np.array_equal(np.asarray(amr2.u_b[l][d]),
+                                  np.asarray(amr.u_b[l][d])), (l, d)
+    amr2.advance(amr2.estimate_dt())
+    assert np.isfinite(np.asarray(amr2.interior(0))).all()
+    assert _divb_max(amr2, 0) < 1e-8
+    assert _divb_max(amr2, 1) < 1e-8
