@@ -306,12 +306,15 @@ class Simulation:
                       for _ in range(3))
             if self.problem_init is not None:
                 u, b = self.problem_init(self, u, b)
+            # canonicalize dtypes FIRST: problem hooks fill with weak
+            # python floats that promote to f64 under x64, and the clean's
+            # scatter (u.at[UTEMP].set) must not mix dtypes
+            b = tuple(jnp.asarray(bb, self.dtype) for bb in b)
+            u = jnp.asarray(u, self.dtype)
             bc = self.mhd.cell_b(b)
             pb = 0.5 * sum(bb * bb for bb in bc)
             u = u.at[L.UEDEN].add(pb)
-            u = self.mhd._clean(jnp.asarray(u, self.dtype),
-                                tuple(jnp.asarray(bb, self.dtype)
-                                      for bb in b))
+            u = self.mhd._clean(u, b)
             self.u_b = tuple(jnp.asarray(self.mhd._fill_b(bb, d),
                                          self.dtype)
                              for d, bb in enumerate(b))
