@@ -262,8 +262,8 @@ class AmrSimulation:
             # SDC x AMR: level 0 advances with the true-SDC step too; the
             # wrapper matches _jit_step's (u, min_rho, bad, fluxes)
             # contract so the Amr recursion is integrator-agnostic
-            # (reference Castro_advance_sdc.cpp:26 under Amr::timeStep)
-            assert mesh is None, "sharded SDC AMR not composed"
+            # (reference Castro_advance_sdc.cpp:26 under Amr::timeStep;
+            # under a mesh the sharded SDC step below takes over)
             sim0 = self.sim0
             ng_ = sim0.ng
             dim_ = sim0.layout.dim
@@ -286,10 +286,20 @@ class AmrSimulation:
             self.sim0._jit_step = jax.jit(_sdc_step0)
         self._sharded_step0 = None
         if mesh is not None:
-            from castro_tpu.parallel.decomp import make_sharded_step
+            if self.sim0.sdc is not None:
+                # distributed SDC AMR: level 0 runs the true-SDC advance
+                # under shard_map (beyond-reference: FlowChart.rst:593)
+                from castro_tpu.parallel.decomp import make_sharded_sdc_step
 
-            self._sharded_step0 = make_sharded_step(
-                self.sim0, mesh, keep_fluxes=self.max_level > 0)
+                self._sharded_step0 = make_sharded_sdc_step(self.sim0,
+                                                            mesh)
+                # the sharded SDC step always returns fluxes
+                self.sim0.keep_fluxes = True
+            else:
+                from castro_tpu.parallel.decomp import make_sharded_step
+
+                self._sharded_step0 = make_sharded_step(
+                    self.sim0, mesh, keep_fluxes=self.max_level > 0)
         self.dim = self.sim0.layout.dim
         self.ng = self.sim0.ng
         self.dtype = self.sim0.dtype

@@ -151,6 +151,48 @@ def make_sharded_mhd_step(sim, mesh: Mesh, keep_ct: bool = False):
     return jax.jit(mapped, donate_argnums=(0, 1))
 
 
+def make_sharded_sdc_step(sim, mesh: Mesh):
+    """Jitted TRUE-SDC step over the mesh: the node advection evaluations
+    and node clean/fills run with halo-exchange ghost fills inside
+    shard_map (a composition the reference cannot express at all — its
+    SDC solvers "do not support multilevel or AMR",
+    Docs/source/FlowChart.rst:593, let alone distribution).
+
+    Maps (u_int, dt, t) -> (u_new_int, min_rho, bad, fluxes) with
+    cell-registered global fluxes (the level-0 sharded convention)."""
+    L = sim.layout
+    ng = sim.ng
+    dim = L.dim
+    names = spatial_axis_names(sim, mesh)
+    spec_u = P(None, *names)
+
+    def local_step(u_loc, dt, t):
+        ctx = make_step_ctx(sim, names, n_loc=u_loc.shape[1:])
+        pads = [(0, 0)] + [(ng, ng)] * dim
+        u = jnp.pad(u_loc, pads)
+        u_new, fail, fl = sim.sdc.advance(u, dt, t, keep_fluxes=True,
+                                          ctx=ctx)
+        inner = [slice(None)] + [slice(ng, -ng)] * dim
+        ui = u_new[tuple(inner)]
+        min_rho = ctx.pmin(ui[L.URHO])
+        bad = ctx.pany(~jnp.isfinite(jnp.sum(ui)) | fail)
+        fluxes = []
+        for d in range(dim):
+            idx = [slice(None)] + [slice(ng, -ng)] * dim
+            idx[1 + d] = slice(ng, u.shape[1 + d] - ng)  # cell-registered
+            fluxes.append(fl[d][tuple(idx)])
+        return shrink(u_new, ng, dim), min_rho, bad, fluxes
+
+    out_fl = [P(None, *names)] * dim
+    mapped = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(spec_u, P(), P()),
+        out_specs=(spec_u, P(), P(), out_fl),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
 def make_sharded_window_step(sim, mesh: Mesh, geom_full):
     """Jitted SHARDED step for an AMR fine window (amr.distribute_fine=1):
     the window's `_step_impl` under shard_map over the mesh, so the

@@ -88,11 +88,11 @@ class TrueSDC4:
         else:
             self.burner = None
 
-    def _adv(self, u, want_flux=False):
+    def _adv(self, u, want_flux=False, ctx=None):
         from castro_tpu.ops.fourth_order import mol4_hydro
 
         sim = self.sim
-        u = sim._fill(u)
+        u = ctx.fill(u, 0.0) if ctx is not None else sim._fill(u)
         adv, fluxes, _ = mol4_hydro(u, sim.geom, sim.layout, sim.cfg,
                                     sim.eos,
                                     max(sim.params.castro.small_temp,
@@ -141,12 +141,14 @@ class TrueSDC4:
         u1 = u1.at[L.UEDEN].add(de)
         return u1, fail
 
-    def advance(self, u, dt, t, keep_fluxes=False):
+    def advance(self, u, dt, t, keep_fluxes=False, ctx=None):
         """One SDC-4 step (k[m] = node states). Returns (u_new, fail)
         [, fluxes] — keep_fluxes additionally returns the Simpson
         time-average of the node hydro fluxes (per-dim, grown grid) for
         the AMR flux registers (reference: SDC advances fill the same
-        flux MultiFabs as CTU, Castro_advance_sdc.cpp:180-210)."""
+        flux MultiFabs as CTU, Castro_advance_sdc.cpp:180-210).
+        `ctx`: shard-local step context (halo-exchange fills) for runs
+        under shard_map."""
         sim = self.sim
         fail = jnp.asarray(False)
         hdt = 0.5 * dt
@@ -156,7 +158,7 @@ class TrueSDC4:
         # per-interval burner integrates them implicitly (no double count;
         # same coupling design as TrueSDC2). Non-reactive runs recover the
         # reference's pure ca_sdc_update_advection_o4_lobatto exactly.
-        A0, Fu = self._adv(u, want_flux=True)
+        A0, Fu = self._adv(u, want_flux=True, ctx=ctx)
         k = [u, u, u]
         A_old = [A0, A0, A0]
         F_old = [Fu, Fu, Fu]
@@ -167,22 +169,22 @@ class TrueSDC4:
             F_prev = F_old
             # node 0 -> 1 (dt_m = dt/2), Simpson over [0, 1/2]:
             # quad = dt/24 (5 A0 + 8 A1 - A2)
-            A_m0, F_m0 = self._adv(k[0], want_flux=True)
+            A_m0, F_m0 = self._adv(k[0], want_flux=True, ctx=ctx)
             quad01 = dt / 24.0 * (5.0 * A_old[0] + 8.0 * A_old[1]
                                   - A_old[2])
             Aeff = (hdt * (A_m0 - A_old[0]) + quad01) / hdt
             k1, fail = self._node_react(k[0], Aeff, hdt, fail)
-            k[1] = sim._clean_fill_impl(k1)
+            k[1] = sim._clean_fill_impl(k1, ctx)
 
             # node 1 -> 2: quad = dt/24 (-A0 + 8 A1 + 5 A2)
-            A_m1, F_m1 = self._adv(k[1], want_flux=True)
+            A_m1, F_m1 = self._adv(k[1], want_flux=True, ctx=ctx)
             quad12 = dt / 24.0 * (-A_old[0] + 8.0 * A_old[1]
                                   + 5.0 * A_old[2])
             Aeff = (hdt * (A_m1 - A_old[1]) + quad12) / hdt
             k2, fail = self._node_react(k[1], Aeff, hdt, fail)
-            k[2] = sim._clean_fill_impl(k2)
+            k[2] = sim._clean_fill_impl(k2, ctx)
 
-            A_m2, F_m2 = self._adv(k[2], want_flux=True)
+            A_m2, F_m2 = self._adv(k[2], want_flux=True, ctx=ctx)
             A_old = [A_m0, A_m1, A_m2]
             F_old = [F_m0, F_m1, F_m2]
 
@@ -218,10 +220,10 @@ class TrueSDC2:
         else:
             self.burner = None
 
-    def _adv(self, u, want_flux=False):
+    def _adv(self, u, want_flux=False, ctx=None):
         sim = self.sim
         L = sim.layout
-        u = sim._fill(u)
+        u = ctx.fill(u, 0.0) if ctx is not None else sim._fill(u)
         q, qaux = ctoprim(u, L, sim.eos, sim.cfg.small_dens,
                           max(sim.params.castro.small_temp, 1e-200))
         adv, fluxes, _ = mol_hydro(u, q, qaux, 0.0, sim.geom, L, sim.cfg)
@@ -245,19 +247,19 @@ class TrueSDC2:
         R = R.at[L.UEDEN].set(rho * edot)
         return R
 
-    def advance(self, u, dt, t, keep_fluxes=False):
+    def advance(self, u, dt, t, keep_fluxes=False, ctx=None):
         """One SDC-2 step. Returns (u_new, fail)[, fluxes] — keep_fluxes
         adds the trapezoid time-average of the node fluxes for the AMR
-        flux registers."""
+        flux registers. `ctx`: shard-local context for shard_map runs."""
         sim = self.sim
         fail = jnp.asarray(False)
-        A0, F0 = self._adv(u, want_flux=True)
+        A0, F0 = self._adv(u, want_flux=True, ctx=ctx)
         R0 = self._react_rate(u)
         u1 = u + dt * (A0 + R0)  # provisional (forward Euler predictor)
-        u1 = sim._clean_fill_impl(u1)
+        u1 = sim._clean_fill_impl(u1, ctx)
         F1 = F0
         for _ in range(self.n_iters):
-            A1, F1 = self._adv(u1, want_flux=True)
+            A1, F1 = self._adv(u1, want_flux=True, ctx=ctx)
             R1 = self._react_rate(u1)
             # trapezoid node update: U^1 = U^0 + dt/2 (A0+A1) + dt/2 (R0+R1);
             # with reactions the R1 piece solved implicitly via a burn with
@@ -281,7 +283,7 @@ class TrueSDC2:
                 u1 = u1.at[L.UEDEN].add(de)
             else:
                 u1 = u + 0.5 * dt * (A0 + A1)
-            u1 = sim._clean_fill_impl(u1)
+            u1 = sim._clean_fill_impl(u1, ctx)
         if keep_fluxes:
             fluxes = [0.5 * (F0[d] + F1[d])
                       for d in range(sim.layout.dim)]
@@ -310,11 +312,11 @@ class TrueSDC4Radau(TrueSDC4):
          (72.0 + 8.0 * SQ6) / 600.0),
     )
 
-    def advance(self, u, dt, t, keep_fluxes=False):
+    def advance(self, u, dt, t, keep_fluxes=False, ctx=None):
         sim = self.sim
         fail = jnp.asarray(False)
         c = self.NODES
-        A0, Fu = self._adv(u, want_flux=True)
+        A0, Fu = self._adv(u, want_flux=True, ctx=ctx)
         k = [u, u, u, u]
         A_old = [A0, A0, A0, A0]
         F_old = [Fu, Fu, Fu, Fu]
@@ -323,7 +325,7 @@ class TrueSDC4Radau(TrueSDC4):
 
         for _ in range(self.n_iters):
             F_prev = F_old
-            a0n, f0n = self._adv(k[0], want_flux=True)
+            a0n, f0n = self._adv(k[0], want_flux=True, ctx=ctx)
             A_new = [a0n]
             F_new = [f0n]
             F_used = []
@@ -334,8 +336,8 @@ class TrueSDC4Radau(TrueSDC4):
                 Aeff = (dt_m * (A_new[m] - A_old[m]) + quad) / dt_m
                 F_used.append(F_new[m])
                 kn, fail = self._node_react(k[m], Aeff, dt_m, fail)
-                k[m + 1] = sim._clean_fill_impl(kn)
-                a_n, f_n = self._adv(k[m + 1], want_flux=True)
+                k[m + 1] = sim._clean_fill_impl(kn, ctx)
+                a_n, f_n = self._adv(k[m + 1], want_flux=True, ctx=ctx)
                 A_new.append(a_n)
                 F_new.append(f_n)
             A_old = A_new

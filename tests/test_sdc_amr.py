@@ -103,3 +103,52 @@ def test_sdc_amr_convergence_order():
     print(f"SDC-AMR self-convergence: e1={e1:.3e} e2={e2:.3e} "
           f"order={order:.2f}")
     assert order > 1.8, order
+
+
+def test_sdc_amr_sharded_matches_single_device():
+    """Distributed SDC AMR: level 0 runs the true-SDC advance under a
+    2x2 mesh (node fills via halo exchange inside shard_map) and matches
+    the single-device 2-level run to round-off — a composition the
+    reference cannot express (its SDC has no AMR or distribution at all,
+    FlowChart.rst:593)."""
+    import jax
+    from jax.sharding import Mesh
+    from castro_tpu.problems import acoustic_pulse
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+
+    def mk():
+        params = acoustic_pulse.make_params(n=32, dim=2)
+        params = params.with_ns("castro", time_integration_method=2,
+                                sdc_order=4, use_retry=0)
+        params = params.with_ns("amr", max_level=1, regrid_int=0)
+
+        def ptag(sim, u_int, level):
+            x = jnp.asarray(sim.geom.cell_centers(0, 0))
+            y = jnp.asarray(sim.geom.cell_centers(1, 0))
+            return ((x > 0.3) & (x < 0.7) & (y > 0.3) & (y < 0.7)
+                    & jnp.ones(u_int.shape[1:], bool))
+        return params, ptag
+
+    params, ptag = mk()
+    ref = AmrSimulation(params, problem_init=acoustic_pulse.problem_init,
+                        problem_tagging=ptag)
+    ref.init_data()
+
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("x", "y"))
+    amr = AmrSimulation(params, problem_init=acoustic_pulse.problem_init,
+                        problem_tagging=ptag, mesh=mesh)
+    amr.init_data()
+
+    for _ in range(2):
+        ref.advance(2e-3)
+        amr.advance(2e-3)
+
+    for l in range(2):
+        a = np.asarray(ref.u[l])
+        b = np.asarray(amr.u[l])
+        scale = max(np.abs(a).max(), 1e-30)
+        assert np.abs(a - b).max() / scale < 1e-11, \
+            (l, np.abs(a - b).max() / scale)
