@@ -17,14 +17,10 @@ rates are implemented from their published sources rather than ported):
 - o16(a,g)ne20           : CF88
 - ne20(a,g)mg24          : CF88
 - mg24(a,g)si28          : CF88 resonant terms (leading terms)
-- si28..fe52 (a,g)       : non-resonant Gamow form
-                           N_A<sv> = 7.83e9 (Z1 Z2 / (Ahat T9^2))^(1/3)
-                                     S_MeVb exp(-4.2487 (Z1^2 Z2^2 Ahat
-                                     / T9)^(1/3))
-                           (Iliadis eq. 3.101 form) with constant effective
-                           S-factors — an approximation standing in for the
-                           tabulated fits until a rate-table import; the
-                           Gamow exponents are exact.
+- si28..fe52 (a,g)       : published WFHZ78 fits (`rates_heavy.py`),
+                           reverse coefficients recomputed exactly from
+                           detailed balance (match the published constants
+                           to <0.3%, see rates_heavy docstring)
 - reverse (photodisintegration) rates: detailed balance,
                            rev = 9.8685e9 T9^(3/2) (A1 A2 / A12)^(3/2)
                                  exp(-Q/kT) * fwd  (ground-state spins;
@@ -43,9 +39,8 @@ rates are implemented from their published sources rather than ported):
   frac_pg = lam_pg / (lam_pg + lam_pa) (the rho*Y_p factor cancels in
   the branch), and the reverse (g,p)(p,a) flow via detailed balance.
   Q-values are exact (AME mass excesses); the exothermic direction of
-  each link uses the Gamow closed form with constant effective
-  S-factors (stand-ins for the tabulated fits — same caveat as the
-  heavy (a,g) chain), the endothermic direction detailed balance.
+  each link uses the published WFHZ78 fit (`rates_heavy.py`), the
+  endothermic direction exact detailed balance (spins + masses).
 - thermal neutrino losses: `castro_tpu/network/neutrino.py` (Itoh et al.
   1996 pair + brems channels; sneut5's photo/plasma/recombination
   channels documented as omitted there).
@@ -75,14 +70,6 @@ _B_MEV = np.array([28.29603, 92.16294, 127.62093, 160.64788, 198.25790,
 _Q_AG = np.array([_B_MEV[k + 1] - _B_MEV[k] - _B_MEV[0]
                   for k in range(1, 12)])
 
-# effective S-factors (MeV b) for the si28..fe52 non-resonant (a,g) forms
-_S_EFF = 100.0
-# effective S-factors for the (a,p)(p,g) link channels (stand-ins; the
-# branching fraction is set by S_PG/S_PA, the flow scale by S_AP)
-_S_AP = 3.0e3
-_S_PG = 30.0
-_S_PA = 300.0
-
 _T9_FLOOR = 1.0e-3
 
 # intermediate odd-Z nuclei of the (a,p)(p,g) links k -> I -> k+1 for
@@ -109,8 +96,12 @@ def _gamow(z1, z2, a1, a2, S, T9):
 
 
 def _gamow_ag(k, T9):
-    """Non-resonant alpha-capture rate N_A<sigma v> on species k."""
-    return _gamow(2.0, _Z[k], 4.0, _A[k], _S_EFF, T9)
+    """k(a,g)k+1 forward rate for the heavy chain (k = 5..11): the
+    published WFHZ78 fits (rates_heavy.py). Name kept for the iso7 /
+    aprox19 importers that predate the tabulated-fit upgrade."""
+    from castro_tpu.network.rates_heavy import heavy_ag
+
+    return heavy_ag(k, T9)
 
 
 def _rev_2body(T9, q_mev, a1, a2, a3, a4):
@@ -291,23 +282,21 @@ class Aprox13Network(Network):
 
         # (a,p)(p,g) effective links Si28..Ni56 (the aprox13 flow
         # pattern; see module docstring): intermediate in proton-branch
-        # steady state, rho*Y_p cancels in frac = lam_pg/(lam_pg+lam_pa)
+        # steady state, rho*Y_p cancels in frac = lam_pg/(lam_pg+lam_pa).
+        # Published WFHZ78 fits for the exothermic directions, exact
+        # detailed balance for the endothermic ones (rates_heavy.py).
+        from castro_tpu.network.rates_heavy import link_rates
+
         for k in range(5, 12):
             _name, zI, aI, q_ap, q_pg = _AP_LINKS[k]
             scr_a = self._screen_weak(rho, T9, Y, 2.0, _Z[k])
             scr_p = self._screen_weak(rho, T9, Y, 1.0, zI)
-            if q_ap >= 0.0:  # k(a,p)I exothermic (cr48, fe52)
-                lam_ap = _gamow(2.0, _Z[k], 4.0, _A[k], _S_AP, T9) * scr_a
-                lam_pa = lam_ap * _rev_2body(T9, q_ap, 4.0, _A[k], 1.0, aI)
-            else:            # I(p,a)k exothermic (si28..ti44)
-                lam_pa = _gamow(1.0, zI, 1.0, aI, _S_PA, T9) * scr_p
-                lam_ap = lam_pa * _rev_2body(T9, -q_ap, 1.0, aI,
-                                             4.0, _A[k])
-            lam_pg = _gamow(1.0, zI, 1.0, aI, _S_PG, T9) * scr_p
-            # (k+1)(g,p)I photodisintegration via detailed balance
-            lam_gp = lam_pg * 9.8685e9 * T9 ** 1.5 * \
-                ((1.0 * aI) / _A[k + 1]) ** 1.5 * jnp.exp(
-                    jnp.maximum(-q_pg * 11.6045 / T9, -200.0))
+            lam_ap, lam_pa, lam_pg, lam_gp = link_rates(
+                k, T9, _A, q_ap, q_pg, aI)
+            lam_ap = lam_ap * scr_a
+            lam_pa = lam_pa * scr_p
+            lam_pg = lam_pg * scr_p
+            lam_gp = lam_gp * scr_p
             frac = lam_pg / jnp.maximum(lam_pg + lam_pa, 1e-300)
             flow = rho * Y[0] * Y[k] * lam_ap * frac \
                 - Y[k + 1] * lam_gp * (1.0 - frac)
