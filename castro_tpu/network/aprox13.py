@@ -28,9 +28,9 @@ rates are implemented from their published sources rather than ported):
                            even-even 0+ nuclei here)
 - screening              : Graboske et al. (1973) weak screening
                            H12 = 0.188 Z1 Z2 sqrt(rho zeta) T6^(-3/2),
-                           zeta = sum (Z^2 + Z) Y, capped at H12 = 2 (the
-                           weak regime's validity bound; strong-screening
-                           asymptotics TODO)
+                           zeta = sum (Z^2 + Z) Y, joined to CP98
+                           ion-sphere strong screening by pointwise min
+                           (`network/screening.py`)
 
 - (a,p)(p,g) effective links Si28..Ni56: the aprox13 flow pattern
   k + a -> I + p -> (k+1) + g with the intermediate odd-Z nucleus
@@ -202,14 +202,14 @@ class Aprox13Network(Network):
 
     # -- screening ---------------------------------------------------------
     def _screen_weak(self, rho, T9, Y, z1, z2):
-        """Graboske et al. (1973) weak-screening enhancement factor."""
-        zeta = 0.0
-        for k in range(13):
-            zeta = zeta + (_Z[k] * _Z[k] + _Z[k]) * Y[k]
-        T6 = jnp.maximum(T9, _T9_FLOOR) * 1.0e3
-        h12 = 0.188 * z1 * z2 * jnp.sqrt(rho * jnp.maximum(zeta, 0.0)) \
-            * T6 ** (-1.5)
-        return jnp.exp(jnp.minimum(h12, 2.0))
+        """Screening enhancement: Graboske weak + CP98 ion-sphere strong
+        (`network/screening.py`; name kept for the importers that predate
+        the strong-screening upgrade)."""
+        from castro_tpu.network import screening
+
+        zeta, ye = screening.plasma_moments(Y, _Z)
+        return screening.screen_pair(rho, jnp.maximum(T9, _T9_FLOOR),
+                                     zeta, ye, z1, z2)
 
     def rhs(self, rho, T, xn, e=None):
         """Vectorized dX/dt, de/dt (erg/g/s).
@@ -273,33 +273,34 @@ class Aprox13Network(Network):
         for k in range(1, 12):
             scr = self._screen_weak(rho, T9, Y, 2.0, _Z[k])
             lam = lam_ag[k - 1] * scr
-            fwd = rho * Y[0] * Y[k] * lam
-            # reverse photodisintegration of k+1 (detailed balance on the
-            # screened forward rate constant)
-            rev = rev_fac(k) * lam * Y[k + 1]
-            net = fwd - rev
+            # reverse photodisintegration of k+1 by detailed balance on
+            # the screened forward rate constant; factored bracket form
+            # so the shared lam rounding cancels exactly near NSE (f32)
+            net = lam * (rho * Y[0] * Y[k] - rev_fac(k) * Y[k + 1])
             add([(0, -1.0), (k, -1.0), (k + 1, 1.0)], net)
 
         # (a,p)(p,g) effective links Si28..Ni56 (the aprox13 flow
         # pattern; see module docstring): intermediate in proton-branch
         # steady state, rho*Y_p cancels in frac = lam_pg/(lam_pg+lam_pa).
         # Published WFHZ78 fits for the exothermic directions, exact
-        # detailed balance for the endothermic ones (rates_heavy.py).
-        from castro_tpu.network.rates_heavy import link_rates
+        # detailed balance for the endothermic ones (rates_heavy.py),
+        # evaluated in the compensated net-flow form
+        #   flow = scr_a lam_ap frac (rho Y_a Y_k - K Y_{k+1})
+        # (f32-safe near NSE; see rates_heavy.link_flow_terms).
+        # Screening: the reverse flow inherits the forward screening
+        # factor (screened detailed balance), a deliberate deviation
+        # from the reference's forward-only screening — it keeps the
+        # NSE fixed point of the screened network exact, which the f32
+        # production path relies on.  frac is screening-invariant
+        # (scr_p multiplies lam_pg and lam_pa alike and cancels).
+        from castro_tpu.network.rates_heavy import link_flow_terms
 
         for k in range(5, 12):
             _name, zI, aI, q_ap, q_pg = _AP_LINKS[k]
             scr_a = self._screen_weak(rho, T9, Y, 2.0, _Z[k])
-            scr_p = self._screen_weak(rho, T9, Y, 1.0, zI)
-            lam_ap, lam_pa, lam_pg, lam_gp = link_rates(
-                k, T9, _A, q_ap, q_pg, aI)
-            lam_ap = lam_ap * scr_a
-            lam_pa = lam_pa * scr_p
-            lam_pg = lam_pg * scr_p
-            lam_gp = lam_gp * scr_p
-            frac = lam_pg / jnp.maximum(lam_pg + lam_pa, 1e-300)
-            flow = rho * Y[0] * Y[k] * lam_ap * frac \
-                - Y[k + 1] * lam_gp * (1.0 - frac)
+            lam_ap, frac, K = link_flow_terms(k, T9, _A, q_ap, q_pg, aI)
+            flow = scr_a * lam_ap * frac * \
+                (rho * Y[0] * Y[k] - K * Y[k + 1])
             add([(0, -1.0), (k, -1.0), (k + 1, 1.0)], flow)
 
         ydot_arr = jnp.stack(ydot)

@@ -64,9 +64,12 @@ _PA_FITS = {
     8: (4.39e17, 36.196, (-1.349e-1, 1.489e-2, -4.943e-4)),  # sc43(p,a)ca40
     # v47(p,a)ti44: cubic T-correction of the published fit not recovered
     # in this zero-egress build; the leading fit (prefactor + Gamow slope)
-    # is the published one, and the channel is nearly thermoneutral
-    # (Q = -0.41 MeV) so the equilibrium it feeds is set by the exact
-    # detailed-balance factors, not this polynomial.
+    # is the published one.  The equilibrium it feeds is set by the exact
+    # detailed-balance factors (link_flow_terms K), not this polynomial;
+    # the kinetic ti44->cr48 flow's sensitivity to the missing correction
+    # is bounded by the branching structure and regression-tested
+    # (tests/test_network_rates.py::test_v47_pa_cubic_sensitivity:
+    # < 30x under an extreme sc43-sized polynomial substitution).
     9: (3.37e13, 39.110, (0.0, 0.0, 0.0)),                   # v47(p,a)ti44
 }
 _AP_FITS = {
@@ -132,6 +135,35 @@ def link_rates(k, T9, A, q_ap, q_pg, aI):
         ratio = (A[k] * 4.0 / (aI * 1.0)) ** 1.5 / (gI * 2.0)
         lam_pa = lam_ap * ratio * jnp.exp(jnp.clip(-q_ap * kT, -200.0, 0.0))
     return lam_ap, lam_pa, lam_pg, lam_gp
+
+
+def link_flow_terms(k, T9, A, q_ap, q_pg, aI):
+    """(lam_ap, frac, K) for the compensated net-flow form of the k-th
+    (a,p)(p,g) link:
+
+        flow = scr_a * lam_ap * frac * (rho Y_a Y_k - K Y_{k+1})
+
+    algebraically identical to the fwd/rev form built from
+    `link_rates` (frac = lam_pg/(lam_pg+lam_pa); the reverse term is
+    lam_gp (1-frac) Y_{k+1} since (1-frac)/frac = lam_pa/lam_pg), but
+    far better conditioned in f32: the equilibrium constant
+
+        K = (lam_gp lam_pa)/(lam_pg lam_ap)
+          = 9.8685e9 T9^1.5 (4 A_k / A_{k+1})^1.5 exp(-(q_ap+q_pg)/kT)
+
+    is the (a,g) Saha factor — the two ~|60-90| Gamow exponents cancel
+    *analytically*, so near NSE the net flow is no longer a difference
+    of two independently rounded large exponentials (the round-4 f32
+    parity regression, `tests/test_f32_physics.py`). The constant part
+    of ln K is folded in exact f64 outside the trace."""
+    lnT9 = jnp.log(T9)
+    lam_ap, lam_pa, lam_pg, _ = link_rates(k, T9, A, q_ap, q_pg, aI)
+    frac = lam_pg / jnp.maximum(lam_pg + lam_pa, 1e-300)
+    lnK_const = _LN_REV + 1.5 * math.log(4.0 * A[k] / A[k + 1])
+    q_kT = (q_ap + q_pg) * 11.6045
+    K = jnp.exp(jnp.clip(lnK_const + 1.5 * lnT9 - q_kT / T9,
+                         -200.0, 85.0))
+    return lam_ap, frac, K
 
 
 def rev_ag_coeff(k, A):
