@@ -95,15 +95,16 @@ class Aprox19Network(Network):
         super().__init__(_SPECIES, aion=_A, zion=_Z, ebin=ebin)
         self.include_neutrinos = include_neutrinos
 
-    def _screen_weak(self, rho, T9, Y, z1, z2, _sqrz=None):
-        if _sqrz is None:
-            zeta = 0.0
-            for k in range(19):
-                zeta = zeta + (_Z[k] * _Z[k] + _Z[k]) * Y[k]
-            _sqrz = jnp.sqrt(rho * jnp.maximum(zeta, 0.0))
-        T6 = jnp.maximum(T9, _T9_FLOOR) * 1.0e3
-        h12 = 0.188 * z1 * z2 * _sqrz * T6 ** (-1.5)
-        return jnp.exp(jnp.minimum(h12, 2.0))
+    def _screen_weak(self, rho, T9, Y, z1, z2, _moments=None):
+        """Weak + strong screening (as aprox13; screening.py); the rhs
+        passes the composition moments once via `_moments`."""
+        from castro_tpu.network import screening
+
+        if _moments is None:
+            _moments = screening.plasma_moments(Y, _Z)
+        zeta, ye = _moments
+        return screening.screen_pair(rho, jnp.maximum(T9, _T9_FLOOR),
+                                     zeta, ye, z1, z2)
 
     def rhs(self, rho, T, xn, e=None):
         T9 = jnp.maximum(T * 1.0e-9, _T9_FLOOR)
@@ -114,14 +115,13 @@ class Aprox19Network(Network):
         Y = xn / self.aion.reshape((-1,) + (1,) * (xn.ndim - 1))
         Y = jnp.maximum(Y, 0.0)
 
-        # screening prefactor sqrt(rho zeta) computed once for all links
-        zeta = 0.0
-        for k in range(19):
-            zeta = zeta + (_Z[k] * _Z[k] + _Z[k]) * Y[k]
-        sqrz = jnp.sqrt(rho * jnp.maximum(zeta, 0.0))
+        # screening composition moments computed once for all links
+        from castro_tpu.network import screening as _scrmod
+
+        moments = _scrmod.plasma_moments(Y, _Z)
 
         def scr(z1, z2):
-            return self._screen_weak(rho, T9, Y, z1, z2, _sqrz=sqrz)
+            return self._screen_weak(rho, T9, Y, z1, z2, _moments=moments)
 
         cf = _cf88_rates(T9)
         ydot = [jnp.zeros_like(rho) for _ in range(19)]

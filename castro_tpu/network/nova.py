@@ -177,16 +177,13 @@ class NovaNetwork(Network):
         Y = jnp.maximum(xn / self.aion.reshape(
             (-1,) + (1,) * (xn.ndim - 1)), 0.0)
 
-        # Graboske weak screening, one sqrt(rho*zeta) for all links
-        zeta = 0.0
-        for k in range(14):
-            zeta = zeta + (_Z[k] * _Z[k] + _Z[k]) * Y[k]
-        sqrz = jnp.sqrt(rho * jnp.maximum(zeta, 0.0))
-        T6 = T9 * 1.0e3
+        # weak + strong screening, composition moments once for all links
+        from castro_tpu.network import screening as _scrmod
+
+        zeta, ye = _scrmod.plasma_moments(Y, _Z)
 
         def scr(z1, z2):
-            h12 = 0.188 * z1 * z2 * sqrz * T6 ** (-1.5)
-            return jnp.exp(jnp.minimum(h12, 2.0))
+            return _scrmod.screen_pair(rho, T9, zeta, ye, z1, z2)
 
         cf = cno_rates(T9)
         ydot = [jnp.zeros_like(rho) for _ in range(14)]

@@ -70,15 +70,12 @@ class SubchNetwork(Network):
             (-1,) + (1,) * (xn.ndim - 1)))
         ydot += [jnp.zeros_like(rho) for _ in range(4)]
 
-        zeta = 0.0
-        for k in range(17):
-            zeta = zeta + (_Z[k] * _Z[k] + _Z[k]) * Y[k]
-        sqrz = jnp.sqrt(rho * jnp.maximum(zeta, 0.0))
-        T6 = T9 * 1.0e3
+        from castro_tpu.network import screening as _scrmod
+
+        zeta, ye = _scrmod.plasma_moments(Y, _Z)
 
         def scr(z1, z2):
-            h12 = 0.188 * z1 * z2 * sqrz * T6 ** (-1.5)
-            return jnp.exp(jnp.minimum(h12, 2.0))
+            return _scrmod.screen_pair(rho, T9, zeta, ye, z1, z2)
 
         def add(changes, rate):
             for i, w in changes:

@@ -33,14 +33,12 @@ class TripleAlphaCagoNetwork(Network):
         self.include_neutrinos = include_neutrinos
 
     def _screen_weak(self, rho, T9, Y, z1, z2):
-        """Graboske et al. (1973) weak screening (as aprox13)."""
-        zeta = 0.0
-        for k in range(4):
-            zeta = zeta + (_Z[k] * _Z[k] + _Z[k]) * Y[k]
-        T6 = jnp.maximum(T9, _T9_FLOOR) * 1.0e3
-        h12 = 0.188 * z1 * z2 * jnp.sqrt(rho * jnp.maximum(zeta, 0.0)) \
-            * T6 ** (-1.5)
-        return jnp.exp(jnp.minimum(h12, 2.0))
+        """Weak + strong screening (as aprox13; screening.py)."""
+        from castro_tpu.network import screening
+
+        zeta, ye = screening.plasma_moments(Y, _Z)
+        return screening.screen_pair(rho, jnp.maximum(T9, _T9_FLOOR),
+                                     zeta, ye, z1, z2)
 
     def rhs(self, rho, T, xn, e=None):
         T9 = jnp.maximum(T * 1.0e-9, _T9_FLOOR)

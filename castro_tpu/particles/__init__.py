@@ -191,6 +191,103 @@ class TracerParticles:
         v2 = vel_at(xh)
         return x + dt * v2
 
+    # -- distributed advection ----------------------------------------------
+    def make_sharded_advance(self, mesh):
+        """Tracer advection under a device mesh (reference: particles live
+        on the MPI rank owning their grid and are redistributed on
+        crossing, `AmrTracerParticleContainer` via CastroParticles.cpp).
+
+        TPU-native design: positions stay REPLICATED ([N, dim] is tiny
+        next to the field data), the state is spatially sharded; each
+        shard evaluates the RK2 velocities only for particles whose
+        containing zone lies in its subdomain and the one-owner psum
+        combines them. The halo-filled local block covers the +-1-cell
+        interpolation stencil at shard edges and the physical-BC ghost
+        fill at domain edges, so the result matches the single-device
+        `advance` exactly (decomposition invariance,
+        tests/test_particles_sharded.py).
+
+        Returns a jitted step(x, u_global_interior, dt) -> x_new with u
+        stored WITHOUT ghosts (same convention as make_sharded_step).
+        """
+        from jax import lax, shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from castro_tpu.parallel.decomp import (make_step_ctx,
+                                                spatial_axis_names)
+
+        sim = self.sim
+        L = sim.layout
+        g = sim.geom
+        ng = sim.ng
+        dim = L.dim
+        names = spatial_axis_names(sim, mesh)
+        spec_u = P(None, *names)
+
+        def local_adv(x, u_loc, dt):
+            n_loc = u_loc.shape[1:]
+            ctx = make_step_ctx(sim, names, n_loc=n_loc)
+            u = jnp.pad(u_loc, [(0, 0)] + [(ng, ng)] * dim)
+            u = ctx.fill(u, 0.0)
+            ilo = [lax.axis_index(names[d]) * n_loc[d]
+                   if names[d] is not None else 0 for d in range(dim)]
+            ndom = [n_loc[d] * (mesh.shape[names[d]]
+                                if names[d] is not None else 1)
+                    for d in range(dim)]
+            rho = u[L.URHO]
+            vels = [u[L.momentum_index(d)] / rho for d in range(dim)]
+
+            def vel(pts):
+                own = pts[:, 0] > 0.5 * SENTINEL
+                i0s, ws = [], []
+                for d in range(dim):
+                    s = (pts[:, d] - g.prob_lo[d]) / g.dx[d]
+                    zone = jnp.clip(jnp.floor(s).astype(jnp.int32),
+                                    0, ndom[d] - 1)
+                    own = own & (zone >= ilo[d]) & (zone < ilo[d] + n_loc[d])
+                    # local fractional grown index; the clip reproduces
+                    # the single-device ghost-zone clamp on edge shards
+                    fl = jnp.clip(s - 0.5 - ilo[d] + ng,
+                                  0.0, u.shape[1 + d] - 1.001)
+                    i0s.append(jnp.floor(fl).astype(jnp.int32))
+                    ws.append(fl - jnp.floor(fl))
+                out = []
+                for v in vels:
+                    acc = 0.0
+                    for corner in range(2 ** dim):
+                        wt = 1.0
+                        idx = []
+                        for d in range(dim):
+                            bit = (corner >> d) & 1
+                            idx.append(i0s[d] + bit)
+                            wt = wt * jnp.where(bit == 1, ws[d],
+                                                1.0 - ws[d])
+                        acc = acc + wt * v[tuple(idx)]
+                    out.append(acc)
+                vv = jnp.stack(out, axis=-1)
+                return ctx.psum(jnp.where(own[:, None], vv, 0.0))
+
+            alive = x[:, 0] > 0.5 * SENTINEL
+            v1 = vel(x)
+            x_half = x + 0.5 * dt * v1
+            v2 = vel(x_half)
+            x_new = x + dt * v2
+            for d in range(dim):
+                lo, hi = g.prob_lo[d], g.prob_hi[d]
+                if sim.cfg.lo_bc[d] == 0:  # periodic
+                    span = hi - lo
+                    x_new = x_new.at[:, d].set(
+                        lo + jnp.mod(x_new[:, d] - lo, span))
+                else:
+                    out_d = (x_new[:, d] < lo) | (x_new[:, d] > hi)
+                    x_new = jnp.where(out_d[:, None], SENTINEL, x_new)
+            return jnp.where(alive[:, None], x_new, x)
+
+        mapped = shard_map(local_adv, mesh=mesh,
+                           in_specs=(P(), spec_u, P()),
+                           out_specs=P(), check_vma=False)
+        return jax.jit(mapped)
+
     # -- I/O -------------------------------------------------------------------
     def checkpoint(self, path):
         np.savez_compressed(os.path.join(path, "particles.npz"),
