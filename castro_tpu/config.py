@@ -265,6 +265,9 @@ class RadiationParams:
     scattering_exp_n: float = 0.0
     scattering_exp_p: float = 0.0
     kappa_floor: float = 0.0
+    # Compton group-to-group exchange after the implicit update
+    # (Radiation::inelastic_scattering, MGFLD.cpp:1655)
+    do_inelastic_scattering: int = 0
     do_real_eos: int = 1
     c_light_scale: float = 1.0  # reference radiation.c -> fudge factors
     outer_iters: int = 8  # matter-coupling outer iterations (maxiter analog)

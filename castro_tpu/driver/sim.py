@@ -709,6 +709,29 @@ class Simulation:
             lam = apply_filter(lam, fT, axes=range(1, lam.ndim))
         return lam
 
+    def _inelastic_sct(self, Er_g, rho, e_new, T_new, dt):
+        """Compton group-to-group exchange after the implicit multigroup
+        update (Radiation::inelastic_scattering, MGFLD.cpp:1655-1685,
+        called from Castro_radiation.cpp:38): kappa_s = max(kappa_r -
+        kappa_p, 0) at nu_0 (MGFLD_compute_scattering, MGFLD.cpp:1554),
+        one implicit LLPS85 Kompaneets step, and the net radiation-energy
+        gain comes out of the gas internal energy."""
+        rp = self.params.radiation
+        if not rp.do_inelastic_scattering or self.layout.ngroups <= 1:
+            return Er_g, e_new
+        from castro_tpu.radiation import compton
+
+        # host-side index: jnp indexing under the trace would emit a
+        # gather and hand float() a tracer
+        nu0 = float(np.asarray(self.rad.nugroup)[0])
+        ks = jnp.maximum(self.rad.kappa_r(rho, T_new, nu0)
+                         - self.rad.kappa_p(rho, T_new, nu0), 0.0)
+        ks = jnp.broadcast_to(jnp.asarray(ks, Er_g.dtype), rho.shape)
+        Er_g, dEr = compton.apply_inelastic_scattering(
+            Er_g, T_new, ks, dt, self.rad.nugroup, self.rad.xnu,
+            self.rad.dlognu)
+        return Er_g, e_new - dEr / rho
+
     def _rad_ctu_step_impl(self, u, Er, dt, t, ctx=None, rad_bc=None,
                            rad_rhs_extra=None, keep_rad_flux=False):
         """Characteristic rad-hydro step (any dim): radiation in the CTU
@@ -787,6 +810,8 @@ class Simulation:
                 Er_new2, e_new, T_new, rad_fluxes = o2
             else:
                 Er_new2, e_new, T_new = o2
+            Er_new2, e_new = self._inelastic_sct(Er_new2, rho, e_new,
+                                                 T_new, dt)
         else:
             o2 = self.rad.gray_update(
                 Er_new[0], rho, e, es.T, es.cv, dt, eos_re=eos_re,
@@ -936,6 +961,8 @@ class Simulation:
                 Er_new, e_new, T_new, rad_fluxes = out
             else:
                 Er_new, e_new, T_new = out
+            Er_new, e_new = self._inelastic_sct(Er_new, rho, e_new,
+                                                T_new, dt)
         else:
             out = self.rad.gray_update(
                 Er_adv, rho, e, es.T, es.cv, dt, eos_re=eos_re,

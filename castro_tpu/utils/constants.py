@@ -8,6 +8,7 @@ c_light = 2.99792458e10  # cm/s
 sigma_SB = 5.670374419e-5  # erg/cm^2/s/K^4
 a_rad = 4.0 * sigma_SB / c_light  # radiation constant, erg/cm^3/K^4
 hplanck = 6.62607015e-27  # erg s
+m_e = 9.1093837015e-28  # g (electron mass)
 q_e = 4.80320425e-10  # esu
 ev2erg = 1.602176634e-12  # erg/eV
 MeV2erg = 1.602176634e-6
