@@ -752,7 +752,14 @@ class Simulation:
         c = self.params.castro
         ctx = ctx or self._default_ctx
         u = ctx.fill(u, t)
-        Er_g2 = self._fill_rad(Er[None] if Er.ndim == L.dim else Er)
+        if ctx.fill_rad is not None:
+            # sharded: halo-exchange the full hydro ghost ring for the
+            # CTU rad chain (trace/transverse stencils need ng ghosts)
+            Er_g2 = ctx.fill_rad(Er, self.ng)
+            if Er_g2.ndim == L.dim:
+                Er_g2 = Er_g2[None]
+        else:
+            Er_g2 = self._fill_rad(Er[None] if Er.ndim == L.dim else Er)
         lam_g = self._rad_lambda_grown(u, Er_g2)
 
         q, qaux = _ctoprim(u, L, self.eos, self.cfg.small_dens,
@@ -767,14 +774,15 @@ class Simulation:
 
         Er_int = Er[None] if Er.ndim == L.dim else Er  # already interior
         rp = self.params.radiation
+        want_fluxes = keep_rad_flux or self.keep_fluxes
         out = ctu_rad_hydro(
             u, Er_int, q, qaux, srcQ, dt, self.geom, L, self.cfg,
             self.rad.limiter, rp.closure,
             nugroup=self.rad.nugroup, dlognu=self.rad.dlognu,
             fspace_type=rp.fspace_advection_type, comoving=rp.comoving,
             flatten_pp_threshold=rp.flatten_pp_threshold,
-            keep_fluxes=keep_rad_flux)
-        if keep_rad_flux:
+            keep_fluxes=want_fluxes)
+        if want_fluxes:
             u_new, Er_new, gas_fluxes, rfluxes = out
         else:
             u_new, Er_new = out
@@ -799,11 +807,14 @@ class Simulation:
             return self.eos.re(rho=rho, e=jnp.maximum(e_k, 1e-300), xn=xn)
 
         rad_fluxes = None
+        names = tuple(ctx.axis_names)
+        sharded = any(n is not None for n in names)
         if L.ngroups > 1:
             o2 = self.rad.multigroup_update(
                 Er_new, rho, e, es.T, es.cv, dt,
                 nu_centers=self.rad.nugroup, dnu=self.rad.dnugroup,
                 eos_re=eos_re, metric=self.rad.geom_metric(),
+                axis_names=names if sharded else None,
                 bc_override=rad_bc, rhs_extra=rad_rhs_extra,
                 keep_flux=keep_rad_flux)
             if keep_rad_flux:
@@ -815,7 +826,9 @@ class Simulation:
         else:
             o2 = self.rad.gray_update(
                 Er_new[0], rho, e, es.T, es.cv, dt, eos_re=eos_re,
-                metric=self.rad.geom_metric(), bc_override=rad_bc,
+                metric=self.rad.geom_metric(),
+                axis_names=names if sharded else None,
+                bc_override=rad_bc,
                 rhs_extra=rad_rhs_extra, keep_flux=keep_rad_flux)
             if keep_rad_flux:
                 Er_new2, e_new, T_new, rad_fluxes = o2
@@ -851,6 +864,16 @@ class Simulation:
                     idx[1 + d] = slice(ng_, u.shape[1 + d] - ng_ + 1)
                     fint.append(gas_fluxes[d][tuple(idx)])
             return u_new, Er_new2, min_rho, nan_flag, rad_fluxes, fint
+        if self.keep_fluxes:
+            # op-split-path contract: gas fluxes on interior faces
+            # (make_sharded_rad_step keep_fluxes consumes out[4])
+            ng_ = self.ng
+            fint = []
+            for d in range(L.dim):
+                idx = [slice(None)] + [slice(ng_, -ng_)] * L.dim
+                idx[1 + d] = slice(ng_, u.shape[1 + d] - ng_ + 1)
+                fint.append(gas_fluxes[d][tuple(idx)])
+            return u_new, Er_new2, min_rho, nan_flag, fint
         return u_new, Er_new2, min_rho, nan_flag
 
     def _rad_step_impl(self, u, Er, dt, t, ctx: Optional[StepCtx] = None,
@@ -858,9 +881,9 @@ class Simulation:
         """Hydro step + Er advection + implicit FLD update (reference
         do_advance_ctu then final_radiation_call). Cartesian runs (any
         dim) use the full characteristic coupling
-        (radiation.hydro_coupling=1, the reference scheme); AMR-window,
-        flux-keeping, and curvilinear multi-D runs fall back to the
-        operator-split advection.
+        (radiation.hydro_coupling=1, the reference scheme) — including
+        AMR-window, flux-keeping and SHARDED runs; curvilinear multi-D
+        runs fall back to the operator-split advection.
 
         AMR plumbing (gray): `rad_bc` = window-boundary Dirichlet Er from
         the coarse level, `rad_rhs_extra` = deferred-sync rhs source,
@@ -870,16 +893,14 @@ class Simulation:
 
         L = self.layout
         ctx = ctx or self._default_ctx
-        # the characteristic coupling runs for single-device Cartesian
-        # configurations INCLUDING AMR windows and flux-register runs
-        # (the reference's rad_hydro_combined per level); only sharded
-        # runs fall back to operator splitting (the CTU chain under
-        # shard_map with radiation is future work)
-        sharded = any(n is not None for n in tuple(ctx.axis_names))
+        # the characteristic coupling runs for Cartesian configurations
+        # INCLUDING AMR windows, flux-register runs and SHARDED runs (the
+        # reference's rad_hydro_combined per level; under a mesh the CTU
+        # rad chain runs on halo-exchanged ghosts and the implicit solve
+        # goes through the distributed multigrid)
         if (self.params.radiation.hydro_coupling
                 and self.params.castro.do_hydro
                 and self.geom.coord.value == 0
-                and not sharded
                 and (L.ngroups == 1 or self.rad.nugroup is not None)):
             return self._rad_ctu_step_impl(
                 u, Er, dt, t, ctx=ctx, rad_bc=rad_bc,

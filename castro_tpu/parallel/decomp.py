@@ -274,11 +274,14 @@ def make_sharded_rad_step(sim, mesh: Mesh, keep_fluxes: bool = False):
     def local_step(u_loc, Er_loc, dt, t, rhs_extra):
         ctx = make_step_ctx(sim, names, n_loc=u_loc.shape[1:])
 
-        def fill_rad1(Er):
+        def fill_rad1(Er, ngr=1):
+            # ngr=1 serves the operator-split upwind advection; the
+            # characteristic CTU rad chain asks for the full hydro ghost
+            # ring (ngr=sim.ng)
             if Er.ndim > dim:
                 return jax.vmap(lambda e: exchange_face(
-                    e, dim, 1, names, sim.cfg.lo_bc, sim.cfg.hi_bc))(Er)
-            return exchange_face(Er, dim, 1, names, sim.cfg.lo_bc,
+                    e, dim, ngr, names, sim.cfg.lo_bc, sim.cfg.hi_bc))(Er)
+            return exchange_face(Er, dim, ngr, names, sim.cfg.lo_bc,
                                  sim.cfg.hi_bc)
 
         ctx.fill_rad = fill_rad1
