@@ -16,6 +16,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -370,8 +371,8 @@ def ctu_face_pallas(qm, qp, qaux, d, terms, layout, coord, riemann_solver,
     axis and the full normal (d) axis, so the m-state cell shift and the
     gamc/c neighbor gathers happen in VMEM; a term whose transverse axis
     is also in-block computes its flux difference in VMEM, otherwise the
-    (+1 along t) shifted copies are passed as extra inputs (XLA prepares
-    them — the only HBM overhead of the whole stage).
+    (+1 along t) values are read from the NEIGHBOR TILE via a second
+    BlockSpec with a +1 grid-index map (no materialized shifted copies).
 
     `terms2` pairs a SECOND corner-coupling stage with the same normal d
     into the same kernel (the two fint stages F^{d|t1}, F^{d|t2} share
@@ -385,7 +386,6 @@ def ctu_face_pallas(qm, qp, qaux, d, terms, layout, coord, riemann_solver,
     gshape = qm.shape[1:]
     dim = L.dim
     assert dim == 3, "fused face stage is the 3D path"
-    from castro_tpu.ops.stencil import shifted
 
     # choose in-block axes: z (minor) + n; a term with t == 2 is in-block.
     # tile axis: the remaining axis (or the pre-shifted term's axis).
@@ -417,10 +417,16 @@ def ctu_face_pallas(qm, qp, qaux, d, terms, layout, coord, riemann_solver,
                 break
         else:
             zc = nz  # no aligned chunk fits: let the bt clamp handle it
+    # the axes the block FULLY spans (in-VMEM shifts are exact there):
+    # everything but the tile axis, minus z when chunked. For d == 2
+    # this adds y (blocks span it fully), which the {2, d} seed missed.
+    in_block = {0, 1, 2} - {tile_axis}
+    if zc != nz:
+        in_block.discard(2)
 
     # prepare term inputs
     term_arrays = []   # flat list of input arrays
-    term_specs = []    # matching ncomp list
+    term_specs = []    # matching (ncomp, neighbor: bool) list
     term_meta = []     # (t_dir, inblock: bool), per stage
     term_meta2 = []
     cdtdx_vals = []
@@ -436,14 +442,20 @@ def ctu_face_pallas(qm, qp, qaux, d, terms, layout, coord, riemann_solver,
             cdtdx_vals.append(t["cdtdx"])
             if tdir in in_block:
                 term_arrays.extend([F, pg, ug])
-                term_specs.extend([L.NVAR, 1, 1])
+                term_specs.extend([(L.NVAR, None), (1, None), (1, None)])
                 meta.append((tdir, True))
             else:
-                ax = 1 + tdir
-                term_arrays.extend(
-                    [F, shifted(F, 1, ax), pg, shifted(pg, 1, ax),
-                     ug, shifted(ug, 1, ax)])
-                term_specs.extend([L.NVAR, L.NVAR, 1, 1, 1, 1])
+                # out-of-block transverse axis: the (+1 along t) values
+                # come from the NEIGHBOR TILE, read via a second
+                # BlockSpec whose index map is offset +1 along the grid
+                # axis (clamped at the last tile) — no materialized
+                # shifted copies, no extra HBM writes (the round-4
+                # profiler showed ~1ms/step of XLA pad/slice prep here)
+                ga = 0 if tdir == tile_axis else 1  # grid axis of tdir
+                term_arrays.extend([F, F, pg, pg, ug, ug])
+                term_specs.extend([(L.NVAR, None), (L.NVAR, ga),
+                                   (1, None), (1, ga),
+                                   (1, None), (1, ga)])
                 meta.append((tdir, False))
 
     prep(terms, term_meta)
@@ -473,7 +485,7 @@ def ctu_face_pallas(qm, qp, qaux, d, terms, layout, coord, riemann_solver,
     # 100MB scoped-VMEM limit.
     ncomp_total = (2 * L.NQ + qaux.shape[0]
                    + (1 if bnd_mask is not None else 0)
-                   + sum(term_specs)
+                   + sum(nc for nc, _ in term_specs)
                    + n_stages * (L.NVAR + L.NGDNV))
     per_bt_cells = (gshape[d] * zc if zc != nz
                     else int(_np.prod(gshape)) // nt)
@@ -487,21 +499,31 @@ def ctu_face_pallas(qm, qp, qaux, d, terms, layout, coord, riemann_solver,
         bt = cand if nt % cand == 0 else (nt if tile_axis == 1 else 1)
     grid = (nt // bt,) if zc == nz else (nt // bt, nz // zc)
 
-    def bs(nc):
+    def bs(nc, nbr=None):
+        """Block spec; `nbr` = grid axis whose index is offset +1
+        (clamped at the last tile) — the NEIGHBOR-TILE view used for
+        out-of-block transverse shifts."""
         block = [nc] + list(gshape)
         block[1 + tile_axis] = bt
+        nlast = [nt // bt - 1, (nz // zc - 1) if zc != nz else 0]
+
+        def off(i, g):
+            if nbr == g:
+                return jnp.minimum(i + 1, nlast[g])
+            return i
+
         if zc != nz:
             block[3] = zc
 
             def index(i, j, *_):
                 idx = [0, 0, 0, 0]
-                idx[1 + tile_axis] = i
-                idx[3] = j
+                idx[1 + tile_axis] = off(i, 0)
+                idx[3] = off(j, 1)
                 return tuple(idx)
         else:
             def index(i, *_):
                 idx = [0, 0, 0, 0]
-                idx[1 + tile_axis] = i
+                idx[1 + tile_axis] = off(i, 0)
                 return tuple(idx)
 
         return pl.BlockSpec(tuple(block), index)
@@ -538,12 +560,28 @@ def ctu_face_pallas(qm, qp, qaux, d, terms, layout, coord, riemann_solver,
                     pghi = _inblock_shift(pg, 1, ax - 1)
                     ughi = _inblock_shift(ug, 1, ax - 1)
                 else:
+                    # +1 along t across the tile boundary: own rows 1..
+                    # + the neighbor tile's row 0 (edge-clamped at the
+                    # last tile, matching global `stencil.shifted`)
+                    ga = 0 if tdir == tile_axis else 1
+                    ax = 1 + tdir
+                    is_last = pl.program_id(ga) == pl.num_programs(ga) - 1
+
+                    def nbr_shift(cur, nxt, a):
+                        nloc = cur.shape[a]
+                        core = lax.slice_in_dim(cur, 1, nloc, axis=a)
+                        head = lax.slice_in_dim(nxt, 0, 1, axis=a)
+                        clamp = lax.slice_in_dim(cur, nloc - 1, nloc,
+                                                 axis=a)
+                        tail = jnp.where(is_last, clamp, head)
+                        return jnp.concatenate([core, tail], axis=a)
+
                     F = refs[pos][...]
-                    Fhi = refs[pos + 1][...]
+                    Fhi = nbr_shift(F, refs[pos + 1][...], ax)
                     pg = refs[pos + 2][0]
-                    pghi = refs[pos + 3][0]
+                    pghi = nbr_shift(pg, refs[pos + 3][0], ax - 1)
                     ug = refs[pos + 4][0]
-                    ughi = refs[pos + 5][0]
+                    ughi = nbr_shift(ug, refs[pos + 5][0], ax - 1)
                     pos += 6
                 df = df + cdtdx * (Fhi - F)
                 du = ughi - ug
@@ -590,7 +628,7 @@ def ctu_face_pallas(qm, qp, qaux, d, terms, layout, coord, riemann_solver,
     if with_mask:
         in_specs.append(bs(1))
         args.append(jnp.broadcast_to(bnd_mask, gshape)[None])
-    in_specs += [bs(nc) for nc in term_specs]
+    in_specs += [bs(nc, nbr) for nc, nbr in term_specs]
     args += term_arrays
 
     n_out = 2 if terms2 is None else 4
