@@ -114,7 +114,9 @@ def make_sharded_mhd_step(sim, mesh: Mesh, keep_ct: bool = False):
         ctx = make_step_ctx(sim, names, n_loc=u_loc.shape[1:])
         ctx.fill_b = lambda b: tuple(
             exchange_face(shrink(bb, ng, L.dim), L.dim, ng, names,
-                          sim.cfg.lo_bc, sim.cfg.hi_bc) for bb in b)
+                          sim.cfg.lo_bc, sim.cfg.hi_bc,
+                          df=(i if i < L.dim else -1))
+            for i, bb in enumerate(b))
         pads_u = [(0, 0)] + [(ng, ng)] * L.dim
         u = jnp.pad(u_loc, pads_u)
         b = tuple(jnp.pad(bb, [(ng, ng)] * L.dim) for bb in b_loc)

@@ -84,14 +84,55 @@ def exchange_and_fill(u_loc, layout, ng: int,
     return apply_problem_fill(u, problem_fill, t)
 
 
+def _face_edge_vals(b, d, dim, ng, lo, hi, df):
+    """Physical-BC ghost slabs for one axis of a face field on a
+    domain-EDGE shard, with the full `filfc.f90` parities
+    (`ops/fill.py:fill_face`): wall = odd mirror about the wall face on
+    the normal axis (hi wall face pinned 0), even mirror tangentially
+    (sign-flipped for no-slip), outflow/inflow clamp.  The local grown
+    array on an edge shard is structurally identical to a single-device
+    grown array along that axis, so the single-device index maps apply
+    verbatim; callers slice out only the side their shard owns.
+    Returns (lo_slab, hi_slab)."""
+    import numpy as np
+
+    from castro_tpu.ops.fill import (NOSLIPWALL, _axis_fill_index,
+                                     _face_fill_index_normal)
+
+    N = b.shape[d]
+    n = N - 2 * ng
+    if df == d:
+        idx_map, sgn = _face_fill_index_normal(N, ng, lo, hi)
+    else:
+        idx_map = _axis_fill_index(N, ng, lo, hi)
+        sgn = np.ones(N)
+        if lo == NOSLIPWALL:
+            sgn[:ng] = -1.0
+        if hi == NOSLIPWALL:
+            sgn[n + ng:] = -1.0
+    filled = jnp.take(b, jnp.asarray(idx_map), axis=d)
+    if not np.all(sgn == 1.0):
+        shape = [1] * dim
+        shape[d] = N
+        filled = filled * jnp.asarray(sgn.reshape(shape), b.dtype)
+    return filled[_take(b, d, 0, ng)], filled[_take(b, d, n + ng, N)]
+
+
 def exchange_face(b_loc, dim: int, ng: int,
                   axis_names: Sequence[Optional[str]],
-                  lo_bc, hi_bc):
+                  lo_bc, hi_bc, df=None):
     """Grow a local face-centered field (face i-1/2 registered at cell i,
     the MHD B-field convention) by ng and fill its ghosts: ring-permute
-    halo exchange + physical clamp/wrap on domain-edge shards (the
-    distributed `filfc.f90` analog; matches MhdSolver._fill_b semantics —
-    periodic wrap for bc==0, edge clamp otherwise).
+    halo exchange + physical BCs on domain-edge shards (the distributed
+    `filfc.f90` analog).
+
+    `df` = the field's face-normal direction enables the full filfc
+    parities at non-periodic edges (wall-odd normal about the wall face,
+    tangential even except no-slip; `df=-1` = cell-represented passive
+    component, tangential semantics in every dim — matching the
+    single-device `MhdSolver._fill_b`). `df=None` keeps the plain edge
+    clamp (cell fields like Er, where clamp matches `_fill_rad`'s
+    'edge' mode).
 
     Face registration makes this IDENTICAL in communication pattern to a
     cell field: the shared shard-boundary face is owned by the right
@@ -108,6 +149,11 @@ def exchange_face(b_loc, dim: int, ng: int,
                 b = b.at[_take(b, d, 0, ng)].set(b[_take(b, d, n, n + ng)])
                 b = b.at[_take(b, d, n + ng, n + 2 * ng)].set(
                     b[_take(b, d, ng, 2 * ng)])
+            elif df is not None:
+                lo_v, hi_v = _face_edge_vals(b, d, dim, ng, lo_bc[d],
+                                             hi_bc[d], df)
+                b = b.at[_take(b, d, 0, ng)].set(lo_v)
+                b = b.at[_take(b, d, n + ng, n + 2 * ng)].set(hi_v)
             else:  # clamp
                 b = b.at[_take(b, d, 0, ng)].set(jnp.broadcast_to(
                     b[_take(b, d, ng, ng + 1)],
@@ -128,18 +174,23 @@ def exchange_face(b_loc, dim: int, ng: int,
         b = b.at[_take(b, d, 0, ng)].set(from_left)
         b = b.at[_take(b, d, n + ng, n + 2 * ng)].set(from_right)
 
+        if lo_bc[d] != 0 or hi_bc[d] != 0:
+            if df is not None:
+                lo_v, hi_v = _face_edge_vals(b, d, dim, ng, lo_bc[d],
+                                             hi_bc[d], df)
+            else:
+                lo_v = jnp.broadcast_to(b[_take(b, d, ng, ng + 1)],
+                                        b[_take(b, d, 0, ng)].shape)
+                hi_v = jnp.broadcast_to(b[_take(b, d, n + ng - 1, n + ng)],
+                                        b[_take(b, d, n + ng, n + 2 * ng)].shape)
         if lo_bc[d] != 0:
-            clamp = jnp.broadcast_to(b[_take(b, d, ng, ng + 1)],
-                                     b[_take(b, d, 0, ng)].shape)
             cur = b[_take(b, d, 0, ng)]
             b = b.at[_take(b, d, 0, ng)].set(
-                jnp.where(idx == 0, clamp, cur))
+                jnp.where(idx == 0, lo_v, cur))
         if hi_bc[d] != 0:
-            clamp = jnp.broadcast_to(b[_take(b, d, n + ng - 1, n + ng)],
-                                     b[_take(b, d, n + ng, n + 2 * ng)].shape)
             cur = b[_take(b, d, n + ng, n + 2 * ng)]
             b = b.at[_take(b, d, n + ng, n + 2 * ng)].set(
-                jnp.where(idx == m - 1, clamp, cur))
+                jnp.where(idx == m - 1, hi_v, cur))
     return b
 
 
