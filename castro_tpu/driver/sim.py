@@ -893,14 +893,14 @@ class Simulation:
 
         L = self.layout
         ctx = ctx or self._default_ctx
-        # the characteristic coupling runs for Cartesian configurations
-        # INCLUDING AMR windows, flux-register runs and SHARDED runs (the
-        # reference's rad_hydro_combined per level; under a mesh the CTU
-        # rad chain runs on halo-exchanged ghosts and the implicit solve
-        # goes through the distributed multigrid)
+        # the characteristic coupling runs for ALL geometries (the
+        # dloga trace source + area/volume consup cover 1D spherical /
+        # 2D RZ, reference Castro_ctu_rad.cpp), INCLUDING AMR windows,
+        # flux-register runs and SHARDED runs (rad_hydro_combined per
+        # level; under a mesh the CTU rad chain runs on halo-exchanged
+        # ghosts and the implicit solve through the distributed MG)
         if (self.params.radiation.hydro_coupling
                 and self.params.castro.do_hydro
-                and self.geom.coord.value == 0
                 and (L.ngroups == 1 or self.rad.nugroup is not None)):
             return self._rad_ctu_step_impl(
                 u, Er, dt, t, ctx=ctx, rad_bc=rad_bc,

@@ -65,14 +65,17 @@ def compute_ptot_ctot(lam_g, q, cg, layout, comoving=True, limiter=2,
 
 
 def trace_ppm_rad(q, qaux, srcQ, flatn, d, dt, dx_d, layout, small_dens,
-                  small_pres):
+                  small_pres, dloga=None):
     """Radiation PPM characteristic tracing (trace_ppm_rad.cpp:16-691).
 
     Same structure as `trace_ppm` but: the acoustic eigensystem acts on
     the TOTAL pressure with the total sound speed; the gas pressure
     evolves with cgas^2 minus the lambda-weighted radiation jumps; each
     group's Er rides the contact with enthalpy weight
-    h_r = (lam+1) Er / rho."""
+    h_r = (lam+1) Er / rho.  `dloga` enables the 1D/2D curvilinear
+    geometry source on the x-states (the reference's dloga block,
+    trace_ppm.cpp:567-591, compiles unchanged in RADIATION builds with
+    cc = the TOTAL sound speed)."""
     L = layout
     ax = d
     ng = L.ngroups
@@ -192,6 +195,30 @@ def trace_ppm_rad(q, qaux, srcQ, flatn, d, dt, dx_d, layout, small_dens,
     # plus state (left edge of cell i): uses Im
     qp_vals = build(Im, Im_ut, Im_utt, Im_s, Im_sut, Im_sutt, True)
     qm_vals = build(Ip, Ip_ut, Ip_utt, Ip_s, Ip_sut, Ip_sutt, False)
+
+    # 1D/2D geometry source on x-states (trace_ppm.cpp:567-591; the
+    # sourcp*csq / source/csq pair cancels, leaving sourcr*(p+rhoe)/rho
+    # — the block touches only rho / gas p / gas rhoe, as the reference
+    # does in RADIATION builds)
+    if dloga is not None and d == 0:
+        courn = dtdx * (cc + jnp.abs(un))
+        safe_dloga = jnp.where(dloga == 0.0, 1.0, dloga)
+        eta = (1.0 - courn) / (cc * dt * jnp.abs(safe_dloga))
+        dlogatmp = jnp.where(dloga == 0.0, 0.0,
+                             jnp.minimum(eta, 1.0) * dloga)
+        sourcr = -0.5 * dt * rho * dlogatmp * un
+        sourcp = sourcr * csq
+        source = sourcp * ((p + rhoe_g) / rho) / csq
+
+        def addsrc(vals):
+            (rho_v, un_v, p_v, re_v, ptot_v, reitot_v, er_v, ut_v,
+             utt_v) = vals
+            return (jnp.maximum(rho_v + sourcr, small_dens), un_v,
+                    p_v + sourcp, re_v + source, ptot_v, reitot_v,
+                    er_v, ut_v, utt_v)
+
+        qp_vals = addsrc(qp_vals)
+        qm_vals = addsrc(qm_vals)
 
     def assemble(vals, is_plus):
         (rho_v, un_v, p_v, re_v, ptot_v, reitot_v, er_v, ut_v, utt_v) = vals
@@ -610,9 +637,14 @@ def ctu_rad_hydro(u, Er, q, qaux, srcQ, dt, geom: Geometry, layout, cfg,
     rad = dict(limiter=limiter, closure=closure, fspace_t=fspace_type,
                comov=comoving)
 
+    from castro_tpu.ops.ctu import _dloga
+
+    dloga = _dloga(geom, ng)
+
     def trace(d):
         return trace_ppm_rad(q, qaux, srcQ, flatn, d, dt, dx[d], L,
-                             cfg.small_dens, cfg.small_pres)
+                             cfg.small_dens, cfg.small_pres,
+                             dloga=dloga if d == 0 else None)
 
     def solve(qm, qp, d):
         gd = riemannus_rad(qm, qp, qaux, d, L, cfg.small_dens,
