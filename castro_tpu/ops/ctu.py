@@ -182,7 +182,27 @@ def ctu_hydro(u, q, qaux, srcQ, dt, geom: Geometry, layout, cfg: HydroConfig,
                       hybrid_riemann=cfg.hybrid_riemann, shk=shk,
                       use_pallas=cfg.use_pallas)
 
-    states = [trace(d) for d in range(dim)]
+    # 3D fused fast path: trace + the 1D Riemann chained in one kernel
+    # per direction (the traced states feed their 1D solve in VMEM)
+    fused_trace1d = None
+    if (dim == 3 and cfg.use_pallas and not cfg.hybrid_riemann
+            and cfg.riemann_solver in (0, 2) and cfg.ppm_type != 0
+            and dloga is None):
+        from castro_tpu.ops.pallas_kernels import trace_ppm_pallas
+
+        flatn_arr = flatn if cfg.use_flattening else \
+            jnp.ones(grid_shape, dtype)
+        res = [trace_ppm_pallas(
+            q, qaux, srcQ, flatn_arr, d_, dt, dx[d_], L,
+            cfg.small_dens, cfg.small_pres, cfg.small_ener,
+            fuse_riemann=dict(coord=geom.coord,
+                              riemann_solver=cfg.riemann_solver,
+                              bnd_mask=masks[d_]))
+            for d_ in range(3)]
+        states = [(r[0], r[1]) for r in res]
+        fused_trace1d = [(r[2], r[3]) for r in res]
+    else:
+        states = [trace(d) for d in range(dim)]
 
     if dim == 1:
         fluxes_qe = [solve(states[0][0], states[0][1], 0)]
@@ -235,8 +255,13 @@ def ctu_hydro(u, q, qaux, srcQ, dt, geom: Geometry, layout, cfg: HydroConfig,
                     cfg.transverse_reset_density, cfg.transverse_reset_rhoe,
                     bnd_mask=masks[n], terms2=terms2)
 
-            f1d = [fused_solve(states[d][0], states[d][1], [], d)
-                   for d in range(3)]
+            if fused_trace1d is not None:
+                # the trace kernels already emitted the 1D fluxes
+                # (trace + Riemann in one VMEM pass)
+                f1d = fused_trace1d
+            else:
+                f1d = [fused_solve(states[d][0], states[d][1], [], d)
+                       for d in range(3)]
             fint = {}
             for n in range(3):
                 t1, t2 = [t for t in range(3) if t != n]

@@ -1256,15 +1256,16 @@ def consup_pallas(hsrc, flux, pg, ug, div_node, u, d, layout, difmag,
     )(*args)
 
 
-def _pencil_spec(ncomp, d, gshape, bt):
+def _pencil_spec(ncomp, d, gshape, bt, target=None):
     """BlockSpec covering the FULL axis d (the stencil direction); BOTH
     remaining axes are tiled — the sublane-adjacent axis in multiples of
     8 and the minor (lane) axis in lane-aligned chunks — sized so the
     block spatial volume stays near the 128^3-grid working point
-    (~131072 cells). Large grids otherwise spill the tracing
-    temporaries out of VMEM (measured: 55MB of register-allocator spill
-    at 192^3 with a full-minor block). Returns (spec, grid_tuple)."""
-    TARGET = 131072  # block spatial cells budget (the proven 128^3 point)
+    (~131072 cells, overridable via `target`). Large grids otherwise
+    spill the tracing temporaries out of VMEM (measured: 55MB of
+    register-allocator spill at 192^3 with a full-minor block).
+    Returns (spec, grid_tuple)."""
+    TARGET = 131072 if target is None else target
     nz = gshape[2]
     if d == 2:
         # stencil along the minor axis: z stays full, tile x and y
@@ -1303,57 +1304,100 @@ def _pencil_spec(ncomp, d, gshape, bt):
 
 
 def trace_ppm_pallas(q, qaux, srcQ, flatn, d, dt, dx_d, layout,
-                     small_dens, small_pres, small_ener, dloga=None, bt=8):
+                     small_dens, small_pres, small_ener, dloga=None, bt=8,
+                     fuse_riemann=None):
     """Fused per-direction PPM characteristic tracing (3D): the whole
     reconstruct + integrate + project chain of `trace_ppm` runs on pencil
     blocks held in VMEM — ONE HBM read of (q, qaux, flatn[, srcQ]) and one
     write of (qm, qp) per direction, instead of the many-fusion XLA chain.
-    Bitwise-identical math to `castro_tpu.ops.trace_ppm.trace_ppm`."""
+    Bitwise-identical math to `castro_tpu.ops.trace_ppm.trace_ppm`.
+
+    `fuse_riemann = dict(coord=, riemann_solver=, bnd_mask=)` chains the
+    1D Riemann + flux assembly onto the freshly traced states in the
+    SAME kernel (blocks span the full normal axis, so the left-cell
+    gamc/c gathers are exact in VMEM) and returns (qm, qp, flux, qe) —
+    the traced states never round-trip through HBM before their 1D
+    solve (round-5 profile: the separate 1D face kernels re-read
+    2NQ+4 components, ~0.45ms/step each at 120^3)."""
     from castro_tpu.ops.trace_ppm import trace_ppm
 
     assert dloga is None, "curvilinear tracing stays on the XLA path"
     L = layout
     gshape = q.shape[1:]
-    spec_q, grid = _pencil_spec(L.NQ, d, gshape, bt)
-    spec_aux, _ = _pencil_spec(qaux.shape[0], d, gshape, bt)
-    spec_1, _ = _pencil_spec(1, d, gshape, bt)
+    # NOTE on block sizing: for d in (0,1) the minimum lane-aligned
+    # pencil block is d_full x 8 x 128 = 131072 cells (the y-block must
+    # be a multiple of 8, the z-block of 128), so the fused variant
+    # keeps the standard budget and absorbs its +14 output components
+    # within the 100MB scoped-VMEM limit.
+    target = None
+    spec_q, grid = _pencil_spec(L.NQ, d, gshape, bt, target=target)
+    spec_aux, _ = _pencil_spec(qaux.shape[0], d, gshape, bt, target=target)
+    spec_1, _ = _pencil_spec(1, d, gshape, bt, target=target)
 
     with_src = srcQ is not None
+    mask = fuse_riemann.get("bnd_mask") if fuse_riemann is not None \
+        else None
+    with_mask = mask is not None
 
     def kernel(dt_ref, *refs):
         dt_s = dt_ref[0]
+        pos = 3
+        src_b = None
         if with_src:
-            q_ref, aux_ref, fl_ref, src_ref, qm_ref, qp_ref = refs
-            src_b = src_ref[...]
-        else:
-            q_ref, aux_ref, fl_ref, qm_ref, qp_ref = refs
-            src_b = None
-        qm, qp = trace_ppm(q_ref[...], aux_ref[...], src_b, fl_ref[0],
+            src_b = refs[pos][...]
+            pos += 1
+        mask_b = None
+        if with_mask:
+            mask_b = refs[pos][0]
+            pos += 1
+        qm, qp = trace_ppm(refs[0][...], refs[1][...], src_b, refs[2][0],
                            d, dt_s, dx_d, L, small_dens, small_pres,
                            small_ener, dloga=None)
-        qm_ref[...] = qm
-        qp_ref[...] = qp
+        refs[pos][...] = qm
+        refs[pos + 1][...] = qp
+        if fuse_riemann is not None:
+            g_b = refs[1][L.QGAMC]
+            c_b = refs[1][L.QC]
+            gl = _inblock_shift(g_b, -1, d)
+            cl = _inblock_shift(c_b, -1, d)
+            flux, qe = _riemann_block(
+                qm, qp, gl, g_b, cl, c_b, d, L, fuse_riemann["coord"],
+                fuse_riemann["riemann_solver"], small_dens, small_pres,
+                bnd_mask=mask_b)
+            refs[pos + 2][...] = flux
+            refs[pos + 3][...] = qe
 
     in_specs = [spec_q, spec_aux, spec_1] + ([spec_q] if with_src else [])
     args = [q, qaux, flatn[None]] + ([srcQ] if with_src else [])
-    out_shape = (
+    if with_mask:
+        in_specs.append(spec_1)
+        args.append(jnp.broadcast_to(mask, gshape)[None])
+    out_shape = [
         jax.ShapeDtypeStruct((L.NQ,) + gshape, q.dtype),
         jax.ShapeDtypeStruct((L.NQ,) + gshape, q.dtype),
-    )
+    ]
+    out_specs = [spec_q, spec_q]
+    if fuse_riemann is not None:
+        out_shape += [jax.ShapeDtypeStruct((L.NVAR,) + gshape, q.dtype),
+                      jax.ShapeDtypeStruct((L.NGDNV,) + gshape, q.dtype)]
+        out_specs += [_pencil_spec(L.NVAR, d, gshape, bt, target=target)[0],
+                      _pencil_spec(L.NGDNV, d, gshape, bt,
+                                   target=target)[0]]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=in_specs,
-        out_specs=[spec_q, spec_q],
+        out_specs=out_specs,
     )
     dt_arr = jnp.asarray(dt, q.dtype).reshape(1)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=out_shape,
+        out_shape=tuple(out_shape),
         # the tracing chain holds many live temporaries per pencil block;
         # raise the scoped-VMEM budget above the 16MB default
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=INTERPRET,
     )(dt_arr, *args)
+    return out
