@@ -204,6 +204,8 @@ def ctu_hydro(u, q, qaux, srcQ, dt, geom: Geometry, layout, cfg: HydroConfig,
     else:
         states = [trace(d) for d in range(dim)]
 
+    fused_hsrc = None  # set by the 3D fused path when consup is folded
+
     if dim == 1:
         fluxes_qe = [solve(states[0][0], states[0][1], 0)]
 
@@ -248,12 +250,13 @@ def ctu_hydro(u, q, qaux, srcQ, dt, geom: Geometry, layout, cfg: HydroConfig,
             # and the Riemann solve never round-trip through HBM
             from castro_tpu.ops.pallas_kernels import ctu_face_pallas
 
-            def fused_solve(qm_s, qp_s, terms, n, terms2=None):
+            def fused_solve(qm_s, qp_s, terms, n, terms2=None,
+                            consup=None):
                 return ctu_face_pallas(
                     qm_s, qp_s, qaux, n, terms, L, geom.coord,
                     cfg.riemann_solver, cfg.small_dens, cfg.small_pres,
                     cfg.transverse_reset_density, cfg.transverse_reset_rhoe,
-                    bnd_mask=masks[n], terms2=terms2)
+                    bnd_mask=masks[n], terms2=terms2, consup=consup)
 
             if fused_trace1d is not None:
                 # the trace kernels already emitted the 1D fluxes
@@ -275,7 +278,12 @@ def ctu_hydro(u, q, qaux, srcQ, dt, geom: Geometry, layout, cfg: HydroConfig,
                 fint[(n, t1)], fint[(n, t2)] = fused_solve(
                     states[n][0], states[n][1], [term(t1)], n,
                     terms2=[term(t2)])
+            want_consup = (
+                geom.coord == CoordSys.CARTESIAN
+                and not cfg.limit_fluxes_on_small_dens
+                and cfg.speed_limit <= 0.0)
             fluxes_qe = []
+            fused_hsrc = jnp.zeros_like(u) if want_consup else None
             for n in range(3):
                 t1, t2 = [d for d in range(3) if d != n]
                 terms = [
@@ -284,8 +292,37 @@ def ctu_hydro(u, q, qaux, srcQ, dt, geom: Geometry, layout, cfg: HydroConfig,
                     {"flux": fint[(t2, t1)][0], "qe": fint[(t2, t1)][1],
                      "t_dir": t2, "cdtdx": hdt / dx[t2]},
                 ]
-                fluxes_qe.append(fused_solve(states[n][0], states[n][1],
-                                             terms, n))
+                if not want_consup:
+                    fluxes_qe.append(fused_solve(
+                        states[n][0], states[n][1], terms, n))
+                    continue
+                # fold direction n's consup pass (av + species normalize
+                # + flux divergence + pdivu, hsrc accumulated via buffer
+                # aliasing) onto the final solve — the flux/qe never
+                # round-trip through HBM before their conservative
+                # update. Dims whose block layout cannot host the fold
+                # (chunked z) run the standalone consup kernel in the
+                # same 0,1,2 accumulation order.
+                from castro_tpu.ops.pallas_kernels import (
+                    consup_pallas, face_consup_fusable)
+
+                fin = fold_update_dt if n == 2 else None
+                if face_consup_fusable(L, grid_shape, n, qaux.shape[0],
+                                       masks[n] is not None, q.dtype):
+                    fq, fused_hsrc = fused_solve(
+                        states[n][0], states[n][1], terms, n,
+                        consup=dict(hsrc=fused_hsrc, div_node=div_node,
+                                    u=u, difmag=cfg.difmag, dx=dx,
+                                    finalize_dt=fin))
+                    fluxes_qe.append(fq)
+                else:
+                    fq = fused_solve(states[n][0], states[n][1], terms, n)
+                    gdu = fq[1][(L.GDU, L.GDV, L.GDW)[n]]
+                    fused_hsrc, fl = consup_pallas(
+                        fused_hsrc, fq[0], fq[1][L.GDPRES], gdu,
+                        div_node, u, n, L, cfg.difmag, dx,
+                        finalize_dt=fin)
+                    fluxes_qe.append((fl, fq[1]))
         else:
             f1d = [solve(states[d][0], states[d][1], d) for d in range(3)]
             # corner-coupled states q{n}|{t}
@@ -356,17 +393,22 @@ def ctu_hydro(u, q, qaux, srcQ, dt, geom: Geometry, layout, cfg: HydroConfig,
         and not cfg.limit_fluxes_on_small_dens and cfg.speed_limit <= 0.0)
     if use_fused_consup:
         # av + species normalize + flux divergence + pdivu per direction,
-        # accumulated into hsrc via buffer aliasing (one VMEM pass per dim);
-        # with fold_update_dt the final pass emits u + dt*hsrc directly
-        from castro_tpu.ops.pallas_kernels import consup_pallas
+        # accumulated into hsrc via buffer aliasing (one VMEM pass per
+        # dim); with fold_update_dt the final pass emits u + dt*hsrc
+        # directly. The fused-face path already folded consup onto the
+        # final solves (fused_hsrc) — fluxes there are final too.
+        if fused_hsrc is not None:
+            hsrc = fused_hsrc
+        else:
+            from castro_tpu.ops.pallas_kernels import consup_pallas
 
-        hsrc = jnp.zeros_like(u)
-        for d in range(dim):
-            gdu = qes[d][(L.GDU, L.GDV, L.GDW)[d]]
-            fin = fold_update_dt if d == dim - 1 else None
-            hsrc, fluxes[d] = consup_pallas(
-                hsrc, fluxes[d], qes[d][L.GDPRES], gdu, div_node, u, d, L,
-                cfg.difmag, dx, finalize_dt=fin)
+            hsrc = jnp.zeros_like(u)
+            for d in range(dim):
+                gdu = qes[d][(L.GDU, L.GDV, L.GDW)[d]]
+                fin = fold_update_dt if d == dim - 1 else None
+                hsrc, fluxes[d] = consup_pallas(
+                    hsrc, fluxes[d], qes[d][L.GDPRES], gdu, div_node, u,
+                    d, L, cfg.difmag, dx, finalize_dt=fin)
         if fold_update_dt is None:
             hsrc = hsrc.at[L.UTEMP].set(0.0)
             if cfg.use_shock_var and shk is not None:

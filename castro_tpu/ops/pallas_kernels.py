@@ -353,9 +353,49 @@ def _inblock_shift(a, off, axis):
     return shifted(a, off, axis)
 
 
+_FACE_BUDGET = 45 * 1024 * 1024
+
+
+def _face_sizing(L, gshape, d, naux, with_mask, nterms_tot, n_stages,
+                 with_consup, itemsize):
+    """Shared block-layout decision for the fused face stage: returns
+    (tile_axis, zc, ncomp_wc). zc != gshape[2] means z is chunked (and
+    tdir==2 in-kernel shifts are unavailable)."""
+    in_block = {2, d}
+    tile_axis = next(a for a in (0, 1) if a not in in_block)
+    nz = gshape[2]
+    ncomp_wc = (2 * L.NQ + naux
+                + (1 if with_mask else 0)
+                + nterms_tot * (2 * L.NVAR + 4)
+                + n_stages * (L.NVAR + L.NGDNV)
+                + (3 * L.NVAR + 2 if with_consup else 0))
+    bt_floor = 8 if tile_axis == 1 else 1
+    zc = nz
+    if d != 2 and (ncomp_wc * gshape[d] * bt_floor * nz * itemsize
+                   > _FACE_BUDGET):
+        for cand in (256, 128, 64, 32):
+            if nz % cand == 0 and (ncomp_wc * gshape[d] * bt_floor * cand
+                                   * itemsize) <= _FACE_BUDGET:
+                zc = cand
+                break
+        else:
+            zc = nz  # no aligned chunk fits: let the bt clamp handle it
+    return tile_axis, zc, ncomp_wc
+
+
+def face_consup_fusable(layout, gshape, d, naux, with_mask, dtype):
+    """True when the FINAL face stage for normal d can fold its consup
+    pass in-kernel (unchunked-z block layout)."""
+    itemsize = jnp.dtype(dtype).itemsize
+    _, zc, _ = _face_sizing(layout, gshape, d, naux, with_mask, 2, 1,
+                            True, itemsize)
+    return zc == gshape[2]
+
+
 def ctu_face_pallas(qm, qp, qaux, d, terms, layout, coord, riemann_solver,
                     small_dens, small_pres, reset_density, reset_rhoe,
-                    dt_terms=None, bnd_mask=None, tile=None, terms2=None):
+                    dt_terms=None, bnd_mask=None, tile=None, terms2=None,
+                    consup=None):
     """One fused CTU face stage: [transverse bundle +] trans-apply +
     Riemann + flux assembly in a single VMEM pass.
 
@@ -379,6 +419,16 @@ def ctu_face_pallas(qm, qp, qaux, d, terms, layout, coord, riemann_solver,
     qm/qp/qaux — one HBM read instead of two): returns
     ((flux1, qe1), (flux2, qe2)).
 
+    `consup = dict(hsrc=, div_node=, u=, difmag=, dx=, finalize_dt=)`
+    (single-stage final calls only, Cartesian) folds this direction's
+    ENTIRE consup pass — artificial viscosity, species-flux
+    normalization, flux divergence, p div(u) — onto the freshly solved
+    flux in the same kernel: the flux/qe never round-trip through HBM
+    before their conservative update. hsrc is accumulated via buffer
+    aliasing across the per-dim calls; finalize_dt on the last dim
+    emits u + dt*hsrc directly. Returns (flux', qe, hsrc'). Requires
+    the unchunked-z block layout (zc == nz).
+
     Reference behavior: trans.cpp:15/442 + cmpflx_plus_godunov
     (riemann.cpp:16) chained, as orchestrated by Castro_ctu_hydro.cpp.
     """
@@ -394,35 +444,32 @@ def ctu_face_pallas(qm, qp, qaux, d, terms, layout, coord, riemann_solver,
     # terms are demoted to pre-shifted inputs (no in-kernel z shifts).
     import numpy as _np
 
-    BUDGET = 45 * 1024 * 1024
-    in_block = {2, d}
-    tile_axis = next(a for a in (0, 1) if a not in in_block)
     nz = gshape[2]
     n_stages = 2 if terms2 is not None else 1
     nterms_tot = len(terms) + (len(terms2) if terms2 is not None else 0)
-    ncomp_wc = (2 * L.NQ + qaux.shape[0]
-                + (1 if bnd_mask is not None else 0)
-                + nterms_tot * (2 * L.NVAR + 4)
-                + n_stages * (L.NVAR + L.NGDNV))
     itemsize = jnp.dtype(qm.dtype).itemsize
+    tile_axis, zc, ncomp_wc = _face_sizing(
+        L, gshape, d, qaux.shape[0], bnd_mask is not None, nterms_tot,
+        n_stages, consup is not None, itemsize)
     bt_floor = 8 if tile_axis == 1 else 1
-    zc = nz
-    if d != 2 and (ncomp_wc * gshape[d] * bt_floor * nz * itemsize
-                   > BUDGET):
-        in_block = {d}
-        for cand in (256, 128, 64, 32):
-            if nz % cand == 0 and (ncomp_wc * gshape[d] * bt_floor * cand
-                                   * itemsize) <= BUDGET:
-                zc = cand
-                break
-        else:
-            zc = nz  # no aligned chunk fits: let the bt clamp handle it
     # the axes the block FULLY spans (in-VMEM shifts are exact there):
     # everything but the tile axis, minus z when chunked. For d == 2
     # this adds y (blocks span it fully), which the {2, d} seed missed.
     in_block = {0, 1, 2} - {tile_axis}
     if zc != nz:
         in_block.discard(2)
+    consup_requested = consup is not None
+    if consup is not None:
+        assert terms2 is None, "consup folds single-stage finals only"
+        if zc != nz:
+            # chunked-z layout (large d!=2 grids): the div node-average
+            # would need a second neighbor axis — degrade to the plain
+            # final stage; the caller runs consup_pallas separately
+            consup = None
+    if consup is not None:
+        # the in-block transverse axis of d (div node-average partner)
+        ib_trans = [a for a in range(3) if a not in (d, tile_axis)][0]
+        dxd = float(consup["dx"][d])
 
     # prepare term inputs
     term_arrays = []   # flat list of input arrays
@@ -486,11 +533,12 @@ def ctu_face_pallas(qm, qp, qaux, d, terms, layout, coord, riemann_solver,
     ncomp_total = (2 * L.NQ + qaux.shape[0]
                    + (1 if bnd_mask is not None else 0)
                    + sum(nc for nc, _ in term_specs)
-                   + n_stages * (L.NVAR + L.NGDNV))
+                   + n_stages * (L.NVAR + L.NGDNV)
+                   + (3 * L.NVAR + 2 if consup is not None else 0))
     per_bt_cells = (gshape[d] * zc if zc != nz
                     else int(_np.prod(gshape)) // nt)
     per_bt = ncomp_total * per_bt_cells * itemsize
-    bt_max = max(1, BUDGET // per_bt)
+    bt_max = max(1, _FACE_BUDGET // per_bt)
     if bt > bt_max:
         step = 8 if tile_axis == 1 else 1
         cand = max(step, (bt_max // step) * step)
@@ -543,6 +591,18 @@ def ctu_face_pallas(qm, qp, qaux, d, terms, layout, coord, riemann_solver,
             mask = refs[pos][0]
             pos += 1
 
+        def nbr_shift(cur, nxt, a, ga):
+            """+1 shift along block axis `a` across the tile boundary:
+            own rows 1.. + the neighbor tile's row 0 (edge-clamped at
+            the last tile along grid axis `ga`)."""
+            nloc = cur.shape[a]
+            core = lax.slice_in_dim(cur, 1, nloc, axis=a)
+            head = lax.slice_in_dim(nxt, 0, 1, axis=a)
+            clamp = lax.slice_in_dim(cur, nloc - 1, nloc, axis=a)
+            last = pl.program_id(ga) == pl.num_programs(ga) - 1
+            tail = jnp.where(last, clamp, head)
+            return jnp.concatenate([core, tail], axis=a)
+
         def apply_terms(meta, pos, kbase):
             # transverse bundles at cell offset 0 (p-state); m = n-shift
             df = jnp.zeros((L.NVAR,) + qm_b.shape[1:], qm_b.dtype)
@@ -560,28 +620,16 @@ def ctu_face_pallas(qm, qp, qaux, d, terms, layout, coord, riemann_solver,
                     pghi = _inblock_shift(pg, 1, ax - 1)
                     ughi = _inblock_shift(ug, 1, ax - 1)
                 else:
-                    # +1 along t across the tile boundary: own rows 1..
-                    # + the neighbor tile's row 0 (edge-clamped at the
-                    # last tile, matching global `stencil.shifted`)
+                    # +1 along t across the tile boundary (neighbor-tile
+                    # BlockSpec, matching global `stencil.shifted`)
                     ga = 0 if tdir == tile_axis else 1
                     ax = 1 + tdir
-                    is_last = pl.program_id(ga) == pl.num_programs(ga) - 1
-
-                    def nbr_shift(cur, nxt, a):
-                        nloc = cur.shape[a]
-                        core = lax.slice_in_dim(cur, 1, nloc, axis=a)
-                        head = lax.slice_in_dim(nxt, 0, 1, axis=a)
-                        clamp = lax.slice_in_dim(cur, nloc - 1, nloc,
-                                                 axis=a)
-                        tail = jnp.where(is_last, clamp, head)
-                        return jnp.concatenate([core, tail], axis=a)
-
                     F = refs[pos][...]
-                    Fhi = nbr_shift(F, refs[pos + 1][...], ax)
+                    Fhi = nbr_shift(F, refs[pos + 1][...], ax, ga)
                     pg = refs[pos + 2][0]
-                    pghi = nbr_shift(pg, refs[pos + 3][0], ax - 1)
+                    pghi = nbr_shift(pg, refs[pos + 3][0], ax - 1, ga)
                     ug = refs[pos + 4][0]
-                    ughi = nbr_shift(ug, refs[pos + 5][0], ax - 1)
+                    ughi = nbr_shift(ug, refs[pos + 5][0], ax - 1, ga)
                     pos += 6
                 df = df + cdtdx * (Fhi - F)
                 du = ughi - ug
@@ -619,6 +667,47 @@ def ctu_face_pallas(qm, qp, qaux, d, terms, layout, coord, riemann_solver,
             refs[pos + 1][...] = qgdnv
             refs[pos + 2][...] = flux2
             refs[pos + 3][...] = qgdnv2
+        elif consup is not None:
+            # fold this direction's consup pass onto the fresh solution
+            # (math identical to consup_pallas, pg/ug taken from the
+            # just-computed Godunov state instead of re-read from HBM)
+            hs_b = refs[pos][...]
+            dv = refs[pos + 1][0]
+            dvn = refs[pos + 2][0]
+            ub = refs[pos + 3][...]
+            dvs = nbr_shift(dv, dvn, tile_axis, 0)
+            a1 = 0.5 * (dv + dvs)
+            div1 = 0.5 * (a1 + _inblock_shift(a1, 1, ib_trans))
+            coeff = consup["difmag"] * jnp.minimum(div1, 0.0) * dxd
+            du = ub - _inblock_shift(ub, -1, 1 + d)
+            av = coeff[None] * du
+            skip = [L.UTEMP] + ([L.USHK] if L.shock_var else [])
+            comps = [flux[c] if c in skip else flux[c] + av[c]
+                     for c in range(L.NVAR)]
+            if L.nspec > 0:
+                sumn = comps[L.UFS]
+                for c in range(L.UFS + 1, L.UFS + L.nspec):
+                    sumn = sumn + comps[c]
+                fac = jnp.where(
+                    sumn != 0.0,
+                    comps[L.URHO] / jnp.where(sumn == 0.0, 1.0, sumn),
+                    1.0)
+                for c in range(L.UFS, L.UFS + L.nspec):
+                    comps[c] = comps[c] * fac
+            flc = jnp.stack(comps)
+            contrib = -(_inblock_shift(flc, 1, 1 + d) - flc) * (1.0 / dxd)
+            pgb = qgdnv[L.GDPRES]
+            ugb = qgdnv[(L.GDU, L.GDV, L.GDW)[d]]
+            pdivu = 0.5 * (_inblock_shift(pgb, 1, d) + pgb) * (
+                _inblock_shift(ugb, 1, d) - ugb) * (1.0 / dxd)
+            rows = [contrib[c] - pdivu if c == L.UEINT else contrib[c]
+                    for c in range(L.NVAR)]
+            htot = hs_b + jnp.stack(rows)
+            if with_fin:
+                htot = ub + cdt_ref[n_cdt] * htot
+            refs[pos + 4][...] = flc
+            refs[pos + 5][...] = qgdnv
+            refs[pos + 6][...] = htot
         else:
             refs[pos][...] = flux
             refs[pos + 1][...] = qgdnv
@@ -631,28 +720,48 @@ def ctu_face_pallas(qm, qp, qaux, d, terms, layout, coord, riemann_solver,
     in_specs += [bs(nc, nbr) for nc, nbr in term_specs]
     args += term_arrays
 
-    n_out = 2 if terms2 is None else 4
-    out_shape = tuple(
-        jax.ShapeDtypeStruct(
-            ((L.NVAR if i % 2 == 0 else L.NGDNV),) + gshape, qm.dtype)
-        for i in range(n_out))
-    cdt_arr = (jnp.stack([jnp.asarray(v, qm.dtype) for v in cdtdx_vals])
-               if cdtdx_vals else jnp.zeros((1,), qm.dtype))
+    aliases = {}
+    if consup is not None:
+        # hsrc (aliased in/out), div (identity + neighbor tile), u
+        hsrc_idx = 1 + len(args)  # +1: the scalar-prefetch cdt vector
+        in_specs += [bs(L.NVAR), bs(1), bs(1, 0), bs(L.NVAR)]
+        dvn = consup["div_node"][None]
+        args += [consup["hsrc"], dvn, dvn, consup["u"]]
+        aliases = {hsrc_idx: 2}
+        ncomps_out = (L.NVAR, L.NGDNV, L.NVAR)
+    elif terms2 is not None:
+        ncomps_out = (L.NVAR, L.NGDNV, L.NVAR, L.NGDNV)
+    else:
+        ncomps_out = (L.NVAR, L.NGDNV)
+    out_shape = tuple(jax.ShapeDtypeStruct((nc,) + gshape, qm.dtype)
+                      for nc in ncomps_out)
+    n_cdt = len(cdtdx_vals)
+    fin = consup.get("finalize_dt") if consup is not None else None
+    with_fin = fin is not None
+    cdt_list = [jnp.asarray(v, qm.dtype) for v in cdtdx_vals]
+    if with_fin:
+        cdt_list.append(jnp.asarray(fin, qm.dtype))
+    cdt_arr = (jnp.stack(cdt_list) if cdt_list
+               else jnp.zeros((1,), qm.dtype))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=in_specs,
-        out_specs=[bs(L.NVAR) if i % 2 == 0 else bs(L.NGDNV)
-                   for i in range(n_out)],
+        out_specs=[bs(nc) for nc in ncomps_out],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=INTERPRET,
     )(cdt_arr, *args)
+    if consup is not None:
+        return (out[0], out[1]), out[2]
+    if consup_requested:
+        return (out[0], out[1]), None  # degraded: caller runs consup
     if terms2 is not None:
         return (out[0], out[1]), (out[2], out[3])
     return out[0], out[1]
