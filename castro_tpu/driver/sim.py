@@ -368,9 +368,11 @@ class Simulation:
 
             Ti = self.u[(self.layout.UTEMP,) + interior_slice(self.ng, self.layout.dim)[1:]]
             if self.layout.ngroups > 1 and self.rad.nugroup is not None:
-                # split aT^4 over groups by Planck weight
-                self.u_rad = self.rad.planck_weights(Ti) * \
-                    (C.a_rad * Ti**4)[None]
+                # split aT^4 over groups by Planck weight (cast: the
+                # group structure is f64 under x64 and must not promote
+                # an f32 run's radiation state)
+                self.u_rad = (self.rad.planck_weights(Ti) *
+                              (C.a_rad * Ti**4)[None]).astype(u.dtype)
             else:
                 self.u_rad = C.a_rad * Ti**4
         return self.u

@@ -52,10 +52,13 @@ def ctoprim(u, layout, eos, small_dens=1e-200, small_temp=1e-200,
     if L.radiation and Er is not None:
         from castro_tpu.ops.rad_hydro import compute_ptot_ctot
 
-        q = q.at[L.QRAD:L.QRAD + L.ngroups].set(Er)
+        # cast: a problem may hand in f64 Er/lam (x64-built spectra) in
+        # an f32 run — scatter would reject the unsafe cast
+        q = q.at[L.QRAD:L.QRAD + L.ngroups].set(Er.astype(q.dtype))
         qaux = qaux.at[L.QGAMCG].set(es.gam1)
         qaux = qaux.at[L.QCG].set(es.cs)
-        qaux = qaux.at[L.QLAMS:L.QLAMS + L.ngroups].set(lam)
+        qaux = qaux.at[L.QLAMS:L.QLAMS + L.ngroups].set(
+            lam.astype(qaux.dtype))
         lam_list = [lam[g] for g in range(L.ngroups)]
         ptot, ctot, gamc_tot = compute_ptot_ctot(
             lam_list, q, es.cs, L, comoving=True, limiter=rad_limiter,

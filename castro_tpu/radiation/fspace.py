@@ -82,6 +82,13 @@ def _mc(r):
                                                     0.5 * (1.0 + r)), 2.0))
 
 
+def _tiny(dtype):
+    """The reference's 1e-50 ratio guard, clamped to the smallest normal
+    of the working dtype: in f32 a literal 1e-50 flushes to zero and the
+    0/0 ratios NaN (found by the f32 multigroup rad-CTU test)."""
+    return max(_TINY, float(jnp.finfo(dtype).tiny))
+
+
 def _extend(u, a):
     """Ghost groups on each end of the group axis (reference
     RadHydro.H:113-130): the speed is reflected with a sign flip (so the
@@ -101,24 +108,25 @@ def dudt_fspace(u, a, dlognu):
     U, A = _extend(u, a)
     dU = U[1:] - U[:-1]
     dA = A[1:] - A[:-1]
+    eps = _tiny(u.dtype)
 
     # interior interfaces i = 1..n-1; ext index of group g is g+2
-    rl_u = dU[1:n] / (dU[2:n + 1] + _TINY)
+    rl_u = dU[1:n] / (dU[2:n + 1] + eps)
     ul = U[2:n + 1] + 0.5 * dU[2:n + 1] * _mc(rl_u)
-    rl_a = dA[1:n] / (dA[2:n + 1] + _TINY)
+    rl_a = dA[1:n] / (dA[2:n + 1] + eps)
     al = A[2:n + 1] + 0.5 * dA[2:n + 1] * _mc(rl_a)
     fl = al * ul
 
-    rr_u = dU[2:n + 1] / (dU[3:n + 2] + _TINY)
+    rr_u = dU[2:n + 1] / (dU[3:n + 2] + eps)
     ur = U[3:n + 2] - 0.5 * dU[3:n + 2] * _mc(rr_u)
-    rr_a = dA[2:n + 1] / (dA[3:n + 2] + _TINY)
+    rr_a = dA[2:n + 1] / (dA[3:n + 2] + eps)
     ar = A[3:n + 2] - 0.5 * dA[3:n + 2] * _mc(rr_a)
     fr = ar * ur
 
     a_plus = jnp.maximum(jnp.maximum(al, ar), 0.0)
     a_minus = jnp.maximum(jnp.maximum(-al, -ar), 0.0)
     f_int = (a_plus * fl + a_minus * fr - a_plus * a_minus * (ur - ul)) / (
-        a_plus + a_minus + _TINY)
+        a_plus + a_minus + eps)
 
     zero = jnp.zeros_like(u[0:1])
     f = jnp.concatenate([zero, f_int, zero], axis=0)  # [ng+1, ...]
@@ -134,7 +142,7 @@ def update_one_species(u, a, dlognu, tend):
     nstep_max)."""
     n = u.shape[0]
     dl = dlognu.reshape((n,) + (1,) * (u.ndim - 1))
-    acfl = _TINY + jnp.abs(a)
+    acfl = _tiny(u.dtype) + jnp.abs(a)
     dt_cfl = jnp.min(dl / acfl * CFL_FSPACE, axis=0)  # [*spatial]
     nstep = jnp.where(dt_cfl >= tend, 1,
                       jnp.ceil(tend / dt_cfl).astype(jnp.int32))
@@ -166,6 +174,12 @@ def advect_in_fspace(Er, af, nugroup, dlognu, dt, fspace_type=1):
     if n <= 1:
         return Er, jnp.int32(1)
     shape = (n,) + (1,) * (Er.ndim - 1)
+    # run in the INPUT precision: the f64 group structure (built under
+    # x64) must not promote an f32 production run's spectrum
+    dtype = Er.dtype
+    dlognu = jnp.asarray(dlognu, dtype)
+    nugroup = jnp.asarray(nugroup, dtype)
+    af = jnp.asarray(af, dtype)
     if fspace_type == 1:
         erscale = dlognu.reshape(shape)
     else:

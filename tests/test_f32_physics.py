@@ -292,3 +292,62 @@ def test_mhd_amr_f32_finite_divb():
     eps = np.finfo(np.float32).eps
     assert _divb_max(amr, 0) < 300 * eps * scale
     assert _divb_max(amr, 1) < 300 * eps * scale
+
+
+def test_fspace_advection_f32_no_tiny_flush():
+    """f32 regression for the _TINY=1e-50 flush-to-zero NaN: the
+    log-frequency advection of an f32 spectrum must stay finite and in
+    f32 (no silent promotion through the f64 group structure), and the
+    zero-speed advection must be exact."""
+    import jax.numpy as jnp
+    from castro_tpu.radiation.fspace import advect_in_fspace, group_structure
+
+    gs = group_structure(4, 1e14, 1e18)
+    Er = jnp.full((4, 8), 1e-31, jnp.float32)
+    af = jnp.zeros((4, 8), jnp.float32)
+    out, _ = advect_in_fspace(Er, af, gs["nugroup"], gs["dlognu"], 2e-7, 1)
+    assert out.dtype == jnp.float32
+    assert np.isfinite(np.asarray(out)).all()
+    # the erscale round trip costs an ulp
+    np.testing.assert_allclose(np.asarray(out), np.asarray(Er), rtol=2e-7)
+    # nonzero speeds: finite and photon-conservative to f32 round-off
+    af = jnp.full((4, 8), 0.3, jnp.float32)
+    out, _ = advect_in_fspace(Er, af, gs["nugroup"], gs["dlognu"], 1e-2, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_multigroup_rad_ctu_f32_finite():
+    """f32 regression for the multigroup characteristic rad-CTU step
+    (production dtype): previously the f64 group structure promoted
+    u_rad, the ctoprim scatter mixed dtypes, and the f-space advection
+    NaN'd via the flushed 1e-50 guard."""
+    import jax.numpy as jnp
+    from castro_tpu.config import Params
+    from castro_tpu.driver.sim import Simulation
+    from castro_tpu.problems.util import fill_from_prim
+
+    p = Params()
+    p = p.with_ns("amr", n_cell=(16, 16))
+    p = p.with_ns("geometry", prob_lo=(0.0,) * 3, prob_hi=(1.0,) * 3)
+    p = p.with_ns("castro", do_radiation=1, do_hydro=1,
+                  lo_bc=(0, 0), hi_bc=(0, 0))
+    p = p.with_ns("radiation", ngroups=4, const_kappa_p=1e-6,
+                  const_kappa_r=50.0, limiter=0,
+                  lowest_group_hz=1e14, highest_group_hz=1e18)
+    p = p.with_ns("tpu", dtype="float32")
+
+    def init(sim, u):
+        r = sim.geom.radius(sim.ng, center=(0.5, 0.5))
+        T = 0.1 + 1.0 * jnp.exp(-(r / 0.12) ** 2)
+        return fill_from_prim(sim, u, 1.0, (0.0, 0.0, 0.0), T=T)
+
+    sim = Simulation(p, problem_init=init)
+    sim.init_data()
+    assert sim.u_rad.dtype == jnp.float32
+    u, Er = sim.u, sim.u_rad
+    for i in range(2):
+        u, Er, mr, bad = sim._jit_rad_step(u, Er, 2e-7, i * 2e-7)
+        assert not bool(bad)
+    assert Er.dtype == jnp.float32
+    assert np.isfinite(np.asarray(Er)).all()
+    assert float(np.asarray(Er).max()) > 0.0
