@@ -125,8 +125,11 @@ def inelastic_scatter(T, u, ks, dt, nugroup, xnu, dlognu):
     dl = 1.0 / dli
     n0 = jnp.sum(u * dl, axis=0)
     n1 = jnp.sum(u_new * dl, axis=0)
-    tiny = jnp.asarray(1e-300 if dtype == jnp.float64 else 1e-30, dtype)
-    return u_new * (n0 / jnp.maximum(n1, tiny))[None]
+    # skip zones whose photon number is zero/subnormal instead of
+    # flooring the denominator: an absolute floor scales cold dim zones
+    # by ~n0/floor and flushes their spectrum to zero in f32
+    ratio = jnp.where(n1 > 0.0, n0 / jnp.where(n1 > 0.0, n1, 1.0), 1.0)
+    return u_new * ratio[None]
 
 
 def apply_inelastic_scattering(Er_g, T, ks, dt, nugroup, xnu, dlognu):

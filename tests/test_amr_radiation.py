@@ -218,3 +218,29 @@ def test_amr_rad_characteristic_coupling_with_hydro():
     assert np.isfinite(np.asarray(amr.interior(0))).all()
     assert np.abs(a - b).max() / scale < 0.03, \
         np.abs(a - b).max() / scale
+
+
+def test_amr_rad_multigroup_compton_composes():
+    """Compton inelastic scattering composes with multigroup AMR
+    radiation: each level's step applies the LLPS85 exchange after its
+    implicit solve (Radiation::inelastic_scattering per level), the
+    hierarchy stays finite/positive, and the group spectrum actually
+    redistributes on both levels."""
+    p = _mk_mg(32, max_level=1).with_ns(
+        "radiation", do_inelastic_scattering=1, const_kappa_r=5.0)
+    amr = AmrSimulation(p, problem_init=_init)
+    amr.init_data()
+    frac0 = []
+    for l in range(2):
+        er = np.asarray(amr.u_rad[l])
+        frac0.append(er.sum(axis=tuple(range(1, er.ndim))) / er.sum())
+    for _ in range(3):
+        amr.advance(2e-7)
+    for l in range(2):
+        er = np.asarray(amr.u_rad[l])
+        assert np.isfinite(er).all()
+        assert er.min() >= 0.0
+        frac1 = er.sum(axis=tuple(range(1, er.ndim))) / er.sum()
+        assert not np.allclose(frac1, frac0[l], rtol=1e-8), l
+    assert np.isfinite(np.asarray(amr.interior(0))).all()
+    assert np.isfinite(np.asarray(amr.interior(1))).all()

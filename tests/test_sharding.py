@@ -305,7 +305,8 @@ def test_sharded_multigroup_rad_ctu_matches_single_device():
                   lo_bc=(0, 0), hi_bc=(0, 0))
     p = p.with_ns("radiation", ngroups=4, const_kappa_p=1e-6,
                   const_kappa_r=50.0, limiter=0,
-                  lowest_group_hz=1e14, highest_group_hz=1e18)
+                  lowest_group_hz=1e14, highest_group_hz=1e18,
+                  do_inelastic_scattering=1)  # Compton under the mesh too
     p = p.with_ns("tpu", mesh_axes=("mx", "my", "mz"))
 
     def init(sim, u):
