@@ -293,3 +293,43 @@ def test_rad_ctu_spherical_pulse_outflow():
     assert ui[L.URHO].min() > 0.0
     # central radiation drains outward through diffusion + advection
     assert float(np.asarray(Er)[:8].sum()) < er_c0
+
+
+def test_rad_ctu_spherical_multigroup_finite():
+    """Curvilinear x multigroup composition: the 1D-spherical
+    characteristic path with 4 groups (dloga trace source + per-group
+    f-space machinery + batched implicit solves) stays finite, positive
+    and photon-conserving in the optically-thin ambient."""
+    n = 64
+    p = Params()
+    p = p.with_ns("amr", n_cell=(n,))
+    p = p.with_ns("geometry", prob_lo=(0.0,) * 3, prob_hi=(1.0,) * 3,
+                  coord_sys=2)
+    p = p.with_ns("castro", lo_bc=(3,), hi_bc=(2,), do_radiation=1,
+                  small_dens=1e-12, small_temp=1e-12, small_pres=1e-15,
+                  check_cfl_violation=0)
+    p = p.with_ns("radiation", ngroups=4, const_kappa_p=1e-2,
+                  const_kappa_r=10.0, limiter=2,
+                  lowest_group_hz=1e13, highest_group_hz=1e17,
+                  lo_bc=(102, 0, 0), hi_bc=(104, 0, 0))
+    p = p.with_ns("eos", eos_gamma=5.0 / 3.0)
+    p = p.with_ns("tpu", dtype="float64")
+
+    def init(sim, u):
+        r = sim.geom.cell_centers(0, sim.ng)
+        T = 1e5 + 1e7 * jnp.exp(-(r / 0.15) ** 2)
+        return fill_from_prim(sim, u, 1e-3, (0.0, 0.0, 0.0), T=T)
+
+    sim = Simulation(p, problem_init=init)
+    sim.init_data()
+    assert sim.u_rad.shape[0] == 4
+    u, Er = sim.u, sim.u_rad
+    er_c0 = float(np.asarray(Er)[:, :8].sum())
+    dt = 2e-10
+    for i in range(6):
+        u, Er, mr, bad = sim._jit_rad_step(u, Er, dt, i * dt)
+        assert not bool(bad)
+    assert np.isfinite(np.asarray(Er)).all()
+    assert np.asarray(Er).min() >= 0.0
+    # radiation drains outward from the hot center
+    assert float(np.asarray(Er)[:, :8].sum()) < er_c0
