@@ -852,23 +852,51 @@ class AmrSimulation:
         register carries the composite-solve flux mismatch alone. The
         corrected phi feeds the window Dirichlet BCs (both levels'
         subsequent solves see the correction through them); the residual
-        diagnostic is exposed as `self.phi_sync_resid`."""
+        diagnostic is exposed as `self.phi_sync_resid`.
+
+        Measured note (round 5): the post-sync register sits at the
+        floor set by the linear interpolation order of the window
+        Dirichlet data — iterating this pass as a two-level Richardson
+        cycle (with or without slaving covered coarse cells to
+        restrict(phi_f)) does NOT contract (growth ~1.09x/iter plain,
+        ~6x/iter slaved, measured on the test blob), because the plain
+        coarse inverse is not a preconditioner for the composite
+        interface coupling. Driving the register to solver zero the way
+        AMReX MLMG does requires C/F flux-matched interface stencils
+        inside the multigrid operator itself (see ROADMAP.md)."""
         phi_c = self._solve_phi(l, u_l)
         if l != 0 or l + 1 > self.max_level:
             return phi_c
         lev = self._get_level(l + 1, self.window[l + 1][1])
         if lev.jit_phi is None:
             return phi_c
-        dim = self.dim
+        import math as _m
+
+        from castro_tpu.utils import constants as _C
+
         ng = self.ng
-        sim = self._sims_at(l)
+        L = self.sim0.layout
+        rho_f = self.u[l + 1][(L.URHO,) + interior_slice(ng, self.dim)[1:]]
+        ilo = jnp.asarray(self.window[l + 1][0])
         # fine window level solve against the uncorrected coarse phi
         bc = self._window_face_bc(l + 1, phi_c)
-        L = self.sim0.layout
-        rho_f = self.u[l + 1][(L.URHO,) + interior_slice(ng, dim)[1:]]
-        ilo = jnp.asarray(self.window[l + 1][0])
         phi_f = lev.jit_phi(rho_f, ilo, bc)
+        rhs = self._phi_flux_register(l, phi_c, phi_f)
+        self.phi_sync_resid = float(jnp.abs(rhs).max())
+        # delta solve: reuse the level Poisson machinery with the
+        # equivalent delta-density rhs/(4 pi G) (multipole BCs of the
+        # delta density = the reference's fill_multipole_BCs on rhs)
+        dphi = self._jit_phi0(rhs / (4.0 * _m.pi * _C.Gconst))
+        return phi_c + dphi
 
+    def _phi_flux_register(self, l, phi_c, phi_f):
+        """Grad-phi coarse-fine flux register for the sync/FAC solves:
+        rhs = div-mismatch of (grad phi_fine - grad phi_crse) localized
+        at the level-(l+1) window interface, in the hydro-reflux sign
+        convention (CrseInit(-grad_phi_crse) + FineAdd(grad_phi_fine) ->
+        Reflux; reference `Castro.cpp:2727-2760`)."""
+        dim = self.dim
+        sim = self._sims_at(l)
         # grad-phi flux register: D = -div(grad phi_fine - grad phi_crse)
         # localized at the interface (the hydro-reflux sign convention,
         # CrseInit(-grad_phi_crse) + FineAdd(grad_phi_fine) -> Reflux)
@@ -919,17 +947,7 @@ class AmrSimulation:
             sl_lo[d] = slice(0, -1)
             win = win + gain_r[tuple(sl_lo)] / dx_c
             win = win - lose_l[tuple(sl_hi)] / dx_c
-        rhs = rhs.at[csl].set(win)
-
-        import math as _m
-
-        from castro_tpu.utils import constants as _C
-        # delta solve: reuse the level Poisson machinery with the
-        # equivalent delta-density rhs/(4 pi G) (multipole BCs of the
-        # delta density = the reference's fill_multipole_BCs on rhs)
-        dphi = self._jit_phi0(rhs / (4.0 * _m.pi * _C.Gconst))
-        self.phi_sync_resid = float(jnp.abs(rhs).max())
-        return phi_c + dphi
+        return rhs.at[csl].set(win)
 
     def _window_face_bc(self, l, phi_c, win=None):
         """Dirichlet values of a cell field on level-l window boundary

@@ -181,3 +181,4 @@ def test_gravity_sync_improves_composite_phi():
     # "no drift" criterion) rather than a fixed improvement factor
     assert e_sync2 < 1.05 * e_plain2, (e_sync2, e_plain2)
     assert e_sync2 < 2.0 * err_sync  # bounded, no drift
+
